@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the registered query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints one JSON
+line with per-query wall-clock seconds.
+
+Execution is measured with the `noop` sink so we time the full
+distributed compute (scan → shuffle → agg) without driver-collect
+overhead dominating small results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spotify_streaming_etl_pipeline_spark.plans import analytics
+    from spotify_streaming_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # plan, not first-run class loading.
+    analytics.QUERIES["all_time_agg"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in analytics.QUERIES.items():
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

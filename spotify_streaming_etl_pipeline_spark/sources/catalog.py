@@ -1,0 +1,52 @@
+"""Parquet catalog over the driver-generated synthetic tables.
+
+At 100 TB these would be a metastore catalog over partitioned/bucketed
+parquet (facts partitioned by date, dims unpartitioned); the loader
+keeps that substitution behind one function. Scans stay lazy — Catalyst
+pushes filters/column pruning into the parquet reader, so callers
+should ``select``/``filter`` on the returned DataFrame rather than
+materialize it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension-sized tables: always safe (and intended) to broadcast.
+SMALL_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS); with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as LongType nanos.
+    # Integer `div` (not `/`) — ns-since-epoch overflows double mantissa.
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names or TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so plans can be written in spark.sql too."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
