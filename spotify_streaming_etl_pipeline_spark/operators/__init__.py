@@ -1,0 +1,4 @@
+from .surrogate import with_surrogate_key
+from .writer import idempotent_append, upsert
+
+__all__ = ["with_surrogate_key", "idempotent_append", "upsert"]

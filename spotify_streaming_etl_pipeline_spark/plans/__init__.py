@@ -1,3 +1,3 @@
-from . import analytics
+from . import analytics, dims, facts, mapping, marts
 
-__all__ = ["analytics"]
+__all__ = ["analytics", "dims", "facts", "mapping", "marts"]
