@@ -22,25 +22,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dedup_new(incoming: DataFrame, keys: list[str], target: DataFrame | None) -> DataFrame:
+#: Targets at or below this estimated byte size get their key set
+#: broadcast for the anti join; above it we leave strategy choice to
+#: AQE (sort-merge or shuffled-hash, with runtime conversion to
+#: broadcast if the distinct key set turns out small post-shuffle).
+BROADCAST_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def dedup_new(
+    incoming: DataFrame,
+    keys: list[str],
+    target: DataFrame | None,
+    *,
+    broadcast_target: bool | None = None,
+) -> DataFrame:
     """Rows from ``incoming`` whose key is new: within-batch dedup then
-    anti-join against the existing target (J10)."""
+    anti-join against the existing target (J10).
+
+    ``broadcast_target`` forces/forbids broadcasting the target's key
+    set; default (None) uses Catalyst's size estimate of the target —
+    a fact-sized target must NOT be broadcast (driver OOM at 100 TB),
+    while a dim-sized one should be.
+    """
     out = incoming.dropDuplicates(keys)
     if target is not None:
-        out = out.join(
-            F.broadcast(target.select(*keys).distinct())
-            if _is_small(target)
-            else target.select(*keys).distinct(),
-            keys,
-            "left_anti",
-        )
+        target_keys = target.select(*keys).distinct()
+        if broadcast_target is None:
+            broadcast_target = _estimated_bytes(target) <= BROADCAST_TARGET_BYTES
+        if broadcast_target:
+            target_keys = F.broadcast(target_keys)
+        out = out.join(target_keys, keys, "left_anti")
     return out
 
 
-def _is_small(df: DataFrame) -> bool:
-    # dims in this engine are always broadcast-sized; callers with big
-    # targets pass through the non-broadcast path via AQE anyway.
-    return True
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's plan-level size estimate (file sizes for scans)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return int(plan.stats().sizeInBytes())
+    except Exception:
+        # Unknown size: assume big — never broadcast blindly.
+        return 1 << 62
 
 
 def idempotent_append(
@@ -50,10 +72,15 @@ def idempotent_append(
     spark=None,
 ) -> None:
     """Conflict-ignore append to a parquet table at ``target_path``."""
+    from pyspark.errors import AnalysisException
+
     spark = spark or incoming.sparkSession
     try:
         target = spark.read.parquet(target_path)
-    except Exception:
+    except AnalysisException:
+        # Path does not exist yet → first write, nothing to dedup against.
+        # Any other error (corrupt file, permissions) must propagate:
+        # treating it as "no target" would silently duplicate keys.
         target = None
     dedup_new(incoming, keys, target).write.mode("append").parquet(target_path)
 

@@ -251,7 +251,7 @@ def derived_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(p_type) AS any_type
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2
-    ORDER BY revenue DESC, p_name
+    ORDER BY revenue DESC, p_name, p_brand
     LIMIT 10
     """,
 )
@@ -285,7 +285,7 @@ def top_parts_param(
             .alias("full_price_lines"),
             F.max("p_type").alias("any_type"),
         )
-        .orderBy(F.desc("revenue"), F.asc("p_name"))
+        .orderBy(F.desc("revenue"), F.asc("p_name"), F.asc("p_brand"))
         .limit(limit)
     )
 

@@ -30,15 +30,21 @@ SMALL_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
+        # default (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable on
+        # any session — set it here so plain (driver-built) sessions work
+        # too, not just this package's get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as LongType nanos.
-    # Integer `div` (not `/`) — ns-since-epoch overflows double mantissa.
-    for field in df.schema.fields:
-        if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
-            from pyspark.sql import functions as F
+    if name == "events":
+        from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        for field in df.schema.fields:
+            # With nanosAsLong the ts arrives as LongType nanos. Integer
+            # `div` (not `/`) — ns-since-epoch overflows double mantissa.
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
