@@ -22,14 +22,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from spotify_streaming_etl_pipeline_spark.plans import analytics
+    """One entry per implemented operator from SURVEY.md §2, plus the
+    LLM-data-pipeline operators (dedup / similarity / text analysis /
+    multimodal) and parity promotions. Importing the plan modules
+    registers them into the shared QUERIES/ORACLE dicts."""
+    from spotify_streaming_etl_pipeline_spark.plans import (  # noqa: F401
+        analytics,
+        extras,
+        llm_queries,
+    )
 
     return dict(analytics.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each query (same column aliases)."""
-    from spotify_streaming_etl_pipeline_spark.plans import analytics
+    from spotify_streaming_etl_pipeline_spark.plans import (  # noqa: F401
+        analytics,
+        extras,
+        llm_queries,
+    )
 
     return dict(analytics.ORACLE)

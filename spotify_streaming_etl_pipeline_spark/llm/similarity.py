@@ -1,0 +1,137 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+Two plans with identical output schema (q_id, vec_id, cosine, rn):
+
+- ``cosine_topk``: exact brute-force baseline — broadcast the (small)
+  query set against the corpus, dot/norm via native array higher-order
+  functions (zip_with + aggregate, JVM-side, no Python), per-query
+  top-k via window rank. Corpus is scanned once, never shuffled on
+  pairs; the shuffle carries only (q_id, vec_id, score).
+- ``cosine_topk_lsh``: random-hyperplane LSH scale path — each vector
+  is bucketed by the sign pattern of ``n_planes`` fixed hyperplanes;
+  candidates are corpus vectors in the *same bucket* as the query, so
+  pairwise scoring cost drops ~2^n_planes-fold. The hyperplanes are
+  derived from the portable md5 hash, so bucket assignment (and hence
+  the result) is deterministic and oracle-reproducible. Recall is
+  approximate by design (neighbors across a hyperplane are missed) —
+  that is the documented ANN trade-off; raise recall by multi-probe or
+  repeated tables at scale.
+
+At 100 TB the corpus side stays partitioned; only per-bucket groups
+are compared. An IVF upgrade = replace the sign-bucket with a k-means
+centroid id — same join shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_PLANES = 8
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column, scale: int = 4) -> Column:
+    """Rounded cosine similarity (rounding absorbs sub-ULP sum-order
+    drift between engines so the oracle hash is stable)."""
+    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), scale)
+
+
+def plane_weights(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights from md5(plane,dim) parity —
+    reproducible in any engine (the oracle SQL embeds these literals)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p},{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:12], 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_col(vec: Column, n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> Column:
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    out = F.lit(0).cast("long")
+    for p, w in enumerate(plane_weights(n_planes, dim)):
+        d = _dot(vec, F.array(*[F.lit(x) for x in w]))
+        out = out + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (brute-force baseline)."""
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col(vec_col), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """ANN top-k: same output shape as cosine_topk but candidates are
+    restricted to the query's LSH bucket (equi-join on bucket id)."""
+    bucketed = emb.select(
+        "vec_id", F.col(vec_col).alias("vec"), bucket_col(F.col(vec_col)).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "bucket"
+    )
+    pairs = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine"))
+    )
+    return _ranked(pairs, k)

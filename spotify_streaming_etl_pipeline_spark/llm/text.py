@@ -1,0 +1,150 @@
+"""Text-analysis column expressions for training-data curation.
+
+All pure native expressions (whole-stage codegen, no UDFs): suitable
+for a 100 TB documents table — each operator is a projection or a
+single aggregation, shuffling only grouped outputs.
+
+Portability: ``portable_hash48`` is the determinism anchor shared with
+the DuckDB oracle (md5 is bit-identical across engines; 12 hex chars =
+48 bits fits a BIGINT in both). The production-scale variant would be
+``xxhash64`` — same plan shape, cheaper hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lexicons for the n-gram/stopword
+# language-ID heuristic. Deterministic scoring: overlap count of the
+# document's token set with each lexicon; argmax with fixed tie order.
+LANG_LEXICONS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "ich", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["de5", "shi4", "le5", "wo3", "bu4", "zai4", "you3", "he2", "ren2", "ta1"],
+}
+
+STOPWORDS = LANG_LEXICONS["en"]
+
+
+def portable_hash48(c: Column) -> Column:
+    """48-bit integer hash both Spark and DuckDB compute identically:
+    first 12 hex chars of md5, base-16 -> base-10. DuckDB equivalent:
+    ``('0x' || substring(md5(x), 1, 12))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column (empty strings out)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def word_ngrams(text: Column, n: int = 3, sep: str = "|") -> Column:
+    """Distinct word n-gram shingles; empty array for docs with < n
+    words (guards Spark's sequence() which would step backwards)."""
+    w = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(sep, *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token estimate: greedy <=4-char lowercase chunks plus
+    any non-space symbol runs — a deterministic stand-in for a real
+    subword tokenizer (same regex runs in the DuckDB oracle)."""
+    return F.regexp_count(text, F.lit("[a-z]{1,4}|[^a-z ]")).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language overlap score of the token set with each lexicon."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in lex])))
+        .cast("long")
+        .alias(f"score_{lang}")
+        for lang, lex in LANG_LEXICONS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language: argmax lexicon overlap, ties broken by the
+    fixed lexicon order (en, es, de, fr, zh), 'und' when all zero."""
+    scores = lang_scores(text)
+    langs = list(LANG_LEXICONS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Deterministic quality-scoring features (length, word shape,
+    stopword density, symbol density) + a composite [0,1] score."""
+    toks = tokens(text)
+    n_toks = F.size(toks).cast("long")
+    n_chars = F.length(text).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    # Symbols = anything outside lowercase+space (regexp_replace in the
+    # oracle needs the 'g' flag; Spark replaces globally by default).
+    n_sym = (n_chars - F.length(F.regexp_replace(text, "[^a-z ]", ""))).cast("long")
+    avg_len = F.round((n_chars - (n_toks - 1)) / F.nullif(n_toks, F.lit(0)), 3)
+    stop_ratio = F.round(n_stop / F.nullif(n_toks, F.lit(0)), 3)
+    sym_ratio = F.round(n_sym / F.nullif(n_chars, F.lit(0)), 3)
+    score = F.round(
+        F.least(n_toks / F.lit(64.0), F.lit(1.0)) * 0.5
+        + (1 - F.coalesce(sym_ratio, F.lit(0.0))) * 0.3
+        + F.least(F.coalesce(stop_ratio, F.lit(0.0)) * 4, F.lit(1.0)) * 0.2,
+        3,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "n_stopwords": n_stop,
+        "avg_token_len": avg_len,
+        "stopword_ratio": stop_ratio,
+        "symbol_ratio": sym_ratio,
+        "quality_score": score,
+    }
+
+
+def doc_fingerprint(text: Column, window: int = 16) -> Column:
+    """Rolling-window document fingerprint: min portable hash over all
+    ``window``-char substrings (winnowing global minimum). Near-identical
+    docs collide; a fingerprint equi-join finds candidate dup groups
+    with a plain shuffle — no pairwise comparison."""
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.length(text) - (window - 1)),
+        lambda i: F.substring(text, i, window),
+    )
+    hashed = F.transform(shingles, portable_hash48)
+    return F.when(F.length(text) >= window, F.array_min(hashed)).otherwise(
+        portable_hash48(text)
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set to a documents frame."""
+    c = F.col(text_col)
+    metrics = quality_metrics(c)
+    return df.select(
+        "*",
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        lang_id(c).alias("lang_pred"),
+        *[v.alias(k) for k, v in metrics.items() if k not in ("n_chars",)],
+        doc_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,388 @@
+"""Oracle-gated queries for the LLM-data-pipeline operators (llm/*).
+
+Every query pairs the Spark plan with DuckDB SQL that reproduces it
+EXACTLY — possible because all hashing goes through the portable
+48-bit md5-prefix hash (llm/text.py:portable_hash48) that both engines
+compute bit-identically, and all floating-point outputs are rounded.
+
+The pairs here are the correctness contract for dedup / similarity /
+text-analysis / multimodal; scale notes live in the llm/ modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import dedup, multimodal, similarity
+from ..llm.text import (
+    LANG_LEXICONS,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+from ..sources.catalog import load_table
+from .analytics import query
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_H48 = "('0x' || substring(md5({x}), 1, 12))::BIGINT"
+
+# distinct word-3-gram shingles per doc (docs with >= 3 words)
+_NG_CTE = """
+toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || '|' || w[i+1] || '|' || w[i+2])) AS ng
+    FROM toks WHERE len(w) >= 3
+)
+"""
+
+_JACCARD_PAIRS = """
+jacc AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.ng, b.ng))::DOUBLE
+                 / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))),
+                 4) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+"""
+
+_MINHASH_BANDS = f"""
+sig AS (
+    SELECT doc_id,
+           list_transform(range(0, 16), i ->
+               list_min(list_transform(ng, gr ->
+                   {_H48.format(x="i::VARCHAR || '#' || gr")}))) AS s
+    FROM g
+),
+bands AS (
+    SELECT doc_id, band,
+           s[4*band+1]::VARCHAR || ',' || s[4*band+2]::VARCHAR || ',' ||
+           s[4*band+3]::VARCHAR || ',' || s[4*band+4]::VARCHAR AS key
+    FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+),
+cands AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --- dedup family ------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keeper_doc_id,
+           cast(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "canonical_dedup",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS canon_hash
+        FROM documents
+    )
+    SELECT canon_hash, min(doc_id) AS keeper_doc_id,
+           cast(count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.canonical_dedup_groups(_docs(spark, sf_dir))
+
+
+@query(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH {_NG_CTE}, {_JACCARD_PAIRS}
+    SELECT doc_a, doc_b, jaccard FROM jacc WHERE jaccard >= 0.8
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@query(
+    "minhash_lsh_dedup",
+    f"""
+    WITH {_NG_CTE}, {_MINHASH_BANDS}
+    SELECT doc_a, doc_b FROM cands
+    """,
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+@query(
+    "minhash_near_dup",
+    f"""
+    WITH {_NG_CTE}, {_MINHASH_BANDS}, {_JACCARD_PAIRS}
+    SELECT j.doc_a, j.doc_b, j.jaccard
+    FROM cands c JOIN jacc j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+    WHERE j.jaccard >= 0.8
+    """,
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_near_dup(_docs(spark, sf_dir), threshold=0.8)
+
+
+@query(
+    "simhash_dedup",
+    f"""
+    WITH {_NG_CTE},
+    h AS (
+        SELECT doc_id,
+               list_transform(ng, gr -> {_H48.format(x="gr")}) AS gh
+        FROM g
+    ),
+    fp AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 48), j ->
+                   CASE WHEN list_sum(list_transform(gh, x ->
+                            CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+        FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup(_docs(spark, sf_dir), max_distance=3)
+
+
+@query(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= 16 THEN
+               list_min(list_transform(range(1, length(text) - 14),
+                   i -> {_H48.format(x="substring(text, i, 16)")}))
+           ELSE {_H48.format(x="text")} END AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --- text analysis -----------------------------------------------------------
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_LANG_SCORES_SQL = ",\n".join(
+    f"len(list_intersect(dw, {_sql_list(lex)})) AS score_{lang}"
+    for lang, lex in LANG_LEXICONS.items()
+)
+_BEST = "greatest(score_en, score_es, score_de, score_fr, score_zh)"
+_LANG_CASE = (
+    f"CASE WHEN {_BEST} = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_LEXICONS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x != '') AS w,
+               list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS dw,
+               length(text) AS nc
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, w, nc,
+               {_LANG_SCORES_SQL},
+               len(w)::BIGINT AS n_tokens_ws,
+               len(regexp_extract_all(text, '[a-z]{{1,4}}|[^a-z ]'))::BIGINT
+                   AS n_tokens_bpe,
+               len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS)}, x)))::BIGINT
+                   AS n_stopwords,
+               (nc - length(regexp_replace(text, '[^a-z ]', '', 'g')))::BIGINT AS n_sym
+        FROM t
+    )
+    SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+           {_LANG_CASE} AS lang_pred,
+           n_stopwords,
+           round((nc - (n_tokens_ws - 1)) / nullif(n_tokens_ws, 0), 3) AS avg_token_len,
+           round(n_stopwords / nullif(n_tokens_ws, 0), 3) AS stopword_ratio,
+           round(n_sym / nullif(nc, 0), 3) AS symbol_ratio,
+           round(least(n_tokens_ws / 64.0, 1.0) * 0.5
+                 + (1 - coalesce(round(n_sym / nullif(nc, 0), 3), 0.0)) * 0.3
+                 + least(coalesce(round(n_stopwords / nullif(n_tokens_ws, 0), 3), 0.0) * 4,
+                         1.0) * 0.2,
+                 3) AS quality_score
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    m = quality_metrics(c)
+    return d.select(
+        "doc_id",
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        lang_id(c).alias("lang_pred"),
+        m["n_stopwords"].alias("n_stopwords"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round({_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 4)"
+    )
+
+
+@query(
+    "ann_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    p AS (
+        SELECT q.q_id, e.vec_id, {_cos_sql('e.embedding', 'q.q_vec')} AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p, w in enumerate(similarity.plane_weights()):
+        lit = "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+        terms.append(
+            f"CASE WHEN {_dot_sql(vec, lit)} > 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    p AS (
+        SELECT q.q_id, b.vec_id, {_cos_sql('b.embedding', 'q.q_vec')} AS cosine
+        FROM b JOIN q ON b.bucket = q.bucket
+        WHERE b.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_lsh(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           cast(min(ascii(substring(text, 1, 1))) AS BIGINT) AS min_first_byte,
+           cast(max(ascii(substring(text, 1, 1))) AS BIGINT) AS max_first_byte,
+           cast(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_blobs
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL multimodal path: text -> binary blob column ->
+    Arrow-batched mapInPandas feature extraction -> relational rollup.
+    The oracle recomputes the deterministic fake features in SQL."""
+    d = _docs(spark, sf_dir)
+    media = multimodal.attach_blob(d)
+    feats = multimodal.extract_blob_features(media)
+    return (
+        feats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("first_byte").cast("long").alias("min_first_byte"),
+            F.max("first_byte").cast("long").alias("max_first_byte"),
+            F.countDistinct("content_md5").cast("long").alias("n_distinct_blobs"),
+        )
+    )

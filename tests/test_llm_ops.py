@@ -1,0 +1,169 @@
+"""Unit tests for the LLM-data-pipeline operators (llm/*) — edge cases
+the end-to-end oracle parity test doesn't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.llm import dedup, multimodal, similarity
+from spotify_streaming_etl_pipeline_spark.llm.text import (
+    doc_fingerprint,
+    lang_id,
+    portable_hash48,
+    token_count_ws,
+    word_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "src0"),
+        (1, "the quick brown fox jumps over the lazy cat", "src0"),  # near-dup of 0
+        (2, "completely different words entirely here now", "src1"),
+        (3, "the quick brown fox jumps over the lazy dog", "src1"),  # exact dup of 0
+        (4, "tiny", "src1"),  # < 3 words -> no ngrams
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+
+def test_portable_hash48_matches_duckdb(spark):
+    import duckdb
+
+    val = spark.range(1).select(portable_hash48(F.lit("hello")).alias("h")).first()["h"]
+    ref = duckdb.sql(
+        "SELECT ('0x' || substring(md5('hello'), 1, 12))::BIGINT"
+    ).fetchone()[0]
+    assert val == ref
+
+
+def test_word_ngrams_short_doc_is_empty(spark, docs):
+    out = {
+        r["doc_id"]: r["ng"]
+        for r in docs.select("doc_id", word_ngrams(F.col("text")).alias("ng")).collect()
+    }
+    assert out[4] == []
+    assert "the|quick|brown" in out[0]
+    # 9 words -> 7 trigrams, "the" repeats but trigrams are distinct
+    assert len(out[0]) == 7
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_n = sorted(g["n_copies"] for g in groups)
+    assert by_n == [1, 1, 1, 2]  # docs 0 and 3 collapse
+    dup = [g for g in groups if g["n_copies"] == 2][0]
+    assert dup["keeper_doc_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup_pair(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (0, 3) in got  # exact dup -> jaccard 1.0
+    assert (0, 1) in got and (1, 3) in got  # one-word change
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_candidates_superset_of_verified(spark, docs):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_dup(docs, threshold=0.9).collect()
+    }
+    assert verified <= cands
+    assert (0, 3) in verified  # exact dup must survive any threshold
+
+
+def test_simhash_identical_docs_distance_zero(spark, docs):
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(docs).collect()
+    }
+    assert fps[0] == fps[3]
+    assert 4 not in fps  # short doc has no features -> excluded
+    pairs = dedup.simhash_near_dup(docs, max_distance=3).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 3 and r["hamming"] == 0 for r in pairs)
+
+
+def test_simhash_banding_is_exhaustive(spark, docs):
+    """Banded join must equal brute force for distance <= t (pigeonhole)."""
+    fps = dedup.simhash_fingerprints(docs).collect()
+    brute = set()
+    for i, a in enumerate(fps):
+        for b in fps[i + 1 :]:
+            x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
+            if bin(x["simhash"] ^ y["simhash"]).count("1") <= 3:
+                brute.add((x["doc_id"], y["doc_id"]))
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup(docs, max_distance=3).collect()
+    }
+    assert banded == brute
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = similarity.cosine_topk(emb, [0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]  # by descending cosine
+    assert out[0]["rn"] == 1 and out[0]["cosine"] > 0.99
+    assert all(r["q_id"] == 0 for r in out)
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])], "vec_id: long, embedding: array<float>"
+    )
+    b1 = emb.select(similarity.bucket_col(F.col("embedding")).alias("b")).first()["b"]
+    b2 = emb.select(similarity.bucket_col(F.col("embedding")).alias("b")).first()["b"]
+    assert b1 == b2
+    assert 0 <= b1 < (1 << similarity.N_PLANES)
+
+
+def test_multimodal_feature_extraction_batch_shape(spark, docs):
+    media = multimodal.attach_blob(docs)
+    assert [f.name for f in media.schema.fields] == ["doc_id", "blob", "meta", "source"]
+    feats = multimodal.extract_blob_features(media)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert rows[0]["first_byte"] == ord("t")
+    assert rows[0]["content_md5"] == rows[3]["content_md5"]
+    assert rows[0]["content_md5"] != rows[2]["content_md5"]
+
+
+def test_sample_frames_stride():
+    blob = bytes(range(256)) * 40  # 10240 bytes
+    frames = multimodal.sample_frames(blob, stride=1024, max_frames=8)
+    assert len(frames) == 8
+    assert frames[0] == blob[:1024]
+    assert frames[7] == blob[7 * 1024 : 8 * 1024]
+
+
+def test_lang_id_prefers_lexicon_overlap(spark):
+    rows = [(0, "the cat is in the house"), (1, "el gato es que en la casa"), (2, "xyzzy qwerty")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", lang_id(F.col("text")).alias("l")).collect()}
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "und"
+
+
+def test_fingerprint_short_text_falls_back(spark):
+    df = spark.createDataFrame([(0, "short")], "doc_id: long, text: string")
+    fp = df.select(doc_fingerprint(F.col("text")).alias("f")).first()["f"]
+    ref = df.select(portable_hash48(F.lit("short")).alias("f")).first()["f"]
+    assert fp == ref
+
+
+def test_token_count_ignores_double_spaces(spark):
+    df = spark.createDataFrame([(0, "a  b c")], "doc_id: long, text: string")
+    assert df.select(token_count_ws(F.col("text")).alias("n")).first()["n"] == 3
