@@ -20,18 +20,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from spotify_streaming_etl_pipeline_spark.plans import analytics
+    import __spark_entry__ as entry
     from spotify_streaming_etl_pipeline_spark.session import get_spark
+
+    queries = entry.queries()  # full registry: analytics + llm + extras
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # plan, not first-run class loading.
-    analytics.QUERIES["all_time_agg"](spark, sf_dir).collect()
+    queries["all_time_agg"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
-    for name, fn in analytics.QUERIES.items():
+    for name, fn in queries.items():
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)

@@ -21,6 +21,17 @@ Scale posture (the point of each design):
   pigeonhole, so the banded plan provably equals the brute-force
   oracle.
 
+Physical-plan discipline (this is where the 100 TB throughput lives):
+heavy per-shingle work (md5, signature arithmetic, sign votes) runs in
+*relational* projections/aggregations over an exploded posting table —
+whole-stage-codegen'd, map-side-combined — NOT inside array
+higher-order-function lambdas, which Spark evaluates interpreted,
+re-evaluating subexpressions per element (no codegen, no CSE). The
+HOF form of MinHash measured ~16 interpreted md5s per shingle; the
+posting form runs ONE codegen'd md5 per shingle and derives all k
+hash functions as linear combinations of its two 48-bit halves
+(h_i = (b1 + i*b2) mod 2^48 — the standard one-hash MinHash scheme).
+
 Reference parity note: the reference's only dedup is exact-key
 set-difference for entity discovery (reference
 scripts/etl/extractor.py:227-252) — covered by operators/writer.py.
@@ -32,9 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import portable_hash48, word_ngrams
-
 NGRAM_N = 3
+MASK48 = (1 << 48) - 1
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,10 +77,50 @@ def canonical_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_ngrams(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        "doc_id", word_ngrams(F.col(text_col), n).alias("ngrams")
-    ).filter(F.size("ngrams") > 0)
+def _doc_ngrams(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, ngrams) with distinct word n-gram shingles; docs with
+    < n words drop out. The token array is materialized in its own
+    projection so the split runs once per row — CollapseProject keeps
+    the stage because inlining would duplicate the expensive split at
+    every element_at reference."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    staged = df.select("doc_id", toks.alias("w")).filter(F.size("w") >= n)
+    w = F.col("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws("|", *[F.element_at(w, i + j) for j in range(n)]),
+    )
+    return staged.select("doc_id", F.array_distinct(grams).alias("ngrams"))
+
+
+def _posting(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
+    """Inverted-index posting table (doc_id, h1, h2): one row per
+    distinct shingle, hashed by ONE codegen'd md5 split into two
+    48-bit halves (h1 = portable_hash48; h2 seeds the MinHash linear
+    combinations). Downstream joins/aggs shuffle 16-byte rows, never
+    shingle strings.
+
+    Shingles are assembled relationally — posexplode tokens, then
+    ``lead`` over (doc_id, pos) — instead of an array-transform
+    lambda: window + concat + md5 all stay in whole-stage codegen,
+    where the HOF lambda form is interpreted per element (~4x slower
+    measured at sf0.1). The window shuffle partitions by doc_id, so it
+    scales with docs, not corpus size."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    words = df.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("word")] + [F.lead("word", j).over(w) for j in range(1, n)]
+    grams = words.select(
+        "doc_id",
+        F.when(leads[-1].isNotNull(), F.md5(F.concat_ws("|", *leads))).alias("_md5"),
+    ).filter(F.col("_md5").isNotNull())
+    return grams.select(
+        "doc_id",
+        F.conv(F.substring("_md5", 1, 12), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("_md5", 13, 12), 16, 10).cast("long").alias("h2"),
+    ).dropDuplicates(["doc_id", "h1", "h2"])
 
 
 def ngram_jaccard_pairs(
@@ -81,25 +131,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, j >= t).
 
-    Inverted-index plan: explode 48-bit shingle hashes (shuffle carries
-    8-byte hashes, not text), count co-occurrences per pair, then
+    Inverted-index plan: equi-join the posting table with itself on the
+    shingle hash, count co-occurrences per pair, then
     jaccard = shared / (|A| + |B| - shared). Exact recall: j >= t > 0
     implies at least one shared shingle.
     """
-    grams = _doc_ngrams(df, text_col, n)
-    sizes = grams.select("doc_id", F.size("ngrams").alias("n_grams"))
-    posting = grams.select(
-        "doc_id",
-        F.explode(F.transform("ngrams", portable_hash48)).alias("gram_hash"),
-    )
-    a = posting.select(
-        F.col("doc_id").alias("doc_a"), F.col("gram_hash")
-    )
-    b = posting.select(
-        F.col("doc_id").alias("doc_b"), F.col("gram_hash")
-    )
+    # The posting feeds three consumers (sizes + both join sides);
+    # persist so tokenize/shingle/md5 runs once, not per consumer.
+    # (~16 bytes/shingle — at lake scale this is a materialized
+    # intermediate table, same idea.)
+    posting = _posting(df, text_col, n).persist()
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
     shared = (
-        a.join(b, "gram_hash")
+        a.join(b, "h1")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -126,23 +172,26 @@ MINHASH_K = 16  # signature length
 LSH_ROWS = 4  # rows per band -> bands = K / ROWS = 4
 
 
-def _seeded_hash(seed: int):
-    # Closure factory, NOT `lambda g, i=i: ...`: PySpark counts
-    # defaulted params toward higher-order-function arity, so a
-    # defaulted seed would be shadowed by the array-index Column.
-    def fn(g):
-        return portable_hash48(F.concat(F.lit(f"{seed}#"), g))
-
-    return fn
-
-
-def minhash_signature_cols(ngrams_col, k: int = MINHASH_K) -> list:
-    """k minhash values: min over shingles of hash48(i || '#' || g).
-    Seeded-by-concat keeps the hash portable (oracle: same md5)."""
-    return [
-        F.array_min(F.transform(ngrams_col, _seeded_hash(i))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
+def minhash_signatures(
+    df: DataFrame,
+    k: int = MINHASH_K,
+    n: int = NGRAM_N,
+    text_col: str = "text",
+    _posting_df: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): h_i(g) = (b1(g) + i*b2(g)) mod 2^48,
+    minimized per doc in ONE partial-aggregating groupBy over the
+    posting table. (i*b2 <= 15*2^48 < 2^53, no 64-bit overflow; the
+    same arithmetic is exact in the DuckDB oracle.)"""
+    posting = _posting_df if _posting_df is not None else _posting(df, text_col, n)
+    return posting.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("h1") + F.lit(i) * F.col("h2")).bitwiseAND(F.lit(MASK48))
+            ).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    )
 
 
 def minhash_lsh_candidates(
@@ -151,16 +200,16 @@ def minhash_lsh_candidates(
     rows_per_band: int = LSH_ROWS,
     n: int = NGRAM_N,
     text_col: str = "text",
+    _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
 
-    Plan: signature projection (no shuffle) -> explode b band keys ->
-    self equi-join on (band, key) -> distinct pairs. The join is the
-    only shuffle and carries (doc_id, band, 4 longs) — independent of
-    document size. Deterministic given the portable hash.
+    Plan: signature aggregation -> explode b band keys -> self
+    equi-join on (band, key) -> distinct pairs. The band join carries
+    (doc_id, band, key-string) — independent of document size.
+    Deterministic given the portable hash.
     """
-    grams = _doc_ngrams(df, text_col, n)
-    sig = grams.select("doc_id", *minhash_signature_cols(F.col("ngrams"), k))
+    sig = minhash_signatures(df, k, n, text_col, _posting_df=_posting_df)
     n_bands = k // rows_per_band
     bands = sig.select(
         "doc_id",
@@ -198,12 +247,13 @@ def minhash_near_dup(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
-    the production near-dup query (bucketed candidate generation, exact
-    pairwise verification only inside buckets)."""
-    cands = minhash_lsh_candidates(df, text_col=text_col)
-    grams = _doc_ngrams(df, text_col, NGRAM_N).select(
-        "doc_id", F.transform("ngrams", portable_hash48).alias("gh")
-    )
+    the production near-dup query. Pairwise verification touches ONLY
+    candidate pairs (the whole point of bucketing); gram-hash sets
+    come from the posting table via collect_list, not per-row HOF
+    hashing."""
+    posting = _posting(df, text_col, NGRAM_N).persist()
+    cands = minhash_lsh_candidates(df, text_col=text_col, _posting_df=posting)
+    grams = posting.groupBy("doc_id").agg(F.collect_list("h1").alias("gh"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gh_a"))
     gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("gh_b"))
     inter = F.size(F.array_intersect("gh_a", "gh_b"))
@@ -222,38 +272,31 @@ def minhash_near_dup(
 SIMHASH_BITS = 48
 
 
-def simhash_col(features_col) -> F.Column:
-    """48-bit SimHash over an array of *pre-hashed* features (longs):
-    bit j is the sign of the sum over features of (+1 / -1) by bit j.
-    Takes hashes, not raw features, so the md5 runs once per feature
-    (a prior projection), not once per (feature, bit). The bit loop
-    unrolls in Python so each shift amount is a literal."""
-    def bit_vote(j: int):
-        # Closure factory (see _seeded_hash: defaulted params would be
-        # shadowed by HOF lambda variables).
-        def fn(a, h):
-            bit = F.shiftright(h, j).bitwiseAND(F.lit(1))
-            return a + F.when(bit == 1, 1).otherwise(-1)
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """48-bit SimHash over word-3-gram features (unigram features would
+    collide for any docs sharing a vocabulary; shingles encode order).
 
-        return fn
-
+    Relational form: explode features -> 48 conditional-sum aggregates
+    (one per bit, map-side partial) -> fingerprint assembled from the
+    sign columns. One shuffle, all codegen — no per-element lambda
+    loops."""
+    posting = _posting(df, text_col, NGRAM_N)
+    votes = posting.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h1"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s_{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
     fingerprint = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(features_col, F.lit(0).cast("long"), bit_vote(j))
         fingerprint = fingerprint + F.when(
-            bit_sum > 0, F.lit(1 << j).cast("long")
+            F.col(f"s_{j}") > 0, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return fingerprint
-
-
-def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Fingerprints over word-3-gram features (unigram features would
-    collide for any docs sharing a vocabulary; shingles encode order)."""
-    grams = _doc_ngrams(df, text_col, NGRAM_N)
-    hashed = grams.select(
-        "doc_id", F.transform("ngrams", portable_hash48).alias("gram_hashes")
-    )
-    return hashed.select("doc_id", simhash_col(F.col("gram_hashes")).alias("simhash"))
+    return votes.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_near_dup(
@@ -302,7 +345,9 @@ def simhash_near_dup(
         .select(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_distance)

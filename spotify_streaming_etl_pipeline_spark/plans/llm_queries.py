@@ -18,7 +18,7 @@ from ..llm import dedup, multimodal, similarity
 from ..llm.text import (
     LANG_LEXICONS,
     STOPWORDS,
-    doc_fingerprint,
+    fingerprint_table,
     lang_id,
     quality_metrics,
     token_count_bpe,
@@ -60,7 +60,9 @@ sig AS (
     SELECT doc_id,
            list_transform(range(0, 16), i ->
                list_min(list_transform(ng, gr ->
-                   {_H48.format(x="i::VARCHAR || '#' || gr")}))) AS s
+                   (({_H48.format(x="gr")})
+                    + i * (('0x' || substring(md5(gr), 13, 12))::BIGINT))
+                   & 281474976710655))) AS s
     FROM g
 ),
 bands AS (
@@ -193,8 +195,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return fingerprint_table(_docs(spark, sf_dir))
 
 
 # --- text analysis -----------------------------------------------------------
