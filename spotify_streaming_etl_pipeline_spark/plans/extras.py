@@ -145,6 +145,44 @@ def ms_rounding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_sessions",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM o
+    )
+    SELECT user_id,
+           cast(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           cast(epoch_ms(max(ts)) + 1800000 AS BIGINT) AS session_end_ms,
+           cast(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap over events —
+    Spark's native session_window (stateful-streaming capable); the
+    oracle reproduces it with gaps-and-islands SQL. Boundary semantics
+    (verified empirically): an event exactly gap after the previous one
+    MERGES into the session — Spark treats the window end as closed for
+    merging — so only a strictly larger gap starts a new session."""
+    from ..streaming.ingest import session_windows
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_windows(ev, key_col="user_id", gap="30 minutes")
+
+
+@query(
     "star_join_sentinel",
     """
     SELECT cast(coalesce(p_size, 0) AS BIGINT) AS part_size,

@@ -62,6 +62,43 @@ def hourly_platform_counts(
     )
 
 
+def session_windows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per key with an inactivity gap: consecutive
+    events merge while each arrives strictly before the previous
+    event's ts + gap. Works on batch frames and on streams (pass
+    ``watermark`` so Spark can close sessions and drop state).
+
+    The reference has no session concept; this is the additive
+    stateful-streaming operator (SURVEY §2.5/§2.9 posture). Spark's
+    native session_window keeps per-(key, open-session) state only —
+    the scalable form of the gaps-and-islands SQL the batch oracle
+    uses."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    extra_cols = []
+    if "value" in df.columns:
+        aggs.append(F.round(F.sum("value"), 2).alias("sum_value"))
+        extra_cols.append("sum_value")
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            F.col(key_col),
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+            "n_events",
+            *extra_cols,
+        )
+    )
+
+
 def start_fact_tracks_ingest(
     spark: SparkSession,
     raw_dir: str,

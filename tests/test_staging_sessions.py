@@ -1,0 +1,103 @@
+"""Staging lifecycle (S8/S9/P4) and session-window operator tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.operators import staging
+from spotify_streaming_etl_pipeline_spark.streaming.ingest import (
+    read_history_stream,
+    session_windows,
+)
+
+
+def _staged(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", "d1", False),
+            ("u2", "d2", True),
+            ("u3", "d3", None),
+        ],
+        "uri: string, raw_data: string, is_processed: boolean",
+    )
+
+
+def test_unprocessed_includes_null_flags(spark):
+    out = staging.unprocessed(_staged(spark)).collect()
+    assert {r["uri"] for r in out} == {"u1", "u3"}
+
+
+def test_mark_processed_sets_only_given_keys(spark):
+    keys = spark.createDataFrame([("u1",), ("u3",)], "uri: string")
+    out = {
+        r["uri"]: r["is_processed"]
+        for r in staging.mark_processed(_staged(spark), keys, "uri").collect()
+    }
+    assert out == {"u1": True, "u2": True, "u3": True}
+    # and with disjoint keys, null flag normalizes to False
+    keys2 = spark.createDataFrame([("zz",)], "uri: string")
+    out2 = {
+        r["uri"]: r["is_processed"]
+        for r in staging.mark_processed(_staged(spark), keys2, "uri").collect()
+    }
+    assert out2 == {"u1": False, "u2": True, "u3": False}
+
+
+def test_delete_processed_then_rewrite_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "staging_tracks")
+    _staged(spark).write.parquet(path)
+    staged = spark.read.parquet(path)
+    survivors = staging.delete_processed(staged)
+    staging.rewrite_staging(survivors, path)
+    after = spark.read.parquet(path)
+    assert {r["uri"] for r in after.collect()} == {"u1", "u3"}
+    staging.truncate_table(path)
+    import os
+
+    assert not os.path.isdir(path)
+
+
+def test_session_windows_gap_semantics(spark):
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(minutes=10), 2.0),  # same session
+        ("a", base + dt.timedelta(minutes=40), 3.0),  # EXACTLY gap -> merges
+        ("a", base + dt.timedelta(minutes=71), 4.0),  # gap + 1min -> new session
+        ("b", base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: string, ts: timestamp, value: double")
+    out = session_windows(df, key_col="user_id", gap="30 minutes").collect()
+    a_sessions = sorted(
+        [r for r in out if r["user_id"] == "a"], key=lambda r: r["session_start_ms"]
+    )
+    # Boundary-exact event merges (closed window end); strictly-larger
+    # gap starts a new session — the oracle SQL encodes the same rule.
+    assert len(a_sessions) == 2
+    assert a_sessions[0]["n_events"] == 3
+    assert a_sessions[0]["sum_value"] == 6.0
+    # end = last event + gap
+    assert (
+        a_sessions[0]["session_end_ms"] - a_sessions[0]["session_start_ms"]
+        == 70 * 60 * 1000
+    )
+    assert a_sessions[1]["n_events"] == 1
+    assert [r["n_events"] for r in out if r["user_id"] == "b"] == [1]
+
+
+def test_session_windows_streaming_plan(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    import json
+
+    from tests.fixtures import history_row
+
+    (raw / "f.json").write_text(json.dumps([history_row()]))
+    stream = read_history_stream(spark, str(raw))
+    sess = session_windows(
+        stream, key_col="platform", gap="30 minutes", watermark="1 hour"
+    )
+    assert sess.isStreaming
+    assert "session_start_ms" in sess.columns
