@@ -114,6 +114,36 @@ def cosine_topk(
     return _ranked(pairs, k)
 
 
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    threshold), candidates restricted to same-LSH-bucket pairs — the
+    embedding-space member of the dedup family. Same-bucket blocking
+    makes pairwise work ~|corpus|²/2^n_planes; recall is the standard
+    hyperplane-LSH trade-off (raise with multi-probe at scale)."""
+    bucketed = emb.select(
+        "vec_id",
+        F.col(vec_col).alias("vec"),
+        bucket_col(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],

@@ -354,6 +354,25 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(_emb(spark, sf_dir), _QUERY_IDS, k=5)
 
 
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               {_cos_sql('a.embedding', 'c.embedding')} AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
+
+
 # --- multimodal --------------------------------------------------------------
 
 

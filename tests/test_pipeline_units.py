@@ -317,3 +317,41 @@ def test_parent_mapping_queries(spark):
     )
     assert merged.count() == 1
     assert mapping.unmapped_ts_versions(dim_track, merged).count() == 0
+
+
+def test_dedup_new_size_gate_paths_agree(spark):
+    """The broadcast and non-broadcast anti-join paths (and the
+    size-estimate default) must produce identical rows."""
+    from spotify_streaming_etl_pipeline_spark.operators import writer
+
+    incoming = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3), ("c", 4)], "k: string, v: int"
+    )
+    target = spark.createDataFrame([("b", 0), ("d", 0)], "k: string, v: int")
+    expected = {("a",), ("c",)}
+    for forced in (True, False, None):
+        got = {
+            (r["k"],)
+            for r in writer.dedup_new(
+                incoming, ["k"], target, broadcast_target=forced
+            ).collect()
+        }
+        assert got == expected, f"broadcast_target={forced}"
+
+
+def test_estimated_bytes_sane(spark, tmp_path):
+    from spotify_streaming_etl_pipeline_spark.operators.writer import (
+        BROADCAST_TARGET_BYTES,
+        _estimated_bytes,
+    )
+
+    # Parquet-backed frames (the real target case) report file sizes.
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "a: int").write.parquet(path)
+    assert 0 < _estimated_bytes(spark.read.parquet(path)) <= BROADCAST_TARGET_BYTES
+    # In-memory relations report Long.MaxValue (unknown) -> treated as
+    # big; and outright failures also default to "big" — the gate must
+    # never broadcast blindly.
+    local = spark.createDataFrame([(1,)], "a: int")
+    assert _estimated_bytes(local) > BROADCAST_TARGET_BYTES
+    assert _estimated_bytes(None) > BROADCAST_TARGET_BYTES
