@@ -114,6 +114,63 @@ def cosine_topk(
     return _ranked(pairs, k)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus by k-means
+    centroid, score each query only against its ``n_probe`` nearest
+    cells. The centroid assignment is the learned analogue of the
+    hyperplane bucket in ``cosine_topk_lsh`` — same join shape, better
+    cell balance on clustered data.
+
+    Uses pyspark.ml KMeans (seeded -> deterministic for a fixed corpus
+    and Spark version, but not reproducible in the SQL oracle — this
+    operator is covered by unit tests, not the hash gate)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id",
+        F.col(vec_col).alias("vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).select(
+        "vec_id", "vec", F.col("prediction").alias("cell")
+    )
+
+    # Each query probes its n_probe nearest centroids (distance to the
+    # centroid matrix is tiny: n_queries x n_centroids, driver-side).
+    import numpy as np
+
+    centers = np.array(model.clusterCenters())
+    q_rows = vecs.filter(F.col("vec_id").isin(query_ids)).select("vec_id", "vec").collect()
+    probe_pairs = []
+    for r in q_rows:
+        qv = np.array(r["vec"], dtype=float)
+        d2 = ((centers - qv) ** 2).sum(axis=1)
+        for cell in np.argsort(d2)[:n_probe]:
+            probe_pairs.append((r["vec_id"], int(cell)))
+    probes = emb.sparkSession.createDataFrame(probe_pairs, "q_id: long, cell: int")
+    q = (
+        vecs.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+        .join(probes, "q_id")
+    )
+    pairs = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine"))
+    )
+    return _ranked(pairs, k)
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.45,

@@ -1,0 +1,72 @@
+"""Skew-salting and IVF ANN: the explicit scale-path operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.llm import similarity
+from spotify_streaming_etl_pipeline_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+
+
+def _skewed(spark):
+    # one hot key (90%) + a tail
+    rows = [("hot", float(i % 7)) for i in range(900)] + [
+        (f"k{i}", float(i)) for i in range(100)
+    ]
+    return spark.createDataFrame(rows, "k: string, v: double")
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = _skewed(spark)
+    plain = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in salted_agg(df, ["k"], sums=["v"]).collect()
+    }
+    assert salted == plain
+    assert salted["hot"][0] == 900
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _skewed(spark)
+    small = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("missing", "Z")], "k: string, tag: string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in big.join(small, ["k"]).collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["tag"])
+        for r in salted_join(big, small, ["k"]).collect()
+    )
+    assert salted == plain
+    assert len(salted) == 901  # 900 hot + k1
+
+
+def test_ivf_topk_shape_and_sanity(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(emb, [0, 1], k=3, n_centroids=4, n_probe=2)
+    rows = out.collect()
+    assert set(r["q_id"] for r in rows) == {0, 1}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rn"] for r in sorted(rs, key=lambda x: x["rn"])] == list(
+            range(1, len(rs) + 1)
+        )
+        assert all(r["vec_id"] != q for r in rs)
+        # ranked by descending cosine
+        cos = [r["cosine"] for r in sorted(rs, key=lambda x: x["rn"])]
+        assert cos == sorted(cos, reverse=True)
