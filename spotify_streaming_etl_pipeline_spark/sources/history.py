@@ -25,11 +25,23 @@ EPOCH_FLOOR = "1900-01-01 00:00:00"
 
 
 def read_history(spark: SparkSession, path: str) -> DataFrame:
-    """S1: parse export files; ts string → TimestampType UTC instant."""
-    raw = spark.read.schema(HISTORY_SCHEMA).option("multiLine", "true").json(path)
+    """S1: parse export files; ts string → TimestampType UTC instant.
+
+    Malformed files degrade, not fail: PERMISSIVE mode nulls the
+    columns of unparseable documents, and the ts-not-null filter drops
+    those rows — the dataflow equivalent of the reference's
+    log-and-skip on json.JSONDecodeError / missing keys (reference
+    scripts/etl/extractor.py:78-93, tested truth table in its
+    tests/test_data_extraction/test_json_extractor.py:91-124)."""
+    raw = (
+        spark.read.schema(HISTORY_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .json(path)
+    )
     return raw.withColumn(
         "ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ssX")
-    )
+    ).filter(F.col("ts").isNotNull())
 
 
 def max_loaded_ts(

@@ -355,3 +355,27 @@ def test_estimated_bytes_sane(spark, tmp_path):
     local = spark.createDataFrame([(1,)], "a: int")
     assert _estimated_bytes(local) > BROADCAST_TARGET_BYTES
     assert _estimated_bytes(None) > BROADCAST_TARGET_BYTES
+
+
+def test_read_history_skips_malformed_files(spark, tmp_path):
+    """Reference truth table (its test_json_extractor.py:91-124): a
+    malformed export file is skipped with a log, good files still
+    load; rows without a parseable ts are dropped."""
+    import json
+
+    from spotify_streaming_etl_pipeline_spark.sources.history import read_history
+    from tests.fixtures import history_row
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "good.json").write_text(
+        json.dumps([history_row(), history_row(ts="2021-02-01T00:00:00Z")])
+    )
+    (d / "broken.json").write_text("{not valid json at all")
+    (d / "empty.json").write_text("[]")
+    (d / "missing_ts.json").write_text(json.dumps([{"platform": "web"}]))
+
+    out = read_history(spark, str(d))
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["ts"] is not None for r in rows)

@@ -1,0 +1,174 @@
+"""Property-based pins for the semantics-drift risks SURVEY §7 lists:
+Postgres truncating division, Python vs Spark rounding, release-date
+normalization, smart keys, timezone round-trips, portable hashing.
+
+Each property evaluates a hypothesis-generated BATCH through one Spark
+job and compares against an independent Python model of the
+reference's behavior (reference scripts/etl/transformer.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.functions.scalar import (
+    date_id,
+    from_utc,
+    minute_of_day,
+    ms_to_sec_round,
+    ms_to_sec_trunc,
+    normalize_release_date,
+    safe_percent,
+    to_utc,
+)
+from spotify_streaming_etl_pipeline_spark.llm.text import portable_hash48
+
+PROPS = settings(max_examples=5, deadline=None)
+
+
+@PROPS
+@given(st.lists(st.integers(min_value=0, max_value=10**10), min_size=1, max_size=100))
+def test_ms_trunc_is_postgres_integer_division(spark, ms_values):
+    df = spark.createDataFrame([(v,) for v in ms_values], "ms: long")
+    got = [r["s"] for r in df.select(ms_to_sec_trunc("ms").alias("s")).collect()]
+    assert got == [v // 1000 for v in ms_values]
+
+
+@PROPS
+@given(st.lists(st.integers(min_value=0, max_value=10**10), min_size=1, max_size=100))
+def test_ms_round_half_up_with_documented_python_drift(spark, ms_values):
+    """Spark round is HALF_UP; Python round is HALF_EVEN. They agree
+    everywhere except ms % 1000 == 500 with an even quotient — the
+    drift scalar.py documents."""
+    df = spark.createDataFrame([(v,) for v in ms_values], "ms: long")
+    got = {v: r["s"] for v, r in zip(
+        ms_values, df.select(ms_to_sec_round("ms").alias("s")).collect()
+    )}
+    for v in ms_values:
+        if v % 1000 == 500:
+            assert got[v] == v // 1000 + 1  # half-up always rounds away
+        else:
+            assert got[v] == int(round(v / 1000))
+
+
+@PROPS
+@given(st.lists(
+    st.dates(min_value=dt.date(1990, 1, 1), max_value=dt.date(2035, 12, 31)),
+    min_size=1, max_size=100,
+))
+def test_smart_date_key_roundtrip(spark, dates):
+    df = spark.createDataFrame([(d,) for d in dates], "d: date")
+    got = [r["k"] for r in df.select(date_id(F.col("d")).alias("k")).collect()]
+    assert got == [d.year * 10000 + d.month * 100 + d.day for d in dates]
+
+
+@PROPS
+@given(st.lists(
+    st.datetimes(min_value=dt.datetime(2000, 1, 1), max_value=dt.datetime(2030, 1, 1)),
+    min_size=1, max_size=50,
+))
+def test_minute_of_day_key(spark, tss):
+    df = spark.createDataFrame([(t,) for t in tss], "t: timestamp")
+    got = [r["m"] for r in df.select(minute_of_day(F.col("t")).alias("m")).collect()]
+    assert got == [t.hour * 60 + t.minute for t in tss]
+
+
+@PROPS
+@given(st.lists(
+    st.datetimes(min_value=dt.datetime(2015, 1, 1), max_value=dt.datetime(2030, 1, 1)),
+    min_size=1, max_size=50,
+))
+def test_msk_roundtrip_identity(spark, tss):
+    """UTC -> MSK wall-clock -> UTC must be the identity (Moscow has no
+    DST since 2014, the reference's delta-comparison relies on this)."""
+    df = spark.createDataFrame([(t,) for t in tss], "t: timestamp")
+    out = df.select(
+        F.col("t"), to_utc(from_utc(F.col("t"))).alias("rt")
+    ).collect()
+    for r in out:
+        assert r["t"] == r["rt"]
+    # and the wall-clock shift is exactly +3h
+    shifted = df.select((from_utc(F.col("t"))).alias("m"), "t").collect()
+    for r in shifted:
+        assert r["m"] - r["t"] == dt.timedelta(hours=3)
+
+
+def _ref_normalise(raw: str | None, precision: str | None) -> dt.date | None:
+    """Python model of reference transformer.py:132-159."""
+    if raw is None:
+        return None
+    if raw.startswith("0000"):
+        return dt.date(1900, 1, 1)
+    if precision == "year":
+        raw = f"{raw}-01-01"
+    elif precision == "month":
+        raw = f"{raw}-01"
+    try:
+        return dt.date.fromisoformat(raw)
+    except ValueError:
+        return None
+
+
+@PROPS
+@given(st.lists(
+    st.tuples(
+        st.dates(min_value=dt.date(1950, 1, 1), max_value=dt.date(2030, 12, 31)),
+        st.sampled_from(["day", "month", "year"]),
+        st.booleans(),  # zero-year corruption
+    ),
+    min_size=1, max_size=50,
+))
+def test_release_date_normalization_model(spark, cases):
+    rows = []
+    for d, prec, corrupt in cases:
+        if corrupt:
+            raw = "0000-00-00"
+        elif prec == "day":
+            raw = d.isoformat()
+        elif prec == "month":
+            raw = d.strftime("%Y-%m")
+        else:
+            raw = d.strftime("%Y")
+        rows.append((raw, prec))
+    df = spark.createDataFrame(rows, "raw: string, prec: string")
+    got = [
+        r["n"]
+        for r in df.select(
+            normalize_release_date(F.col("raw"), F.col("prec")).alias("n")
+        ).collect()
+    ]
+    assert got == [_ref_normalise(raw, prec) for raw, prec in rows]
+
+
+@PROPS
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),
+        st.integers(min_value=0, max_value=10**4),
+    ),
+    min_size=1, max_size=100,
+))
+def test_safe_percent_null_on_zero_denominator(spark, pairs):
+    df = spark.createDataFrame(pairs, "n: long, d: long")
+    got = df.select(safe_percent(F.col("n"), F.col("d")).alias("p")).collect()
+    for (n, d), r in zip(pairs, got):
+        if d == 0:
+            assert r["p"] is None
+        else:
+            assert abs(r["p"] - n / d * 100) <= 0.05 + 1e-9
+
+
+@PROPS
+@given(st.lists(
+    st.text(alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=0, max_size=40),
+    min_size=1, max_size=50,
+))
+def test_portable_hash48_matches_python_md5(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s: string")
+    got = [r["h"] for r in df.select(portable_hash48(F.col("s")).alias("h")).collect()]
+    want = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in strings]
+    assert got == want
