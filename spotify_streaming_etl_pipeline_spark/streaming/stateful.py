@@ -1,0 +1,88 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The built-in stateful operators (windowed aggs, session_window,
+dropDuplicates-with-watermark) cover most of SURVEY §2.9; this module
+is the escape hatch for semantics they can't express. First resident:
+**cross-batch exactly-once dedup with state TTL** — the streaming
+form of the reference's ``ON CONFLICT DO NOTHING`` idempotency
+(reference scripts/connectors/db_manager.py:72): an event key admits
+exactly one row across micro-batches, and its dedup state expires
+after ``ttl_minutes`` of processing time so state stays bounded (the
+trade: a duplicate arriving later than the TTL is re-admitted —
+choose TTL >= the source's max redelivery window).
+
+Scale: state lives in the state store partitioned by key — per-key
+bytes are a single marker, so memory is O(distinct keys in TTL), not
+O(stream length). Arrow batches keep the Python hop columnar.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+STATE_SCHEMA = StructType.fromJson(
+    {"type": "struct", "fields": [{"name": "seen", "type": "boolean", "nullable": False, "metadata": {}}]}
+)
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """Emit the first row per key across micro-batches; drop the rest
+    while the key's state lives (TTL-refreshed on every sighting)."""
+    schema = events.schema
+
+    def dedup_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        already_seen = state.exists
+        state.update((True,))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if already_seen:
+            return
+        for pdf in pdfs:
+            if len(pdf):
+                yield pdf.head(1)
+                return
+
+    return (
+        events.groupBy(*key_cols)
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=schema,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_dedup_to_memory(
+    stream: DataFrame,
+    key_cols: list[str],
+    query_name: str,
+    ttl_minutes: int = 60,
+) -> Any:
+    """Convenience: dedup_stream -> in-memory sink (tests/demos)."""
+    return (
+        dedup_stream(stream, key_cols, ttl_minutes)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

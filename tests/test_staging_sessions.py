@@ -101,3 +101,58 @@ def test_session_windows_streaming_plan(spark, tmp_path):
     )
     assert sess.isStreaming
     assert "session_start_ms" in sess.columns
+
+
+def test_stateful_dedup_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState cross-batch dedup: with one file per
+    micro-batch, a key reappearing in a later batch is dropped and the
+    first-seen row survives."""
+    import json
+
+    from spotify_streaming_etl_pipeline_spark.streaming.stateful import (
+        run_dedup_to_memory,
+    )
+    from tests.fixtures import history_row
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    (d / "a_first.json").write_text(
+        json.dumps(
+            [
+                history_row(spotify_track_uri="spotify:track:1", ms_played=111),
+                history_row(spotify_track_uri="spotify:track:2", ms_played=222),
+            ]
+        )
+    )
+    (d / "b_second.json").write_text(
+        json.dumps(
+            [
+                history_row(spotify_track_uri="spotify:track:2", ms_played=999),  # dup key
+                history_row(spotify_track_uri="spotify:track:3", ms_played=333),
+            ]
+        )
+    )
+    # The file source orders micro-batches by modification time, not
+    # name — pin distinct mtimes so "first file" is deterministic.
+    import os
+    import time as time_mod
+
+    now = time_mod.time()
+    os.utime(d / "a_first.json", (now - 100, now - 100))
+    os.utime(d / "b_second.json", (now, now))
+
+    from spotify_streaming_etl_pipeline_spark.schemas import HISTORY_SCHEMA
+
+    stream = (
+        spark.readStream.schema(HISTORY_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_dedup_to_memory(stream, ["spotify_track_uri"], "dedup_out")
+    q.awaitTermination(120)
+    out = spark.table("dedup_out").collect()
+    by_key = {r["spotify_track_uri"]: r["ms_played"] for r in out}
+    assert len(out) == 3  # one row per distinct key
+    assert by_key["spotify:track:2"] == 222  # first-seen wins (file a)
+    assert set(by_key) == {"spotify:track:1", "spotify:track:2", "spotify:track:3"}
