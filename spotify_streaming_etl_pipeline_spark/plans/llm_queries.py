@@ -373,6 +373,45 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
 
 
+# --- curation ----------------------------------------------------------------
+
+
+@query(
+    "quality_filter",
+    """
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+    """,
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the bottom quartile by length score (curation.quality_filter
+    with n_chars standing in as the score so the oracle stays one
+    line; the full quality_score pipeline is gated via text_quality)."""
+    from ..llm.curation import quality_filter
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return quality_filter(d, score_col="n_chars", quantile=0.25)
+
+
+@query(
+    "source_mixture",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ({_H48.format(x="doc_id::VARCHAR")}) % 100 <
+          CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 10 ELSE 100 END
+    """,
+)
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based source down-sampling (50% of src0,
+    10% of src1, everything else kept)."""
+    from ..llm.curation import mix_sources
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return mix_sources(d, {"src0": 50, "src1": 10})
+
+
 # --- multimodal --------------------------------------------------------------
 
 

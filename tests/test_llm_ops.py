@@ -167,3 +167,32 @@ def test_fingerprint_short_text_falls_back(spark):
 def test_token_count_ignores_double_spaces(spark):
     df = spark.createDataFrame([(0, "a  b c")], "doc_id: long, text: string")
     assert df.select(token_count_ws(F.col("text")).alias("n")).first()["n"] == 3
+
+
+def test_quality_filter_keeps_upper_quantile(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import (
+        quality_cutoff,
+        quality_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], "doc_id: long, score: double"
+    )
+    cut = quality_cutoff(df, "score", 0.25)
+    kept = quality_filter(df, "score", 0.25)
+    assert kept.count() == sum(1 for i in range(1, 101) if i >= cut)
+    assert kept.agg({"score": "min"}).collect()[0][0] >= cut
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import mix_sources
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out1 = mix_sources(df, {"a": 30, "b": 100})
+    out2 = mix_sources(df, {"a": 30, "b": 100})
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in out2.collect())  # deterministic
+    a_rate = out1.filter("source = 'a'").count() / 1000
+    assert 0.2 < a_rate < 0.4  # ~30% +- hash noise
+    assert out1.filter("source = 'b'").count() == 1000  # 100% kept
