@@ -231,6 +231,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    # Both join sides derive from the same band table; without persist
+    # the whole tokenize->hash->signature pipeline runs twice (verified
+    # in the physical plan — the self-join breaks exchange reuse).
+    bands = bands.persist()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     return (
