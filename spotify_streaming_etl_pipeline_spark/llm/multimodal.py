@@ -107,6 +107,34 @@ def extract_blob_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_blobs(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize' every blob to a fixed payload size via mapInPandas —
+    the plumbing shape of a real image-resize stage (Arrow batches in,
+    binary column out, schema declared). The transform itself is a
+    deterministic fake (truncate / zero-pad) because Pillow is absent;
+    swap the inner function for `PIL.Image.resize` bytes unchanged."""
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(b: bytes) -> bytes:
+            b = bytes(b)[:target_bytes]
+            return b + b"\x00" * (target_bytes - len(b))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": pdf["blob"].map(fake_resize),
+                }
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _resize_batch,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("blob", BinaryType())]
+        ),
+    )
+
+
 def decode_image(blob: bytes) -> object:
     """Real image decode — STUB. Pillow is not available in this
     container; the Spark-side plumbing above is the tested surface."""

@@ -97,6 +97,10 @@ def run(
         fetch = fetchers.get(entity)
         if fetch is None:
             return None
+        # Driver-side collect is correct here: this is the NEW-entity
+        # set (history minus warehouse), dim-sized by construction —
+        # the reference materializes the same list (extractor.py:250).
+        # For a corpus-scale URI set use enrichment.enrich_partitions.
         uri_list = sorted(r["uri"] for r in uris.collect())
         result = fetch_in_batches(uri_list, fetch, entity)
         out.dead_letters.extend(result.failures)

@@ -196,3 +196,15 @@ def test_mix_sources_rates_and_determinism(spark):
     a_rate = out1.filter("source = 'a'").count() / 1000
     assert 0.2 < a_rate < 0.4  # ~30% +- hash noise
     assert out1.filter("source = 'b'").count() == 1000  # 100% kept
+
+
+def test_resize_blobs_fixed_payload(spark, docs):
+    media = multimodal.attach_blob(docs)
+    out = multimodal.resize_blobs(media, target_bytes=32).collect()
+    assert len(out) == 5
+    for r in out:
+        assert len(r["blob"]) == 32
+    # truncation keeps the prefix; short docs zero-pad
+    by_id = {r["doc_id"]: bytes(r["blob"]) for r in out}
+    assert by_id[0].startswith(b"the quick brown fox")
+    assert by_id[4].startswith(b"tiny\x00")
