@@ -170,3 +170,17 @@ def test_hourly_windows_batch_parity(spark, raw_dir):
     by_window = {(r["start"].isoformat(), r["platform"]): r["n_plays"] for r in out}
     assert sum(by_window.values()) == 4
     assert len(by_window) == 3  # 00:00 (2 rows), 02:00, 10:00
+
+
+def test_cli_main_runs_pipeline(spark, raw_dir, tmp_path, capsys):
+    """The module CLI (reference scripts/main.py analogue) runs the
+    no-enrichment pipeline end to end."""
+    from spotify_streaming_etl_pipeline_spark.main import main
+
+    rc = main(
+        ["--raw-dir", str(raw_dir), "--warehouse-dir", str(tmp_path / "wh_cli")]
+    )
+    assert rc == 0
+    # dim_reason is derivable without enrichment and must be written
+    reasons = spark.read.parquet(str(tmp_path / "wh_cli" / "dim_reason"))
+    assert reasons.count() >= 2
