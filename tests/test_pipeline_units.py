@@ -379,3 +379,13 @@ def test_read_history_skips_malformed_files(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 2
     assert all(r["ts"] is not None for r in rows)
+
+
+def test_get_chart_data_validates_item_type(spark):
+    """Dashboard wrapper input validation (reference
+    dashboard/dashboard_queries.py:19-20)."""
+    import pytest as _pytest
+
+    fact = spark.createDataFrame([], "date_fk long, sec_played long, percent_played double, track_fk long, artist_fk long")
+    with _pytest.raises(ValueError, match="item_type"):
+        marts.get_chart_data("playlist", fact)
