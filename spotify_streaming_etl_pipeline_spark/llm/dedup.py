@@ -77,22 +77,6 @@ def canonical_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _doc_ngrams(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
-    """(doc_id, ngrams) with distinct word n-gram shingles; docs with
-    < n words drop out. The token array is materialized in its own
-    projection so the split runs once per row — CollapseProject keeps
-    the stage because inlining would duplicate the expensive split at
-    every element_at reference."""
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    staged = df.select("doc_id", toks.alias("w")).filter(F.size("w") >= n)
-    w = F.col("w")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws("|", *[F.element_at(w, i + j) for j in range(n)]),
-    )
-    return staged.select("doc_id", F.array_distinct(grams).alias("ngrams"))
-
-
 def _posting(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
     """Inverted-index posting table (doc_id, h1, h2): one row per
     distinct shingle, hashed by ONE codegen'd md5 split into two
