@@ -121,6 +121,18 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/matching: lowercase,
+    strip everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    Pure codegen expressions; the DuckDB oracle mirrors it (remember
+    the 'g' flag — DuckDB regexp_replace is first-match by default,
+    Spark's is global)."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.regexp_replace(stripped, " +", " ")
+    return F.trim(collapsed)
+
+
 def doc_fingerprint(text: Column, window: int = 16) -> Column:
     """Rolling-window document fingerprint: min portable hash over all
     ``window``-char substrings (winnowing global minimum). Near-identical

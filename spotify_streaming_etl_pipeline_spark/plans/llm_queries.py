@@ -373,6 +373,88 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
 
 
+# --- repetition / decontamination / normalization ----------------------------
+
+
+@query(
+    "repetition_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_transform(range(1, len(w)), i -> w[i] || '|' || w[i+1]) AS gs
+        FROM toks WHERE len(w) >= 2
+    )
+    SELECT doc_id,
+           cast(len(gs) AS BIGINT) AS n_grams,
+           cast(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+           round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4) AS dup_ratio
+    FROM g
+    """,
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicated-bigram fraction per document."""
+    from ..llm.decontam import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=2)
+
+
+@query(
+    "contamination_check",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || '|' || w[i+1] || '|' || w[i+2])) AS ng
+        FROM toks WHERE len(w) >= 3
+    ),
+    c AS (SELECT doc_id, unnest(ng) AS gram FROM g WHERE doc_id >= 25),
+    b AS (SELECT doc_id AS bench_id, unnest(ng) AS gram FROM g WHERE doc_id < 25)
+    SELECT c.doc_id, b.bench_id, cast(count(*) AS BIGINT) AS n_hits
+    FROM c JOIN b USING (gram)
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: corpus docs (id >= 25) sharing >= 5
+    distinct trigrams with a 'benchmark' slice (id < 25)."""
+    from ..llm.decontam import contamination_check
+
+    d = _docs(spark, sf_dir)
+    return contamination_check(
+        d.filter(F.col("doc_id") >= 25),
+        d.filter(F.col("doc_id") < 25),
+        min_hits=5,
+    )
+
+
+@query(
+    "normalized_hashes",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+    FROM documents
+    """,
+)
+def normalized_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization fingerprint per doc (dedup key for
+    case/punctuation-insensitive exact matching)."""
+    from ..llm.text import normalize_text
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("norm_hash")
+    )
+
+
 # --- curation ----------------------------------------------------------------
 
 

@@ -208,3 +208,50 @@ def test_resize_blobs_fixed_payload(spark, docs):
     by_id = {r["doc_id"]: bytes(r["blob"]) for r in out}
     assert by_id[0].startswith(b"the quick brown fox")
     assert by_id[4].startswith(b"tiny\x00")
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.decontam import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # one distinct bigram
+            (1, "all words here are fully unique"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert out[0]["n_grams"] == 5 and out[0]["n_distinct"] == 1
+    assert out[0]["dup_ratio"] == 0.8
+    assert out[1]["dup_ratio"] == 0.0
+
+
+def test_contamination_check_flags_overlap(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.decontam import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id: long, text: string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "intro text the quick brown fox jumps over the lazy dog tonight outro"),
+            (1, "completely unrelated content with different words entirely"),
+        ],
+        "doc_id: long, text: string",
+    )
+    hits = contamination_check(corpus, bench, min_hits=5).collect()
+    assert len(hits) == 1
+    assert hits[0]["doc_id"] == 0 and hits[0]["bench_id"] == 100
+    assert hits[0]["n_hits"] >= 5
+
+
+def test_normalize_text_canonicalizes(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "  Hello,   WORLD!! 123  "), (1, "hello world 123")],
+        "doc_id: long, text: string",
+    )
+    out = [r["n"] for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
+    assert out[0] == out[1] == "hello world 123"
