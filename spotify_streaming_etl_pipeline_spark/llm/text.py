@@ -133,6 +133,26 @@ def normalize_text(text: Column) -> Column:
     return F.trim(collapsed)
 
 
+#: PII-ish patterns masked by ``mask_pii`` (order matters: emails
+#: before bare digit runs so the local part isn't half-masked).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\d{6,}", "<NUM>"),
+]
+
+
+def mask_pii(text: Column) -> Column:
+    """Mask emails, URLs, and long digit runs — the redaction pass a
+    training pipeline runs before tokenization. Chained global
+    regexp_replace, all codegen; the DuckDB oracle uses the same
+    patterns with the 'g' flag."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
 def doc_fingerprint(text: Column, window: int = 16) -> Column:
     """Rolling-window document fingerprint: min portable hash over all
     ``window``-char substrings (winnowing global minimum). Near-identical

@@ -455,6 +455,28 @@ def normalized_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pii_masking",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+               '\d{6,}', '<NUM>', 'g')) AS masked_hash
+    FROM documents
+    """,
+)
+def pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass fingerprint: hash of the PII-masked text (the
+    corpus here contains no PII, so masked == original — the operator
+    and oracle still execute the full pattern chain)."""
+    from ..llm.text import mask_pii
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(mask_pii(F.col("text"))).alias("masked_hash")
+    )
+
+
 # --- curation ----------------------------------------------------------------
 
 

@@ -255,3 +255,14 @@ def test_normalize_text_canonicalizes(spark):
     )
     out = [r["n"] for r in df.select(normalize_text(F.col("text")).alias("n")).collect()]
     assert out[0] == out[1] == "hello world 123"
+
+
+def test_mask_pii_patterns(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import mask_pii
+
+    df = spark.createDataFrame(
+        [(0, "contact john.doe+x@example.co.uk or https://a.b/c?d=1 id 1234567 ok 123")],
+        "doc_id: long, text: string",
+    )
+    out = df.select(mask_pii(F.col("text")).alias("m")).first()["m"]
+    assert out == "contact <EMAIL> or <URL> id <NUM> ok 123"
