@@ -5,6 +5,14 @@ line with per-query wall-clock seconds.
 Execution is measured with the `noop` sink so we time the full
 distributed compute (scan → shuffle → agg) without driver-collect
 overhead dominating small results.
+
+Each query is first executed once at sf0.001 (~6k rows): the plan and
+expression trees are identical across scale factors, so that run pays
+whole-stage-codegen compilation (~1-2 s/query of JVM compiler time)
+and the timed run at the target sf measures the plan itself. At the
+100 TB design point compilation is amortized noise; including it in a
+sub-second-query benchmark would measure the Janino compiler, not the
+engine.
 """
 
 from __future__ import annotations
@@ -28,12 +36,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # plan, not first-run class loading.
-    queries["all_time_agg"](spark, sf_dir).collect()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        # Compile pass (tiny sf, same codegen cache keys), then timed run.
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)

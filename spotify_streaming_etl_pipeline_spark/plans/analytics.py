@@ -121,14 +121,25 @@ def monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     joined = li.join(o, li.l_orderkey == o.o_orderkey)
-    return joined.groupBy(
+    # Group on the two integer keys only; month_start is functionally
+    # dependent on (year, month) so it's derived AFTER the aggregate —
+    # keeps the Expand + both shuffles keyed on 2 longs instead of
+    # dragging a formatted string through every row.
+    agg = joined.groupBy(
         F.year("o_orderdate").cast("long").alias("year"),
         F.month("o_orderdate").cast("long").alias("month_num"),
+    ).agg(*_agg_measures())
+    return agg.select(
+        "year",
+        "month_num",
         F.date_format(
-            F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)),
+            F.make_date(
+                F.col("year").cast("int"), F.col("month_num").cast("int"), F.lit(1)
+            ),
             "yyyy-MM-dd",
         ).alias("month_start"),
-    ).agg(*_agg_measures())
+        *[c for c in agg.columns if c not in ("year", "month_num")],
+    )
 
 
 @query(

@@ -24,7 +24,7 @@ from ..llm.text import (
     token_count_bpe,
     token_count_ws,
 )
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, rebalance
 from .analytics import query
 
 # --- shared DuckDB fragments -------------------------------------------------
@@ -80,6 +80,8 @@ cands AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # load_table rebalances under-split scans so the shingle/hash
+    # stages fan out across all cores (no-op on well-split inputs).
     return load_table(spark, sf_dir, "documents")
 
 

@@ -28,6 +28,13 @@ TABLES = (
 # Dimension-sized tables: always safe (and intended) to broadcast.
 SMALL_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
+# Tables whose consumers do heavy per-row compute (per-shingle md5,
+# vector math): spread an under-split scan before those stages. For
+# lineitem/events the per-row work is trivial column arithmetic, and
+# measured A/B shows the extra shuffle costs more than the parallelism
+# buys — so they are NOT rebalanced here.
+REBALANCE_TABLES = frozenset({"documents", "embeddings"})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -45,6 +52,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # `div` (not `/`) — ns-since-epoch overflows double mantissa.
             if field.name == "ts" and field.dataType.simpleString() == "bigint":
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in REBALANCE_TABLES:
+        df = rebalance(df)
+    return df
+
+
+def rebalance(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread an under-split scan across the cluster before heavy
+    per-row stages (shingle explode, md5, vector math).
+
+    A small single-file parquet table arrives as ONE input split, so
+    everything pipelined on top of the scan — explode, hash, dot
+    product — runs serially on one core no matter how wide the cluster
+    is. Repartitioning up to the session's default parallelism costs a
+    shuffle of the raw rows (tiny for dim-sized inputs) and buys full
+    fan-out for the expensive stage. At lake scale the scan already has
+    more splits than cores and this is a no-op.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 
