@@ -1,0 +1,99 @@
+"""Physical-plan regression pins: the scale properties the engine
+claims (broadcast star joins, pushed-down filters, pruned scans, no
+row-at-a-time Python, cached posting tables) asserted on the actual
+executed plans — so a refactor that silently degrades a plan fails CI,
+not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir, queries):
+    plan = _plan(queries["star_join"](spark, sf_dir))
+    # Five dim joins (supplier, nation x2, customer-side chain) must all
+    # be broadcast; the fact side must never sort-merge on a dim key.
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
+    """BatchEvalPython = row-at-a-time Python UDF (the slow path the
+    package bans). Arrow-batched plans (mapInPandas) are allowed only
+    in the multimodal queries."""
+    for name, fn in queries.items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+        if "multimodal" not in name:
+            assert "ArrowEvalPython" not in plan, f"{name} leaves the JVM"
+            assert "MapInPandas" not in plan, f"{name} leaves the JVM"
+
+
+def test_pattern_filter_pushes_predicates_to_scan(spark, sf_dir, queries):
+    q = _optimized(queries["pattern_filter"](spark, sf_dir))
+    assert "PushedFilters: [" in q
+    # the LIKE prefix/contains predicates must reach the parquet reader
+    assert "StringStartsWith" in q or "StringContains" in q
+
+
+def test_yearly_agg_scan_is_pruned(spark, sf_dir, queries):
+    import re
+
+    plan = _plan(queries["yearly_agg"](spark, sf_dir))
+    # lineitem scan must read only the 6 columns the measures need
+    scans = re.findall(r"FileScan parquet \[(l_[^\]]*)\]", plan)
+    assert scans, "no lineitem FileScan found"
+    cols = scans[0].count(",") + 1
+    assert cols <= 6, f"lineitem scan reads {cols} columns; expected <= 6"
+
+
+def test_monthly_agg_shuffles_on_integer_keys_only(spark, sf_dir, queries):
+    plan = _plan(queries["monthly_agg"](spark, sf_dir))
+    # month_start (a formatted string) is derived post-agg; no exchange
+    # should hash-partition on a date_format expression.
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "date_format" not in line
+
+
+def test_minhash_posting_is_cached_once(spark, sf_dir, queries):
+    plan = _plan(queries["minhash_lsh_dedup"](spark, sf_dir))
+    # Both self-join sides must read the cached band table instead of
+    # recomputing the tokenize->md5->signature pipeline twice.
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_dedup_queries_have_no_cartesian(spark, sf_dir, queries):
+    for name in ("ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_dedup",
+                 "embedding_near_dup", "ann_topk_lsh"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} degenerates to cartesian"
+
+
+def test_docs_scan_fans_out(spark, sf_dir, queries):
+    """The documents scan is a single split; the rebalance must spread
+    the heavy hash stages across the cluster."""
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    assert (
+        df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+        or df.rdd.getNumPartitions() >= 8
+    )
