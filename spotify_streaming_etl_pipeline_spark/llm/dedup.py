@@ -340,3 +340,60 @@ def simhash_near_dup(
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+# --- dup-cluster assembly (connected components) ----------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(doc_id, cluster_id): connected components of a near-dup pair
+    graph, cluster_id = min doc_id in the component. This is the final
+    step of corpus dedup — pairs from any detector (Jaccard, MinHash,
+    SimHash, embedding) become keeper groups: keep ``doc_id ==
+    cluster_id``, drop the rest.
+
+    Iterative min-label propagation as a DataFrame loop: each round
+    every node takes the min of its own label and its neighbors'
+    labels. Converges in O(component diameter) rounds — tiny for dup
+    clusters, which are near-cliques. Labels decrease monotonically, so
+    the (cheap, scalar) sum-of-labels fixed point detects convergence
+    without a change-count join. Each round is one shuffle join + one
+    partial-aggregated groupBy; at lake scale this is the standard
+    large/small-star CC workload shape.
+    """
+    und = pairs.select(
+        F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
+    )
+    edges = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).persist()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.v == F.col("node"))
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

@@ -210,3 +210,24 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         *[v.alias(k) for k, v in metrics.items() if k not in ("n_chars",)],
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, doc_freq, term_freq, idf): corpus vocabulary table — the
+    input to tokenizer training / tf-idf weighting. One explode, one
+    partial-aggregated groupBy keyed on the token; the scalar corpus
+    size joins in as a broadcast literal, so shuffle volume is the
+    vocabulary, not the corpus.
+    """
+    n_docs = df.select(F.countDistinct("doc_id").alias("n")).alias("nd")
+    tok = df.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("term_freq"),
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "doc_freq",
+        "term_freq",
+        F.round(F.log(F.col("n") / F.col("doc_freq")), 4).alias("idf"),
+    )

@@ -135,6 +135,29 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_NG_CTE.lstrip()}, {_JACCARD_PAIRS},
+    p AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard >= 0.8),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    reach AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v AS u, r.lbl FROM reach r JOIN e ON e.u = r.u
+    )
+    SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> keeper groups (the
+    final dedup step: keep doc_id == cluster_id). The DuckDB oracle is
+    the recursive-CTE transitive closure of the same pair graph."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.dup_clusters(pairs)
+
+
+@query(
     "minhash_lsh_dedup",
     f"""
     WITH {_NG_CTE}, {_MINHASH_BANDS}
@@ -271,6 +294,31 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         m["symbol_ratio"].alias("symbol_ratio"),
         m["quality_score"].alias("quality_score"),
     )
+
+
+@query(
+    "vocab_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        FROM documents
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT token,
+           count(DISTINCT doc_id)::BIGINT AS doc_freq,
+           cast(count(*) AS BIGINT) AS term_freq,
+           round(ln(n / count(DISTINCT doc_id)), 4) AS idf
+    FROM tok, nd
+    GROUP BY token, n
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document/term frequency and idf — the
+    input table for tokenizer training and tf-idf weighting."""
+    from ..llm.text import vocab_stats as _vs
+
+    return _vs(_docs(spark, sf_dir))
 
 
 # --- similarity search -------------------------------------------------------

@@ -266,3 +266,26 @@ def test_mask_pii_patterns(spark):
     )
     out = df.select(mask_pii(F.col("text")).alias("m")).first()["m"]
     assert out == "contact <EMAIL> or <URL> id <NUM> ok 123"
+
+
+def test_dup_clusters_components(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.dedup import dup_clusters
+
+    # two components: {1,2,3} via a chain (diameter > 1) and {10, 11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a: long, doc_b: long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_vocab_stats_counts(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import vocab_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c")], "doc_id: long, text: string"
+    )
+    rows = {r["token"]: r for r in vocab_stats(df).collect()}
+    assert rows["a"]["doc_freq"] == 2 and rows["a"]["term_freq"] == 3
+    assert rows["a"]["idf"] == 0.0  # appears in every doc
+    assert rows["b"]["doc_freq"] == 1 and rows["c"]["term_freq"] == 1
