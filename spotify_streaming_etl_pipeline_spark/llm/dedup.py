@@ -357,34 +357,37 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     labels. Converges in O(component diameter) rounds — tiny for dup
     clusters, which are near-cliques. Labels decrease monotonically, so
     the (cheap, scalar) sum-of-labels fixed point detects convergence
-    without a change-count join. Each round is one shuffle join + one
-    partial-aggregated groupBy; at lake scale this is the standard
-    large/small-star CC workload shape.
+    without a change-count join.
+
+    Round shape: the undirected edge set carries a self-loop per node,
+    so one join (edge.v = label.node) + one min-groupBy on u computes
+    min(own, neighbors) in a single pass — no second "keep own label"
+    left join. The edge table is hash-partitioned on the probe key and
+    persisted once, so every round's join reuses its layout and only
+    the (much smaller) label side shuffles; at lake scale this is the
+    standard large/small-star CC workload shape.
     """
     und = pairs.select(
         F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
     )
+    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = sym.select("u").distinct()
     edges = (
-        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym.unionByName(nodes.select("u", F.col("u").alias("v")))
         .distinct()
+        .repartition("v")
         .persist()
     )
-    labels = edges.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+    labels = nodes.select(
+        F.col("u").alias("node"), F.col("u").alias("lbl")
     ).persist()
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
-        nbr = (
+        new_labels = (
             edges.join(labels, edges.v == F.col("node"))
             .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        new_labels = (
-            labels.join(nbr, labels.node == nbr.u, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
-            )
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("u").alias("node"), "lbl")
             .persist()
         )
         cur_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
