@@ -42,9 +42,15 @@ def main() -> None:
     for name, fn in queries.items():
         # Compile pass (tiny sf, same codegen cache keys), then timed run.
         fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        # Per-query isolation: drop caches left by earlier queries (some
+        # operators persist intermediates consumed by the returned plan;
+        # letting them pile up across 48 queries measures storage-memory
+        # pressure, not the plans).
+        spark.catalog.clearCache()
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -370,7 +370,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     und = pairs.select(
         F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
     )
-    sym = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Both nodes and edges derive from sym; persist it so the (possibly
+    # expensive) upstream pair-detection pipeline materializes exactly
+    # once — without this, label init and edge build each re-run it.
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
     nodes = sym.select("u").distinct()
     edges = (
         sym.unionByName(nodes.select("u", F.col("u").alias("v")))
@@ -397,6 +402,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    sym.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
