@@ -57,6 +57,15 @@ def get_spark(
         # vectorized reader rejects; read as long and convert in catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Whole-stage codegen emits one Janino class per stage; a
+        # many-query workload (48-query bench, long-lived warehouse
+        # session) churns hundreds of them and fills HotSpot's default
+        # 240 MB code cache, after which the JIT stops compiling and
+        # every operator drops to the interpreter (~2-4x suite-wide
+        # slowdown, measured: 66s -> 46s at sf0.1). Applied at JVM
+        # launch; inert via getOrCreate on an already-running session.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER"):  # cluster submit sets its own master
