@@ -22,7 +22,7 @@ from ..functions.scalar import (
     ms_to_sec_trunc,
     normalize_release_date,
 )
-from ..operators.surrogate import with_surrogate_key
+from ..operators.surrogate import with_surrogate_key, with_surrogate_key_distributed
 from ..sources.catalog import load_table
 from .analytics import query
 
@@ -116,6 +116,26 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing max (here 1000) — row_number parity with Postgres serial."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return with_surrogate_key(c, "customer_sk", ["c_custkey"], existing_max=1000)
+
+
+@query(
+    "surrogate_keys_distributed",
+    """
+    SELECT c_custkey, c_name,
+           cast(row_number() OVER (ORDER BY c_custkey) + 1000 AS BIGINT)
+               AS customer_sk
+    FROM customer
+    """,
+)
+def surrogate_keys_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F23 at fact scale: the same dense numbering produced without a
+    single-partition sort (range partition + per-partition rank +
+    broadcast offset join) — the oracle proves output parity with the
+    serial form."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return with_surrogate_key_distributed(
+        c, "customer_sk", ["c_custkey"], existing_max=1000
+    )
 
 
 @query(

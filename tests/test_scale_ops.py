@@ -70,3 +70,35 @@ def test_ivf_topk_shape_and_sanity(spark, sf_dir):
         # ranked by descending cosine
         cos = [r["cosine"] for r in sorted(rs, key=lambda x: x["rn"])]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_distributed_surrogate_matches_global_sort(spark):
+    from spotify_streaming_etl_pipeline_spark.operators.surrogate import (
+        with_surrogate_key,
+        with_surrogate_key_distributed,
+    )
+
+    rows = [(f"key{i:04d}", i * 3) for i in range(977, -1, -1)]  # reverse order in
+    df = spark.createDataFrame(rows, "nk: string, payload: int").repartition(7)
+    want = {
+        (r["nk"], r["sk"])
+        for r in with_surrogate_key(df, "sk", ["nk"], existing_max=50).collect()
+    }
+    got = {
+        (r["nk"], r["sk"])
+        for r in with_surrogate_key_distributed(
+            df, "sk", ["nk"], existing_max=50
+        ).collect()
+    }
+    assert got == want
+    sks = sorted(sk for _, sk in got)
+    assert sks == list(range(51, 51 + 978))  # dense, offset-continued
+
+
+def test_distributed_surrogate_empty_input(spark):
+    from spotify_streaming_etl_pipeline_spark.operators.surrogate import (
+        with_surrogate_key_distributed,
+    )
+
+    df = spark.createDataFrame([], "nk: string")
+    assert with_surrogate_key_distributed(df, "sk", ["nk"]).count() == 0
