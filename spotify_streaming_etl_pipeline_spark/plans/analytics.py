@@ -474,6 +474,52 @@ def conflict_ignore_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J11 — conflict-update upsert (ON CONFLICT DO UPDATE).
+# Reference: ts_version_mapping.py:32-47 (EXCLUDED.* wins on collision).
+# Exercises operators/writer.upsert: incoming replaces colliding target
+# rows, unmatched target rows survive, brand-new keys append.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "upsert_conflict_update",
+    """
+    WITH incoming AS (
+        SELECT user_id, event_type, cast(max(event_id) AS BIGINT) AS last_event_id
+        FROM events WHERE event_id >= 800 GROUP BY 1, 2
+    ),
+    target AS (
+        SELECT user_id, event_type, cast(min(event_id) AS BIGINT) AS last_event_id
+        FROM events WHERE event_id < 800 GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, last_event_id FROM incoming
+    UNION ALL
+    SELECT t.user_id, t.event_type, t.last_event_id
+    FROM target t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM incoming i
+        WHERE i.user_id = t.user_id AND i.event_type = t.event_type
+    )
+    """,
+)
+def upsert_conflict_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.writer import upsert
+
+    ev = _t(spark, sf_dir, "events")
+    incoming = (
+        ev.filter(F.col("event_id") >= 800)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("event_id").alias("last_event_id"))
+    )
+    target = (
+        ev.filter(F.col("event_id") < 800)
+        .groupBy("user_id", "event_type")
+        .agg(F.min("event_id").alias("last_event_id"))
+    )
+    return upsert(incoming, ["user_id", "event_type"], target)
+
+
+# ---------------------------------------------------------------------------
 # P2/J9/A6/F7 — delta-load predicate via scalar subquery + GREATEST of maxes.
 # Reference: get_max_history_ts (db_manager.py:139-153) + ts > max filter
 # (extractor.py:65, transformer.py:302-305).
