@@ -32,6 +32,12 @@ def main() -> None:
     from spotify_streaming_etl_pipeline_spark.session import get_spark
 
     queries = entry.queries()  # full registry: analytics + llm + extras
+    # Optional subset (comma-separated names) for A/B runs, e.g.
+    # SPARK_GRAFT_QUERIES=star_join,top_parts python bench.py
+    subset = os.environ.get("SPARK_GRAFT_QUERIES")
+    if subset:
+        keep = {s.strip() for s in subset.split(",") if s.strip()}
+        queries = {k: v for k, v in queries.items() if k in keep}
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,6 +53,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        # Release the previous queries' shuffle files / broadcasts
+        # BEFORE the warm passes: ContextCleaner only acts on a driver
+        # GC (backlog measured ~+0.25s/query by query 50 of a suite
+        # run), while a GC *after* warming would unload the generated
+        # codegen classes and make the timed run pay Janino + JIT
+        # recompilation (measured +8s on simhash_dedup). The warm
+        # passes below re-populate the codegen cache post-GC.
+        spark.sparkContext._jvm.System.gc()
         # Compile pass (tiny sf, same codegen cache keys), then timed run.
         fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         # Per-query isolation: drop caches left by earlier queries (some

@@ -66,6 +66,17 @@ def get_spark(
         # launch; inert via getOrCreate on an already-running session.
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        # ContextCleaner frees shuffle files / broadcasts / map-output
+        # state only when the driver JVM garbage-collects the Python-side
+        # dropped references; the default periodic-GC interval (30min)
+        # never fires inside a shorter many-query session, so state from
+        # every past query accumulates and each new shuffle pays for it
+        # (measured ~+0.25s/query by query 50 of a bench run). A
+        # long-lived warehouse session is exactly the 100 TB posture.
+        # 5min, not 1min: each full GC also unloads generated codegen
+        # classes, so too-frequent GC makes long iterative queries
+        # (connected-components loop) recompile mid-run.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     if not os.environ.get("SPARK_MASTER"):  # cluster submit sets its own master
