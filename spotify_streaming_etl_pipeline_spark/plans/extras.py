@@ -228,3 +228,55 @@ def star_join_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 1).alias("total_qty"),
     )
+
+
+@query(
+    "asof_click_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id AS click_id, round(value, 2) AS click_value
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           p.purchase_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(c.ts) AS click_ts_us,
+           c.click_id,
+           c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attach the most recent prior click to each purchase,
+    per user (operators/asof.py — one shuffle + window pass, no range
+    explosion). The oracle is DuckDB's native ASOF LEFT JOIN, so the
+    custom operator is hash-checked end to end. Timestamps compare at
+    exact microsecond precision on both engines (events nanos are
+    whole microseconds), emitted as epoch-micros BIGINT."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = asof_join(purchases, clicks, on=["user_id"])
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("asof_ts").alias("click_ts_us"),
+        "click_id",
+        "click_value",
+    )
