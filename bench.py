@@ -52,6 +52,7 @@ def main() -> None:
     warm2_dir = os.environ.get("SPARK_GRAFT_WARM2_SF_DIR", "/root/testdata/sf0.01")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         # Release the previous queries' shuffle files / broadcasts
         # BEFORE the warm passes: ContextCleaner only acts on a driver
@@ -61,34 +62,50 @@ def main() -> None:
         # recompilation (measured +8s on simhash_dedup). The warm
         # passes below re-populate the codegen cache post-GC.
         spark.sparkContext._jvm.System.gc()
-        # Compile pass (tiny sf, same codegen cache keys), then timed run.
-        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        # Per-query isolation: drop caches left by earlier queries (some
-        # operators persist intermediates consumed by the returned plan;
-        # letting them pile up across 48 queries measures storage-memory
-        # pressure, not the plans).
-        spark.catalog.clearCache()
-        if warm2_dir != sf_dir:
-            fn(spark, warm2_dir).write.format("noop").mode("overwrite").save()
+        # Per-query error isolation: one broken query must never take
+        # down the suite (round-2 postmortem — a single AnalysisException
+        # left the driver with zero recorded timings). Failures are
+        # reported in the JSON line; the exit code stays 0 unless
+        # EVERY query fails.
+        try:
+            # Compile pass (tiny sf, same codegen cache keys), then timed run.
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            # Per-query isolation: drop caches left by earlier queries (some
+            # operators persist intermediates consumed by the returned plan;
+            # letting them pile up across 48 queries measures storage-memory
+            # pressure, not the plans).
             spark.catalog.clearCache()
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
-        spark.catalog.clearCache()
+            if warm2_dir != sf_dir:
+                fn(spark, warm2_dir).write.format("noop").mode("overwrite").save()
+                spark.catalog.clearCache()
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            # Keep the exception type + first line of the message: the
+            # self-explanatory form the round-2 artifacts lacked.
+            first_line = str(exc).strip().splitlines()[0] if str(exc) else ""
+            errors[name] = f"{type(exc).__name__}: {first_line}"[:500]
+        finally:
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    result = {
+        "metric": "suite_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
+    if queries and not timings:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

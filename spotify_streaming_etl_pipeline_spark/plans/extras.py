@@ -272,11 +272,13 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )
     joined = asof_join(purchases, clicks, on=["user_id"])
+    # events.ts reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP.
+    # Session zone is pinned UTC (session.py) so the cast is exact.
     return joined.select(
         "user_id",
         "purchase_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
-        F.unix_micros("asof_ts").alias("click_ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("click_ts_us"),
         "click_id",
         "click_value",
     )

@@ -86,13 +86,21 @@ def session_windows(
     if "value" in df.columns:
         aggs.append(F.round(F.sum("value"), 2).alias("sum_value"))
         extra_cols.append("sum_value")
+    # unix_millis accepts only TIMESTAMP; the oracle tables' events.ts
+    # arrives as TIMESTAMP_NTZ (parquet nanos via the catalog shim).
+    # With the session zone pinned UTC (session.py) the cast is exact
+    # and a no-op on already-TZ inputs.
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
         .agg(*aggs)
         .select(
             F.col(key_col),
-            F.unix_millis("w.start").alias("session_start_ms"),
-            F.unix_millis("w.end").alias("session_end_ms"),
+            F.unix_millis(F.col("w.start").cast("timestamp")).alias(
+                "session_start_ms"
+            ),
+            F.unix_millis(F.col("w.end").cast("timestamp")).alias(
+                "session_end_ms"
+            ),
             "n_events",
             *extra_cols,
         )
