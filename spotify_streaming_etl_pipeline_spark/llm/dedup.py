@@ -107,24 +107,92 @@ def _posting(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
     ).dropDuplicates(["doc_id", "h1", "h2"])
 
 
+def cap_doc_freq(posting: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``
+    from the posting table — the skew guard for inverted-index joins.
+
+    A hot shingle ("the quick", boilerplate headers) appearing in D
+    docs contributes D² co-occurrence rows to a posting self-join; one
+    such key at corpus scale is a straggler that never finishes. The
+    cap removes stop-shingles from the similarity space entirely (both
+    the shared counts and the per-doc sizes), so Jaccard becomes
+    "Jaccard over informative shingles" — the standard stop-shingle
+    semantics, mirrored exactly by the DuckDB oracle
+    (plans/llm_queries.py:ngram_jaccard_capped).
+
+    Plan shape: the hot-key set (df > cap) is tiny by construction, so
+    it broadcasts and the filter is a broadcast anti-join — the full
+    posting is never shuffled to apply the cap; the df aggregation
+    itself is a map-side-combined count on 8-byte keys."""
+    hot = (
+        posting.groupBy("h1")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("h1")
+    )
+    return posting.join(F.broadcast(hot), "h1", "left_anti")
+
+
+def pair_jaccard(posting: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit (doc_a, doc_b) pair set,
+    computed as posting-table joins restricted to those pairs — rows of
+    16-byte hashes in the shuffle, never per-doc gram *arrays* (the
+    collect_list form degrades for book-length docs: one array per doc
+    rides every candidate join row).
+
+    Pairs with zero shared shingles drop out of the inner join; they
+    have Jaccard 0 and can never pass a positive threshold."""
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "h1")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "h1")
+    shared = (
+        pairs.join(pa, "doc_a")
+        .join(pb, ["doc_b", "h1"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     n: int = NGRAM_N,
     text_col: str = "text",
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, j >= t).
 
     Inverted-index plan: equi-join the posting table with itself on the
     shingle hash, count co-occurrences per pair, then
-    jaccard = shared / (|A| + |B| - shared). Exact recall: j >= t > 0
-    implies at least one shared shingle.
-    """
+    jaccard = shared / (|A| + |B| - shared). Exact recall over the
+    retained shingle space: j >= t > 0 implies at least one shared
+    shingle.
+
+    ``max_doc_freq`` (the skew guard, see ``cap_doc_freq``) bounds the
+    worst join key: co-occurrence work per shingle is at most cap²,
+    making total work O(Σ df_i²) with every term bounded — instead of
+    quadratic in the hottest key's document frequency. None disables
+    the cap (exact classic Jaccard)."""
     # The posting feeds three consumers (sizes + both join sides);
     # persist so tokenize/shingle/md5 runs once, not per consumer.
     # (~16 bytes/shingle — at lake scale this is a materialized
     # intermediate table, same idea.)
     posting = _posting(df, text_col, n).persist()
+    if max_doc_freq is not None:
+        posting = cap_doc_freq(posting, max_doc_freq)
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
     b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
@@ -236,22 +304,15 @@ def minhash_near_dup(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
     the production near-dup query. Pairwise verification touches ONLY
-    candidate pairs (the whole point of bucketing); gram-hash sets
-    come from the posting table via collect_list, not per-row HOF
-    hashing."""
+    candidate pairs (the whole point of bucketing), and runs as
+    posting-table joins restricted to those pairs (``pair_jaccard``) —
+    row-shaped 16-byte hashes in the shuffle, no per-doc gram arrays
+    (the earlier collect_list/array_intersect form put one array per
+    doc on every candidate row, degrading for book-length docs)."""
     posting = _posting(df, text_col, NGRAM_N).persist()
     cands = minhash_lsh_candidates(df, text_col=text_col, _posting_df=posting)
-    grams = posting.groupBy("doc_id").agg(F.collect_list("h1").alias("gh"))
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("gh").alias("gh_a"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("gh").alias("gh_b"))
-    inter = F.size(F.array_intersect("gh_a", "gh_b"))
-    union = F.size("gh_a") + F.size("gh_b") - inter
-    return (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 4))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return pair_jaccard(posting, cands).filter(
+        F.col("jaccard") >= threshold
     )
 
 

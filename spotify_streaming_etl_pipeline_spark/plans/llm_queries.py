@@ -131,7 +131,62 @@ def canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default cap (1000) cannot bite at gate scale (500 docs at
+    sf0.01 caps df at 500), so the uncapped oracle is exact here; the
+    cap path itself is oracle-proven by ngram_jaccard_capped."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+# Hash-keyed posting-table form of the capped Jaccard: df computed on
+# the same 48-bit md5-prefix key Spark uses, so hot-shingle membership
+# is bit-identical across engines even under (vanishing) collisions.
+_CAPPED_JACCARD = """
+posting AS (
+    SELECT doc_id, ('0x' || substring(md5(gram), 1, 12))::BIGINT AS h1
+    FROM (SELECT doc_id, unnest(ng) AS gram FROM g)
+),
+freq AS (SELECT h1, count(*) AS df FROM posting GROUP BY 1),
+capped AS (
+    SELECT p.doc_id, p.h1
+    FROM posting p JOIN freq f USING (h1) WHERE f.df <= {cap}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(count(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+cj AS (
+    SELECT s.doc_a, s.doc_b,
+           round(s.n_shared::DOUBLE / (sa.n + sb.n - s.n_shared), 4) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+)
+"""
+
+# Aggressive on purpose: at sf0.01 max shingle df is 7, so this cap
+# drops ~2.3k hot shingles and shifts the pair set (25 -> 22) — the
+# gate exercises the cap, it isn't a vacuous pass-through.
+_NG_CAP = 2
+
+
+@query(
+    "ngram_jaccard_capped",
+    f"""
+    WITH {_NG_CTE}, {_CAPPED_JACCARD.format(cap=_NG_CAP)}
+    SELECT doc_a, doc_b, jaccard FROM cj WHERE jaccard >= 0.8
+    """,
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingle document-frequency cap (llm/dedup.py:cap_doc_freq)
+    under oracle proof: Jaccard over shingles with df <= 2, mirrored
+    hash-for-hash by the DuckDB posting CTE. The cap is the skew guard
+    that keeps the inverted-index self-join bounded at corpus scale."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, max_doc_freq=_NG_CAP
+    )
 
 
 @query(

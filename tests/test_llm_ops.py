@@ -289,3 +289,40 @@ def test_vocab_stats_counts(spark):
     assert rows["a"]["doc_freq"] == 2 and rows["a"]["term_freq"] == 3
     assert rows["a"]["idf"] == 0.0  # appears in every doc
     assert rows["b"]["doc_freq"] == 1 and rows["c"]["term_freq"] == 1
+
+
+def test_doc_freq_cap_bounds_boilerplate_pairs(spark):
+    """Skew guard: a corpus where every doc shares one boilerplate
+    sentence is quadratic for the uncapped inverted-index join; the
+    df cap must remove those hot shingles so candidate-pair volume is
+    bounded (here: zero, since the unique content never co-occurs)."""
+    boiler = "this document is provided as is without any warranty"
+    rows = [
+        (i, f"{boiler} unique{i} content{i} words{i} here{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=None)
+    assert uncapped.count() == 40 * 39 // 2  # every pair co-occurs
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=5)
+    assert capped.count() == 0  # hot shingles gone; unique ones never shared
+    # A genuine near-dup cluster (df <= cap) still comes through intact.
+    rows.append((100, f"{boiler} unique7 content7 words7 here7 extra"))
+    df2 = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kept = dedup.ngram_jaccard_pairs(df2, threshold=0.5, max_doc_freq=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in kept} == {(7, 100)}
+
+
+def test_pair_jaccard_matches_set_arithmetic(spark, docs):
+    """pair_jaccard (posting-join verify) must equal the textbook
+    |A∩B| / |A∪B| on explicitly requested pairs, and drop zero-overlap
+    pairs (jaccard 0 can never pass a positive threshold)."""
+    posting = dedup._posting(docs, "text")
+    pairs = spark.createDataFrame(
+        [(0, 3), (0, 1), (0, 2)], "doc_a: long, doc_b: long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.pair_jaccard(posting, pairs).collect()}
+    assert got[(0, 3)] == 1.0  # exact dup
+    assert got[(0, 1)] == 0.75  # 7 trigrams each, 6 shared: 6/8
+    assert (0, 2) not in got  # disjoint shingles -> dropped

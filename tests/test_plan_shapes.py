@@ -80,6 +80,22 @@ def test_minhash_posting_is_cached_once(spark, sf_dir, queries):
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
 
 
+def test_minhash_verify_path_is_array_free(spark, sf_dir, queries):
+    """The exact-Jaccard verification of minhash_near_dup must run as
+    posting-table joins (row-shaped 16-byte hashes), never collect_list
+    gram arrays riding the candidate join (degrades for long docs)."""
+    plan = _plan(queries["minhash_near_dup"](spark, sf_dir))
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_doc_freq_cap_is_broadcast_anti_join(spark, sf_dir, queries):
+    """The df cap must apply as a broadcast anti-join on the tiny
+    hot-key set — never a full shuffle of the posting table."""
+    plan = _plan(queries["ngram_jaccard_capped"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_dedup_queries_have_no_cartesian(spark, sf_dir, queries):
     for name in ("ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_dedup",
                  "embedding_near_dup", "ann_topk_lsh"):
