@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from .plans import dims as dims_mod
 from .plans.facts import build_fact_podcasts, build_fact_tracks, write_fact
-from .sources.enrichment import fetch_in_batches
+from .sources.enrichment import enrich_partitions, fetch_in_batches
 from .sources.history import delta_filter, max_loaded_ts, read_history
 
 
@@ -73,6 +73,7 @@ def run(
     warehouse_dir: str,
     fetchers: dict[str, Callable[[list[str]], dict]] | None = None,
     write: bool = True,
+    enrich_collect_max: int = 10_000,
 ) -> RunResult:
     """Execute one incremental load. Returns the resulting dim/fact
     frames (also written under ``warehouse_dir`` when ``write``)."""
@@ -97,10 +98,21 @@ def run(
         fetch = fetchers.get(entity)
         if fetch is None:
             return None
-        # Driver-side collect is correct here: this is the NEW-entity
-        # set (history minus warehouse), dim-sized by construction —
-        # the reference materializes the same list (extractor.py:250).
-        # For a corpus-scale URI set use enrichment.enrich_partitions.
+        # Size-switch: the typical NEW-entity set (history minus
+        # warehouse) is dim-sized and a driver-side collect is correct
+        # (the reference materializes the same list, extractor.py:250).
+        # Past ``enrich_collect_max`` the batch loop moves into
+        # mapInPandas on executors, and only the (rare) dead letters
+        # ever reach the driver.
+        if uris.count() > enrich_collect_max:
+            enriched = enrich_partitions(uris, fetch, entity).persist()
+            out.dead_letters.extend(
+                (r["uri"], entity, r["status"])
+                for r in enriched.filter(F.col("status") != "ok").collect()
+            )
+            return enriched.filter(F.col("status") == "ok").select(
+                "uri", "raw_data"
+            )
         uri_list = sorted(r["uri"] for r in uris.collect())
         result = fetch_in_batches(uri_list, fetch, entity)
         out.dead_letters.extend(result.failures)

@@ -116,6 +116,24 @@ def test_pipeline_end_to_end_then_incremental_noop(spark, raw_dir, tmp_path):
     assert res2.dims["track"].count() == 2  # dims stable across reruns
 
 
+def test_pipeline_size_switch_distributed_enrichment(spark, raw_dir, tmp_path):
+    """enrich_collect_max=0 forces every URI set down the distributed
+    mapInPandas path; the warehouse must come out identical to the
+    driver-collect path (same dims, facts, zero dead letters)."""
+    wh_driver = str(tmp_path / "wh_driver")
+    wh_dist = str(tmp_path / "wh_dist")
+    res_driver = pipeline.run(spark, str(raw_dir), wh_driver, fetchers=_fake_fetchers())
+    res_dist = pipeline.run(
+        spark, str(raw_dir), wh_dist, fetchers=_fake_fetchers(), enrich_collect_max=0
+    )
+    assert res_dist.dead_letters == []
+    assert res_dist.n_fact_rows == res_driver.n_fact_rows
+    for entity in ("track", "artist", "episode", "podcast", "reason"):
+        d_rows = sorted(map(tuple, res_driver.dims[entity].collect()))
+        x_rows = sorted(map(tuple, res_dist.dims[entity].collect()))
+        assert x_rows == d_rows, f"dim_{entity} differs across enrichment paths"
+
+
 def test_streaming_ingest_one_microbatch(spark, raw_dir, tmp_path):
     wh = tmp_path / "stream_wh"
     dims = pipeline.run(
