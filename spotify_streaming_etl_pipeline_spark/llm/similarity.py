@@ -171,6 +171,72 @@ def ivf_topk(
     return _ranked(pairs, k)
 
 
+def ivf_topk_hashseed(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with deterministic hash-seeded mean centroids — the
+    oracle-provable form of ``ivf_topk``. Centroid c is the per-dim
+    mean of vectors with vec_id % n_centroids == c (rounded 4dp so
+    both engines agree bit-for-bit); every vector is assigned to its
+    nearest centroid; queries probe their n_probe nearest cells. The
+    learned-KMeans variant (``ivf_topk``) has better cell balance but
+    is not SQL-reproducible; the *join shape* — the thing that matters
+    at scale — is identical: assignment cost is linear in corpus ×
+    n_centroids (exploded-dims join against a broadcast centroid
+    table, all codegen), and pairwise scoring touches only probed
+    cells.
+
+    Rounding discipline: centroid components and cell distances round
+    to 4dp before any comparison, absorbing float sum-order drift
+    between engines; ties break on cell id."""
+    from pyspark.sql import Window
+
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    cents = (
+        dims.withColumn("cell", (F.col("vec_id") % n_centroids).cast("int"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+    )
+    d2 = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 4)
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked_cells = d2.withColumn("rn", F.row_number().over(w))
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked_cells.filter(
+            F.col("vec_id").isin(query_ids) & (F.col("rn") <= n_probe)
+        )
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    q_vecs = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb.select("vec_id", F.col(vec_col).alias("vec")), "vec_id")
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine")
+        )
+    )
+    return _ranked(pairs, k)
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.45,

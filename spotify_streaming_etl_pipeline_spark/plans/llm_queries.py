@@ -459,6 +459,67 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(_emb(spark, sf_dir), _QUERY_IDS, k=5)
 
 
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+@query(
+    "ann_topk_ivf",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    ),
+    cents AS (
+        SELECT (vec_id % {_IVF_CELLS}) AS cell, dim, round(avg(x), 4) AS c
+        FROM dims GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT d.vec_id, ct.cell,
+               round(sum((d.x - ct.c) * (d.x - ct.c)), 4) AS d2
+        FROM dims d JOIN cents ct ON d.dim = ct.dim
+        GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2
+    ),
+    assigned AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS q_id, cell FROM rc
+        WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= {_IVF_PROBE}
+    ),
+    pairs AS (
+        SELECT p.q_id, a.vec_id,
+               {_cos_sql('e.embedding', 'qe.embedding')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM pairs
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (hash-seeded deterministic centroids) under oracle
+    proof — same probe/assign join shape as the learned-KMeans
+    ivf_topk, which stays unit-gated (llm/similarity.py docstrings)."""
+    return similarity.ivf_topk_hashseed(
+        _emb(spark, sf_dir),
+        _QUERY_IDS,
+        k=5,
+        n_centroids=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+    )
+
+
 @query(
     "embedding_near_dup",
     f"""

@@ -339,6 +339,29 @@ def test_dedup_new_size_gate_paths_agree(spark):
         assert got == expected, f"broadcast_target={forced}"
 
 
+def test_dedup_new_never_broadcasts_fact_sized_target(spark):
+    """Plan-level proof of the size gate: a target whose Catalyst
+    estimate exceeds BROADCAST_TARGET_BYTES must NOT plan a broadcast
+    anti-join (driver OOM at 100 TB); a dim-sized target must. Uses
+    spark.range's exact 8-byte/row stats so no data materializes."""
+    from spotify_streaming_etl_pipeline_spark.operators import writer
+
+    incoming = spark.range(100).select(F.col("id").alias("k"))
+    # ~80 MB estimate > the 64 MB gate
+    big = spark.range(10_000_000).select(F.col("id").alias("k"))
+    small = spark.range(10).select(F.col("id").alias("k"))
+    assert writer._estimated_bytes(big) > writer.BROADCAST_TARGET_BYTES
+    assert writer._estimated_bytes(small) <= writer.BROADCAST_TARGET_BYTES
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    big_plan = plan(writer.dedup_new(incoming, ["k"], big))
+    assert "BroadcastHashJoin" not in big_plan
+    small_plan = plan(writer.dedup_new(incoming, ["k"], small))
+    assert "BroadcastHashJoin" in small_plan
+
+
 def test_estimated_bytes_sane(spark, tmp_path):
     from spotify_streaming_etl_pipeline_spark.operators.writer import (
         BROADCAST_TARGET_BYTES,
