@@ -715,3 +715,188 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("content_md5").cast("long").alias("n_distinct_blobs"),
         )
     )
+
+
+# --- layout: sequence packing / sharding -------------------------------------
+
+from ..llm import packing  # noqa: E402  (grouped with its query family)
+
+# Deterministic stream order + two-level prefix sum, mirrored with
+# explicit ROWS frames. h is the portable 48-bit hash of doc_id.
+_STREAM_SQL = """
+tq AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+               AS n_tokens,
+           ('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h
+    FROM documents
+),
+b AS (SELECT doc_id, n_tokens, h, h % 8 AS bucket FROM tq),
+cum AS (
+    SELECT doc_id, n_tokens, bucket,
+           sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_in_bucket
+    FROM b
+),
+bt AS (SELECT bucket, sum(n_tokens) AS tot FROM b GROUP BY 1),
+boff AS (
+    SELECT bucket,
+           (sum(tot) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot)
+               AS bucket_offset
+    FROM bt
+),
+pos AS (
+    SELECT c.doc_id, c.n_tokens,
+           (o.bucket_offset + c.cum_in_bucket - c.n_tokens)::BIGINT
+               AS start_offset
+    FROM cum c JOIN boff o USING (bucket)
+)
+"""
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH {_STREAM_SQL}
+    SELECT doc_id, n_tokens, start_offset,
+           (start_offset // 512)::BIGINT AS first_chunk,
+           ((start_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+               AS last_chunk
+    FROM pos
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing (llm/packing.py): each doc's
+    span of 512-token context windows in the deterministic global
+    token stream, via the scalable two-level prefix sum (no global
+    single-partition window)."""
+    return packing.pack_concat_chunks(_docs(spark, sf_dir), ctx_tokens=512)
+
+
+@query(
+    "shard_assignments",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT AS h
+        FROM documents
+    )
+    SELECT doc_id, (h % 16)::BIGINT AS shard,
+           cast(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-parallel loader layout: pseudorandom shard + deterministic
+    within-shard position (llm/packing.py:shard_assignments)."""
+    return packing.shard_assignments(_docs(spark, sf_dir), n_shards=16)
+
+
+@query(
+    "length_percentiles",
+    """
+    WITH t AS (
+        SELECT source,
+               len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+           round(quantile_cont(n_tokens, 0.99), 4) AS p99
+    FROM t GROUP BY source
+    """,
+)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution (exact interpolated
+    percentiles — the curation dashboard's length histogram). Scale
+    path: swap F.percentile for approx_percentile (t-digest sketch,
+    mergeable map-side) with the same output shape."""
+    d = _docs(spark, sf_dir)
+    tok = token_count_ws(F.col("text"))
+    return d.select("source", tok.alias("n_tokens")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("n_tokens", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "cluster_keepers",
+    f"""
+    WITH RECURSIVE {_NG_CTE.lstrip()}, {_JACCARD_PAIRS},
+    p AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard >= 0.8),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+    reach AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v AS u, r.lbl FROM reach r JOIN e ON e.u = r.u
+    ),
+    cl AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+    t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x != '') AS w,
+               length(text) AS nc
+        FROM documents
+    ),
+    qs AS (
+        SELECT doc_id,
+               round(least(len(w) / 64.0, 1.0) * 0.5
+                 + (1 - coalesce(round((nc - length(regexp_replace(text,
+                       '[^a-z ]', '', 'g'))) / nullif(nc, 0), 3), 0.0)) * 0.3
+                 + least(coalesce(round(len(list_filter(w, x ->
+                       list_contains({_sql_list(STOPWORDS)}, x)))
+                       / nullif(len(w), 0), 3), 0.0) * 4, 1.0) * 0.2,
+                 3) AS q
+        FROM t
+    ),
+    ranked AS (
+        SELECT cl.cluster_id, cl.doc_id, qs.q,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                   ORDER BY qs.q DESC, cl.doc_id) AS rn,
+               count(*) OVER (PARTITION BY cl.cluster_id) AS n_docs
+        FROM cl JOIN qs USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id, q AS keeper_score,
+           cast(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper selection: near-dup clusters keep
+    their highest-quality member (not min doc_id) — the form a real
+    curation pipeline uses. Composition: pair detection -> connected
+    components -> join quality scores -> per-cluster argmax."""
+    from pyspark.sql import Window
+
+    from ..llm.text import quality_metrics
+
+    d = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    clusters = dedup.dup_clusters(pairs)
+    scored = d.select(
+        "doc_id", quality_metrics(F.col("text"))["quality_score"].alias("q")
+    )
+    joined = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("q").alias("keeper_score"),
+            "n_docs",
+        )
+    )
