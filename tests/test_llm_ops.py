@@ -279,6 +279,23 @@ def test_dup_clusters_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_dup_clusters_paths_agree(spark):
+    """The driver union-find (small-edge-set path) and the distributed
+    min-label propagation loop must produce identical components."""
+    from spotify_streaming_etl_pipeline_spark.llm.dedup import dup_clusters
+
+    # chain, triangle-with-tail, singleton pair, and a cross-merge
+    edges = [(1, 2), (2, 3), (3, 4), (7, 8), (8, 9), (7, 9), (9, 20),
+             (30, 31), (5, 40), (40, 2)]
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    local = {(r["doc_id"], r["cluster_id"])
+             for r in dup_clusters(pairs, distributed=False).collect()}
+    dist = {(r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(pairs, distributed=True).collect()}
+    assert local == dist
+    assert {(1, 1), (4, 1), (40, 1), (20, 7), (31, 30)} <= local
+
+
 def test_vocab_stats_counts(spark):
     from spotify_streaming_etl_pipeline_spark.llm.text import vocab_stats
 
