@@ -282,3 +282,64 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_value",
     )
+
+
+# --- skew mitigation under the oracle gate -----------------------------------
+
+
+@query(
+    "skewed_agg_salted",
+    """
+    SELECT event_type,
+           cast(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def skewed_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py:salted_agg)
+    hash-checked against the plain GROUP BY it must equal: the hot
+    key's rows spread over n_salts reducers in phase one, the merge
+    phase sums the partials. The oracle proves the decomposition is
+    exact, not approximately right."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"], sums=["value"], count_alias="n_events"
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+    )
+
+
+@query(
+    "skewed_join_salted",
+    """
+    SELECT p_brand,
+           cast(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_quantity), 1) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicate-join (operators/skew.py:salted_join): the big
+    side's hot key fans out over n_salts tasks, the small side is
+    replicated once per salt. Result must equal the plain equi-join —
+    proven by the grouped rollup hash."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "partkey"
+    )
+    p = load_table(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "partkey"
+    )
+    joined = salted_join(li, p.select("partkey", "p_brand"), ["partkey"])
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 1).alias("total_qty"),
+    )
