@@ -343,3 +343,65 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 1).alias("total_qty"),
     )
+
+
+# --- OLAP shapes: rollup & pivot ---------------------------------------------
+
+
+@query(
+    "rollup_agg",
+    """
+    SELECT cast(year(o_orderdate) AS BIGINT) AS year,
+           cast(month(o_orderdate) AS BIGINT) AS month_num,
+           cast(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 1) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass: year/month, per-year, and
+    grand total via `rollup` (Spark plans a single Expand + one
+    shuffle — three grouping sets never rescan the fact)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month_num"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 1).alias("total_price"),
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "event_type_pivot",
+    f"""
+    SELECT strftime(ts::DATE, '%Y-%m-%d') AS day,
+           {", ".join(
+               f"cast(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+               f" AS {t}_events" for t in _EVENT_TYPES
+           )}
+    FROM events GROUP BY 1
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily activity matrix via `pivot` with an explicit value
+    list (no extra distinct-values job; one shuffle on the group key —
+    the pivot columns are conditional aggregates, map-side combined)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = [F.col("day")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_events")
+        for t in _EVENT_TYPES
+    ]
+    return out.select(*renames)
