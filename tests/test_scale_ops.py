@@ -102,3 +102,44 @@ def test_distributed_surrogate_empty_input(spark):
 
     df = spark.createDataFrame([], "nk: string")
     assert with_surrogate_key_distributed(df, "sk", ["nk"]).count() == 0
+
+
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction must shrink the file count to the size-derived target
+    and keep every row byte-for-byte (checked via a full sort-compare)."""
+    from spotify_streaming_etl_pipeline_spark.operators.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    path = str(tmp_path / "frag")
+    # 20 separate appends -> >= 20 small files
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    before_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    n_before, _ = parquet_file_stats(path)
+    assert n_before >= 20
+
+    n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_after == 1  # tiny table -> single target file
+    after_rows = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after_rows == before_rows == list(range(200))
+
+    # Already-compact dirs are left untouched (no rewrite churn).
+    assert compact_parquet(spark, path, target_file_bytes=1 << 30) == 1
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented 100 TB swap for exact percentiles
+    (length_percentiles, quality_cutoff) must stay within sketch
+    tolerance of the exact values on a realistic distribution."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 997).cast("double").alias("x")
+    )
+    row = df.agg(
+        F.percentile("x", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("x", F.lit(0.5), F.lit(10_000)).alias("approx"),
+    ).collect()[0]
+    assert abs(row["exact"] - row["approx"]) <= 5  # accuracy=10k -> tight
