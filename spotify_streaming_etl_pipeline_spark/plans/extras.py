@@ -391,17 +391,20 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     """,
 )
 def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide daily activity matrix via `pivot` with an explicit value
-    list (no extra distinct-values job; one shuffle on the group key —
-    the pivot columns are conditional aggregates, map-side combined)."""
+    """Wide daily activity matrix as conditional aggregates: ONE
+    shuffle on the group key, columns map-side combined. (The
+    `.pivot(col, values)` API plans a second aggregate+Exchange pair
+    — groupBy(day, type) then pivotfirst — even with the value list
+    given; for a fixed known list the conditional form is strictly
+    better, and the plan pin enforces the single Exchange.)"""
     ev = load_table(spark, sf_dir, "events")
-    out = (
-        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
-        .pivot("event_type", _EVENT_TYPES)
-        .agg(F.count(F.lit(1)))
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1)))
+            .cast("long")
+            .alias(f"{t}_events")
+            for t in _EVENT_TYPES
+        ]
     )
-    renames = [F.col("day")] + [
-        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"{t}_events")
-        for t in _EVENT_TYPES
-    ]
-    return out.select(*renames)

@@ -113,3 +113,28 @@ def test_docs_scan_fans_out(spark, sf_dir, queries):
         df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
         or df.rdd.getNumPartitions() >= 8
     )
+
+
+def test_sequence_packing_avoids_global_data_window(spark, sf_dir, queries):
+    """The corpus-wide prefix sum must run as per-bucket windows
+    (hash-partitioned on bucket); the only single-partition stage
+    allowed is the n_buckets-row bucket-offset window."""
+    plan = _plan(queries["sequence_packing"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_rollup_is_single_expand_single_shuffle(spark, sf_dir, queries):
+    """All three grouping sets (year+month, year, grand total) must
+    come from ONE Expand over one scan — never a rescan per level."""
+    plan = _plan(queries["rollup_agg"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_pivot_has_no_distinct_values_job(spark, sf_dir, queries):
+    """pivot with an explicit value list is one shuffle of conditional
+    aggregates; a values-discovery pass would show a second aggregate
+    over event_type alone."""
+    plan = _plan(queries["event_type_pivot"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
