@@ -246,7 +246,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     df: DataFrame,
     k: int = MINHASH_K,
     rows_per_band: int = LSH_ROWS,
@@ -254,16 +254,14 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
-
-    Plan: signature aggregation -> explode b band keys -> self
-    equi-join on (band, key) -> distinct pairs. The band join carries
-    (doc_id, band, key-string) — independent of document size.
-    Deterministic given the portable hash.
-    """
+    """(doc_id, band, key): the LSH band index — b rows per doc, key =
+    the band's signature slice. This IS the materialized dedup index
+    of a production corpus: persist/write it once, then any new batch
+    joins against it (``minhash_incremental``) without touching the
+    corpus text again."""
     sig = minhash_signatures(df, k, n, text_col, _posting_df=_posting_df)
     n_bands = k // rows_per_band
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -283,6 +281,26 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = MINHASH_K,
+    rows_per_band: int = LSH_ROWS,
+    n: int = NGRAM_N,
+    text_col: str = "text",
+    _posting_df: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    Plan: signature aggregation -> explode b band keys -> self
+    equi-join on (band, key) -> distinct pairs. The band join carries
+    (doc_id, band, key-string) — independent of document size.
+    Deterministic given the portable hash.
+    """
+    bands = minhash_band_table(
+        df, k, rows_per_band, n, text_col, _posting_df=_posting_df
+    )
     # Both join sides derive from the same band table; without persist
     # the whole tokenize->hash->signature pipeline runs twice (verified
     # in the physical plan — the self-join breaks exchange reuse).
@@ -314,6 +332,44 @@ def minhash_near_dup(
     return pair_jaccard(posting, cands).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup: which NEW documents duplicate the existing
+    corpus — the admission check a growing training set runs per batch.
+    (doc_a = corpus id, doc_b = new id, jaccard >= threshold.)
+
+    The batch's band table joins the corpus band index directly; there
+    is NO corpus self-join, so per-batch cost scales with batch size ×
+    bucket collision rate, not corpus². In production the corpus band
+    index and posting table are materialized once (they are plain
+    DataFrames — write them as tables) and only the batch side is
+    computed fresh; corpus-internal duplicates are intentionally not
+    re-reported."""
+    corpus_posting = _posting(corpus, text_col, NGRAM_N).persist()
+    new_posting = _posting(new_docs, text_col, NGRAM_N).persist()
+    corpus_bands = minhash_band_table(
+        corpus, text_col=text_col, _posting_df=corpus_posting
+    )
+    new_bands = minhash_band_table(
+        new_docs, text_col=text_col, _posting_df=new_posting
+    )
+    cands = (
+        corpus_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+        .join(
+            new_bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    posting = corpus_posting.unionByName(new_posting)
+    return pair_jaccard(posting, cands).filter(F.col("jaccard") >= threshold)
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -231,3 +231,55 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "term_freq",
         F.round(F.log(F.col("n") / F.col("doc_freq")), 4).alias("idf"),
     )
+
+
+def bigram_pmi_table(
+    df: DataFrame, text_col: str = "text", min_count: int = 10
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi): adjacent-bigram pointwise mutual
+    information — the collocation table behind tokenizer-merge seeding
+    and phrase mining. pmi = ln( p(w1,w2) / (p(w1) p(w2)) ) with
+    bigram and unigram probabilities over their own totals.
+
+    Plan: one posexplode + per-doc lead window builds the bigram
+    stream (same shape as the shingle posting: partitioned by doc, no
+    corpus-wide sort); counts are map-side-combined groupBys keyed on
+    words; the two scalar totals ride in as a broadcast single row.
+    Shuffle volume is vocabulary-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = words.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    uc = words.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("n_w"))
+    totals = (
+        bc.agg(F.sum("n_pair").cast("double").alias("n_bi"))
+        .crossJoin(uc.agg(F.sum("n_w").alias("n_uni")))
+    )
+    ua = uc.select(F.col("w1"), F.col("n_w").alias("n_a"))
+    ub = uc.select(F.col("w1").alias("w2"), F.col("n_w").alias("n_b"))
+    return (
+        bc.filter(F.col("n_pair") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_bi"))
+                    / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -900,3 +900,74 @@ def cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+@query(
+    "incremental_near_dup",
+    f"""
+    WITH {_NG_CTE}, {_MINHASH_BANDS},
+    ic AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+    ),
+    iv AS (
+        SELECT ic.doc_a, ic.doc_b,
+               round(len(list_intersect(a.ng, b.ng))::DOUBLE
+                     / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))),
+                     4) AS jaccard
+        FROM ic JOIN g a ON a.doc_id = ic.doc_a
+                JOIN g b ON b.doc_id = ic.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM iv WHERE jaccard >= 0.8
+    """,
+)
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup admission check (llm/dedup.py:
+    minhash_incremental): the 'new batch' (doc_id % 5 == 0) joins the
+    corpus band index; no corpus self-join ever runs. The oracle
+    mirrors the split, the band join, and the exact-Jaccard verify."""
+    d = _docs(spark, sf_dir)
+    new_batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_incremental(new_batch, corpus, threshold=0.8)
+
+
+@query(
+    "bigram_pmi",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    uni AS (SELECT unnest(w) AS word FROM toks),
+    uc AS (SELECT word, count(*)::DOUBLE AS n FROM uni GROUP BY 1),
+    bl AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s
+        FROM toks
+    ),
+    bc AS (
+        SELECT s.w1 AS w1, s.w2 AS w2, count(*)::BIGINT AS n_pair
+        FROM bl GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT (SELECT sum(n_pair)::DOUBLE FROM bc) AS n_bi,
+               (SELECT sum(n) FROM uc) AS n_uni
+    )
+    SELECT bc.w1, bc.w2, bc.n_pair,
+           round(ln((bc.n_pair / tot.n_bi)
+                    / ((a.n / tot.n_uni) * (b.n / tot.n_uni))), 4) AS pmi
+    FROM bc JOIN uc a ON a.word = bc.w1
+            JOIN uc b ON b.word = bc.w2
+            CROSS JOIN tot
+    WHERE bc.n_pair >= 10
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation/PMI table (llm/text.py:bigram_pmi_table) — the
+    phrase-mining and tokenizer-merge-seeding statistic, mirrored
+    operand-for-operand so the rounded doubles hash-match."""
+    from ..llm.text import bigram_pmi_table
+
+    return bigram_pmi_table(_docs(spark, sf_dir), min_count=10)

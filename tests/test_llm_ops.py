@@ -343,3 +343,29 @@ def test_pair_jaccard_matches_set_arithmetic(spark, docs):
     assert got[(0, 3)] == 1.0  # exact dup
     assert got[(0, 1)] == 0.75  # 7 trigrams each, 6 shared: 6/8
     assert (0, 2) not in got  # disjoint shingles -> dropped
+
+
+def test_minhash_incremental_reports_cross_pairs_only(spark):
+    """Batch-vs-corpus dedup must report (corpus, new) duplicates and
+    stay silent on corpus-internal and batch-internal duplicates."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # corpus-internal dup
+            (3, "completely different content lives here now"),
+        ],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dups corpus 1,2
+            (11, "unrelated brand new document text entirely"),
+            (12, "unrelated brand new document text entirely"),  # batch-internal dup
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_incremental(new, corpus, threshold=0.9).collect()
+    }
+    assert got == {(1, 10), (2, 10)}
