@@ -339,6 +339,8 @@ def minhash_incremental(
     corpus: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
+    _corpus_posting_df: DataFrame | None = None,
+    _new_posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents duplicate the existing
     corpus — the admission check a growing training set runs per batch.
@@ -350,9 +352,19 @@ def minhash_incremental(
     index and posting table are materialized once (they are plain
     DataFrames — write them as tables) and only the batch side is
     computed fresh; corpus-internal duplicates are intentionally not
-    re-reported."""
-    corpus_posting = _posting(corpus, text_col, NGRAM_N).persist()
-    new_posting = _posting(new_docs, text_col, NGRAM_N).persist()
+    re-reported. Callers that already hold posting tables (or can split
+    one shared build, as the registered query does) pass them via the
+    underscore params and skip the tokenize/shingle work here."""
+    corpus_posting = (
+        _corpus_posting_df
+        if _corpus_posting_df is not None
+        else _posting(corpus, text_col, NGRAM_N).persist()
+    )
+    new_posting = (
+        _new_posting_df
+        if _new_posting_df is not None
+        else _posting(new_docs, text_col, NGRAM_N).persist()
+    )
     corpus_bands = minhash_band_table(
         corpus, text_col=text_col, _posting_df=corpus_posting
     )

@@ -930,7 +930,17 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     new_batch = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
-    return dedup.minhash_incremental(new_batch, corpus, threshold=0.8)
+    # Both splits come from one table here, so tokenize/shingle ONCE
+    # and split the posting by the same predicate (posting carries
+    # doc_id) — halves the heavy stage vs two independent builds.
+    posting = dedup._posting(d, "text").persist()
+    return dedup.minhash_incremental(
+        new_batch,
+        corpus,
+        threshold=0.8,
+        _corpus_posting_df=posting.filter(F.col("doc_id") % 5 != 0),
+        _new_posting_df=posting.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 @query(
