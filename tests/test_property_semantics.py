@@ -172,3 +172,71 @@ def test_portable_hash48_matches_python_md5(spark, strings):
     got = [r["h"] for r in df.select(portable_hash48(F.col("s")).alias("h")).collect()]
     want = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in strings]
     assert got == want
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon",
+                         "zeta", "eta", "theta"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@PROPS
+@given(st.lists(_doc, min_size=1, max_size=30))
+def test_packing_stream_is_gapless_partition(spark, texts):
+    """Concat-and-chunk invariant: doc spans tile [0, total_tokens)
+    exactly — no gaps, no overlaps, in any hash order — and chunk ids
+    match floor(offset / ctx)."""
+    from spotify_streaming_etl_pipeline_spark.llm.packing import pack_concat_chunks
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = pack_concat_chunks(df, ctx_tokens=7).collect()
+    spans = sorted((r["start_offset"], r["n_tokens"]) for r in out)
+    cursor = 0
+    for start, n in spans:
+        assert start == cursor
+        cursor += n
+    assert cursor == sum(len(t.split()) for t in texts if t)
+    for r in out:
+        assert r["first_chunk"] == r["start_offset"] // 7
+        end = r["start_offset"] + max(r["n_tokens"], 1) - 1
+        assert r["last_chunk"] == end // 7
+
+
+@PROPS
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=60, unique=True))
+def test_shard_positions_are_dense_ranks(spark, ids):
+    """Every shard's positions must be exactly 1..len(shard): dense,
+    gapless, collision-free — the loader contract."""
+    from collections import Counter
+
+    from spotify_streaming_etl_pipeline_spark.llm.packing import shard_assignments
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id: long")
+    out = shard_assignments(df, n_shards=4).collect()
+    assert len(out) == len(ids)
+    by_shard = Counter(r["shard"] for r in out)
+    pos = {}
+    for r in out:
+        pos.setdefault(r["shard"], []).append(r["pos"])
+    for shard, n in by_shard.items():
+        assert sorted(pos[shard]) == list(range(1, n + 1))
+
+
+@PROPS
+@given(st.lists(_doc.filter(lambda t: len(t.split()) >= 3),
+                min_size=1, max_size=25),
+       st.integers(min_value=1, max_value=5))
+def test_cap_doc_freq_bounds_posting_df(spark, texts, cap):
+    """After cap_doc_freq, no shingle's document frequency exceeds the
+    cap — the invariant that bounds the self-join's hottest key."""
+    from spotify_streaming_etl_pipeline_spark.llm.dedup import _posting, cap_doc_freq
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = cap_doc_freq(_posting(df, "text"), cap)
+    max_df = (
+        capped.groupBy("h1").agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df")).collect()[0][0]
+    )
+    assert max_df is None or max_df <= cap
