@@ -283,3 +283,53 @@ def bigram_pmi_table(
             ).alias("pmi"),
         )
     )
+
+
+def vocab_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, id): dense corpus vocabulary ids, rank-ordered by
+    (term_freq DESC, token) so frequent tokens get small ids — the
+    deterministic assignment a tokenizer build emits. The ranking
+    window is global but runs over the VOCABULARY (bounded: ~1M rows
+    for a web corpus), not the corpus; at larger vocab sizes the same
+    two-level rank trick as llm/packing.py applies."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    vc = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return vc.select(
+        "token", F.row_number().over(w).cast("long").alias("id")
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, ids): each document as its token-id sequence (comma
+    string — the portable render of an id array) — the encode step
+    between curation and packing. Plan: posexplode positions -> one
+    broadcast join against the vocab (dim-sized by definition) ->
+    per-doc reassembly via sort_array over (pos, id) structs, which is
+    deterministic where a bare collect_list order is not."""
+    vocab = vocab if vocab is not None else vocab_ids(df, text_col)
+    pe = df.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "token")
+    )
+    joined = pe.join(F.broadcast(vocab), "token")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("pos", "id")).alias("_pi"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.col("_pi")), lambda x: x["id"].cast("string")
+                ),
+                ",",
+            ).alias("ids"),
+        )
+    )

@@ -981,3 +981,37 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.text import bigram_pmi_table
 
     return bigram_pmi_table(_docs(spark, sf_dir), min_count=10)
+
+
+@query(
+    "token_encoding",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    tok AS (SELECT unnest(w) AS token FROM toks),
+    vc AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+    vid AS (
+        SELECT token,
+               cast(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS id
+        FROM vc
+    ),
+    pe AS (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM toks
+    ),
+    pt AS (SELECT doc_id, pos, w[pos] AS token FROM pe)
+    SELECT p.doc_id,
+           array_to_string(list(v.id ORDER BY p.pos), ',') AS ids
+    FROM pt p JOIN vid v USING (token)
+    GROUP BY p.doc_id
+    """,
+)
+def token_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenizer encode (llm/text.py:vocab_ids +
+    encode_with_vocab): frequency-ranked vocabulary ids, documents
+    re-emitted as id sequences. The encode join broadcasts the vocab;
+    sequence order is pinned by (pos, id) sort, not collect order."""
+    from ..llm.text import encode_with_vocab
+
+    return encode_with_vocab(_docs(spark, sf_dir))

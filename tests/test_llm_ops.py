@@ -369,3 +369,25 @@ def test_minhash_incremental_reports_cross_pairs_only(spark):
         for r in dedup.minhash_incremental(new, corpus, threshold=0.9).collect()
     }
     assert got == {(1, 10), (2, 10)}
+
+
+def test_vocab_encode_roundtrip(spark):
+    """Frequency-ranked vocab ids and deterministic sequence encode:
+    most frequent token gets id 1; documents decode back exactly."""
+    from spotify_streaming_etl_pipeline_spark.llm.text import (
+        encode_with_vocab,
+        vocab_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "b a b c b a"), (1, "a c")], "doc_id: long, text: string"
+    )
+    vocab = {r["token"]: r["id"] for r in vocab_ids(df).collect()}
+    # a and b tie at tf 3 -> token order breaks the tie; c trails at tf 2
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+    ids = {r["doc_id"]: r["ids"] for r in encode_with_vocab(df).collect()}
+    inv = {v: k for k, v in vocab.items()}
+    decoded0 = " ".join(inv[int(i)] for i in ids[0].split(","))
+    assert decoded0 == "b a b c b a"
+    decoded1 = " ".join(inv[int(i)] for i in ids[1].split(","))
+    assert decoded1 == "a c"
