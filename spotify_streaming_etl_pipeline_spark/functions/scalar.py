@@ -91,3 +91,26 @@ def normalize_release_date(rd: Column, precision: Column) -> Column:
         .otherwise(rd)
     )
     return F.to_date(normalized, "yyyy-MM-dd")
+
+
+_NTZ_EPOCH = "1970-01-01 00:00:00"
+
+
+def epoch_of(dtype, c: Column, unit: str) -> Column:
+    """Session-timezone-PROOF epoch extraction ('MILLISECOND' |
+    'MICROSECOND') that dispatches on the column's bound type.
+
+    ``unix_millis/unix_micros`` only accept TIMESTAMP, and casting
+    TIMESTAMP_NTZ to TIMESTAMP interprets the wall time in the SESSION
+    zone — correct under this package's UTC-pinned sessions but silently
+    shifted on a caller's non-UTC session (the driver runs queries on
+    ITS session, not ours). For NTZ inputs we therefore use pure
+    wall-clock arithmetic against the NTZ epoch — no zone anywhere in
+    the expression; TZ inputs keep the native unix_* functions."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(dtype, TimestampNTZType):
+        return F.timestamp_diff(
+            unit, F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), c
+        )
+    return F.unix_millis(c) if unit == "MILLISECOND" else F.unix_micros(c)

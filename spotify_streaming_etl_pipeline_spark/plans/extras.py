@@ -272,13 +272,17 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("event_id").alias("purchase_id"), "ts"
     )
     joined = asof_join(purchases, clicks, on=["user_id"])
-    # events.ts reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP.
-    # Session zone is pinned UTC (session.py) so the cast is exact.
+    # events.ts reads as TIMESTAMP_NTZ; epoch_of emits wall-clock
+    # epochs without touching the session timezone (the driver's
+    # session is not ours to pin).
+    from ..functions.scalar import epoch_of
+
+    ts_type = joined.schema["ts"].dataType
     return joined.select(
         "user_id",
         "purchase_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
-        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("click_ts_us"),
+        epoch_of(ts_type, F.col("ts"), "MICROSECOND").alias("purchase_ts_us"),
+        epoch_of(ts_type, F.col("asof_ts"), "MICROSECOND").alias("click_ts_us"),
         "click_id",
         "click_value",
     )

@@ -86,19 +86,22 @@ def session_windows(
     if "value" in df.columns:
         aggs.append(F.round(F.sum("value"), 2).alias("sum_value"))
         extra_cols.append("sum_value")
-    # unix_millis accepts only TIMESTAMP; the oracle tables' events.ts
-    # arrives as TIMESTAMP_NTZ (parquet nanos via the catalog shim).
-    # With the session zone pinned UTC (session.py) the cast is exact
-    # and a no-op on already-TZ inputs.
+    # events.ts arrives as TIMESTAMP_NTZ (parquet nanos via the catalog
+    # shim) on the oracle tables and as TIMESTAMP in streaming ingest;
+    # epoch_of dispatches on the bound type and stays correct on ANY
+    # session timezone (the driver runs this on its own session).
+    from ..functions.scalar import epoch_of
+
+    ts_type = df.schema[ts_col].dataType
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
         .agg(*aggs)
         .select(
             F.col(key_col),
-            F.unix_millis(F.col("w.start").cast("timestamp")).alias(
+            epoch_of(ts_type, F.col("w.start"), "MILLISECOND").alias(
                 "session_start_ms"
             ),
-            F.unix_millis(F.col("w.end").cast("timestamp")).alias(
+            epoch_of(ts_type, F.col("w.end"), "MILLISECOND").alias(
                 "session_end_ms"
             ),
             "n_events",

@@ -156,3 +156,19 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
     assert len(out) == 3  # one row per distinct key
     assert by_key["spotify:track:2"] == 222  # first-seen wins (file a)
     assert set(by_key) == {"spotify:track:1", "spotify:track:2", "spotify:track:3"}
+
+
+def test_epoch_queries_are_session_timezone_proof(spark, sf_dir):
+    """The driver runs queries on ITS session, not ours — epoch
+    emission from TIMESTAMP_NTZ must not read the session timezone.
+    Same SparkContext, second session with a hostile zone: results
+    must be identical to the UTC session's."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    for name in ("user_sessions", "asof_click_attribution"):
+        utc_rows = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
+        est_rows = sorted(map(tuple, qs[name](s2, sf_dir).collect()))
+        assert est_rows == utc_rows, f"{name} shifts with session timezone"
