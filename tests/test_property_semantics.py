@@ -240,3 +240,37 @@ def test_cap_doc_freq_bounds_posting_df(spark, texts, cap):
         .agg(F.max("df")).collect()[0][0]
     )
     assert max_df is None or max_df <= cap
+
+
+@PROPS
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+             min_size=0, max_size=25),
+)
+def test_asof_join_matches_brute_force(spark, lefts, rights):
+    """asof_join (tagged-union + window carry) vs the quadratic
+    reference model: for every left row, the right row with the
+    greatest ts <= left ts on the same key (inclusive), else nulls."""
+    from spotify_streaming_etl_pipeline_spark.operators.asof import asof_join
+
+    # de-dup right per (key, ts): operator contract requires uniqueness
+    rights = list({(k, t): (k, t) for k, t in rights}.values())
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        "k: long, ts: long, lid: long",
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(rights)],
+        "k: long, ts: long, rid: long",
+    ) if rights else spark.createDataFrame([], "k: long, ts: long, rid: long")
+    got = {
+        r["lid"]: (r["asof_ts"], r["rid"])
+        for r in asof_join(ldf, rdf, on=["k"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, 100 + j) for j, (rk, rt) in enumerate(rights)
+                 if rk == k and rt <= t]
+        expect = max(cands) if cands else (None, None)
+        assert got[i] == expect, f"left {i} (k={k}, ts={t})"
