@@ -202,3 +202,49 @@ def test_cli_main_runs_pipeline(spark, raw_dir, tmp_path, capsys):
     # dim_reason is derivable without enrichment and must be written
     reasons = spark.read.parquet(str(tmp_path / "wh_cli" / "dim_reason"))
     assert reasons.count() >= 2
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """The bounded-state claim of §2.9, exercised: after batch 1 the
+    watermark (max event time - 2h) persists in the checkpoint; a
+    restart feeding an event OLDER than the watermark must drop it,
+    while an in-window event still updates its aggregate."""
+    from spotify_streaming_etl_pipeline_spark.streaming.ingest import (
+        hourly_platform_counts,
+        read_history_stream,
+    )
+
+    raw = tmp_path / "wm_raw"
+    raw.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+    batches = []
+
+    def run_once():
+        stream = read_history_stream(spark, str(raw))
+        q = (
+            hourly_platform_counts(stream, watermark="2 hours")
+            .writeStream.foreachBatch(
+                lambda df, bid: batches.append(
+                    [(r["start"].isoformat(), r["n_plays"]) for r in df.collect()]
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_export(raw / "a.json", [history_row(ts="2021-01-01T10:00:00Z")])
+    run_once()
+    _write_export(
+        raw / "b.json",
+        [
+            history_row(ts="2021-01-01T05:00:00Z"),  # < watermark (08:00): drop
+            history_row(ts="2021-01-01T10:30:00Z"),  # same 10:00 window: update
+        ],
+    )
+    run_once()
+    flat = [w for b in batches for w in b]
+    assert not any(s.startswith("2021-01-01T05") for s, _ in flat), flat
+    assert ("2021-01-01T10:00:00", 2) in flat, flat
