@@ -143,3 +143,31 @@ def test_approx_percentile_tracks_exact(spark):
         F.percentile_approx("x", F.lit(0.5), F.lit(10_000)).alias("approx"),
     ).collect()[0]
     assert abs(row["exact"] - row["approx"]) <= 5  # accuracy=10k -> tight
+
+
+def test_compact_leaf_partition_preserves_partition_column(spark, tmp_path):
+    """Compaction is documented per-partition-directory: data files in
+    a leaf dir (year=...) do NOT contain the partition column, and the
+    rewrite must keep it that way so the outer partitioned read still
+    infers it from the directory name."""
+    from spotify_streaming_etl_pipeline_spark.operators.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    root = str(tmp_path / "part_table")
+    for i in range(6):  # several appends -> several files per partition
+        spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id", "2020 + cast(id % 2 AS INT) AS year"
+        ).write.partitionBy("year").mode("append").parquet(root)
+    before = sorted(
+        (r["id"], r["year"]) for r in spark.read.parquet(root).collect()
+    )
+    leaf = f"{root}/year=2020"
+    assert parquet_file_stats(leaf)[0] >= 6
+    n_after = compact_parquet(spark, leaf, target_file_bytes=1 << 30)
+    assert n_after == 1
+    after = sorted(
+        (r["id"], r["year"]) for r in spark.read.parquet(root).collect()
+    )
+    assert after == before  # year column and every row intact
