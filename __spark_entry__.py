@@ -4,11 +4,21 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The driver caps each run at ~50 query pairs and walks the dict in
+insertion order, so ordering here controls which pairs get a
+correctness row each round.  ``_verification_order`` sorts the
+registry by driver-verification history (never-green first, then
+stalest-green ascending) so that every declared pair cycles through
+the cap within two rounds without manual curation — see COVERAGE.md.
 """
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -19,6 +29,42 @@ def entry(spark: SparkSession) -> DataFrame:
     from spotify_streaming_etl_pipeline_spark.plans import analytics
 
     return analytics.star_join(spark, "/root/testdata/sf0.001")
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS_r{N}.json has all three
+    match flags true.  Missing/empty files degrade to {} (registration
+    order then wins)."""
+    out: dict[str, int] = {}
+    here = Path(__file__).resolve().parent
+    for path in sorted(here.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def _verification_order(d: dict) -> dict:
+    """Reorder so never-driver-verified pairs come first, then pairs
+    whose last green round is oldest (their substrate may have changed
+    since), then the long-green tail.  Ties keep registration order."""
+    last_green = _last_green_round()
+    reg_index = {name: i for i, name in enumerate(d)}
+    names = sorted(d, key=lambda n: (last_green.get(n, -1), reg_index[n]))
+    return {n: d[n] for n in names}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -32,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         llm_queries,
     )
 
-    return dict(analytics.QUERIES)
+    return _verification_order(dict(analytics.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,4 +89,4 @@ def oracle_sql() -> dict[str, str]:
         llm_queries,
     )
 
-    return dict(analytics.ORACLE)
+    return _verification_order(dict(analytics.ORACLE))

@@ -109,6 +109,10 @@ def epoch_of(dtype, c: Column, unit: str) -> Column:
     the expression; TZ inputs keep the native unix_* functions."""
     from pyspark.sql.types import TimestampNTZType
 
+    if unit not in ("MILLISECOND", "MICROSECOND"):
+        raise ValueError(
+            f"epoch_of unit must be 'MILLISECOND' or 'MICROSECOND', got {unit!r}"
+        )
     if isinstance(dtype, TimestampNTZType):
         return F.timestamp_diff(
             unit, F.lit(_NTZ_EPOCH).cast("timestamp_ntz"), c

@@ -133,7 +133,9 @@ def cap_doc_freq(posting: DataFrame, max_doc_freq: int) -> DataFrame:
     return posting.join(F.broadcast(hot), "h1", "left_anti")
 
 
-def pair_jaccard(posting: DataFrame, pairs: DataFrame) -> DataFrame:
+def pair_jaccard(
+    posting: DataFrame, pairs: DataFrame, posting_b: DataFrame | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard for an explicit (doc_a, doc_b) pair set,
     computed as posting-table joins restricted to those pairs — rows of
     16-byte hashes in the shuffle, never per-doc gram *arrays* (the
@@ -141,18 +143,26 @@ def pair_jaccard(posting: DataFrame, pairs: DataFrame) -> DataFrame:
     rides every candidate join row).
 
     Pairs with zero shared shingles drop out of the inner join; they
-    have Jaccard 0 and can never pass a positive threshold."""
+    have Jaccard 0 and can never pass a positive threshold.
+
+    Two-sided form: when ``posting_b`` is given, ``doc_a`` ids resolve
+    against ``posting`` and ``doc_b`` ids against ``posting_b``. Use
+    this whenever the two pair sides come from different tables — a
+    union would double-count the gram size of any doc_id present on
+    both sides and corrupt its Jaccard."""
+    posting_b = posting if posting_b is None else posting_b
     pa = posting.select(F.col("doc_id").alias("doc_a"), "h1")
-    pb = posting.select(F.col("doc_id").alias("doc_b"), "h1")
+    pb = posting_b.select(F.col("doc_id").alias("doc_b"), "h1")
     shared = (
         pairs.join(pa, "doc_a")
         .join(pb, ["doc_b", "h1"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    sizes_a = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes_b = posting_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sa = sizes_a.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -354,7 +364,13 @@ def minhash_incremental(
     computed fresh; corpus-internal duplicates are intentionally not
     re-reported. Callers that already hold posting tables (or can split
     one shared build, as the registered query does) pass them via the
-    underscore params and skip the tokenize/shingle work here."""
+    underscore params and skip the tokenize/shingle work here.
+
+    doc_ids need not be disjoint between the two sides: sizes are
+    computed per side (two-sided pair_jaccard), so a re-ingested id
+    gets a correct Jaccard against the corpus copy, and the identity
+    pair (x, x) is excluded — same-key re-ingest is the idempotent
+    writer's concern (operators/writer.py), not near-dup detection."""
     corpus_posting = (
         _corpus_posting_df
         if _corpus_posting_df is not None
@@ -378,10 +394,12 @@ def minhash_incremental(
             ["band", "key"],
         )
         .select("doc_a", "doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
-    posting = corpus_posting.unionByName(new_posting)
-    return pair_jaccard(posting, cands).filter(F.col("jaccard") >= threshold)
+    return pair_jaccard(corpus_posting, cands, posting_b=new_posting).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -6,12 +6,15 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes stream through Python in columnar batches —
 never row-at-a-time, never through the driver.
 
-The actual image/audio decode is STUBBED here (Pillow/librosa are not
-in this container): ``decode_image`` raises NotImplementedError unless
-PIL is importable, and ``extract_blob_features`` computes a
-deterministic fake feature set (byte length, first byte, md5) so the
-Spark-side plumbing — schema, batch shape, partitioning — is real and
-oracle-testable end to end.
+Decode status: PNG decode is REAL and dependency-free — ``decode_png``
+(zlib + struct, all five scanline filters) feeds the ``png_features``
+mapInPandas stage, tested on real PNG byte strings. Other formats
+(JPEG, audio, video) remain stubbed behind ``decode_image`` /
+``sample_frames`` because their codecs aren't in this container;
+``extract_blob_features`` computes a deterministic byte-level feature
+set (length, first byte, md5) so the Spark-side plumbing — schema,
+batch shape, partitioning — is oracle-testable end to end regardless
+of codec availability.
 """
 
 from __future__ import annotations
@@ -135,18 +138,148 @@ def resize_blobs(media: DataFrame, target_bytes: int = 256) -> DataFrame:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png(blob: bytes) -> dict:
+    """REAL pure-stdlib PNG decode (zlib + struct): parses IHDR, joins
+    IDAT, inflates, and reverses all five scanline filters (None / Sub
+    / Up / Average / Paeth). Supports 8-bit non-interlaced gray / RGB /
+    gray+alpha / RGBA — the shapes training corpora normalize to.
+
+    Returns {"width", "height", "channels", "pixels"} with pixels as
+    row-major packed bytes. The per-byte unfilter loop is Python-speed
+    — appropriate for the thumbnail/tile sizes that ride an Arrow
+    batch; swap in an optimized decoder for production rasters without
+    touching the mapInPandas plumbing around it."""
+    import struct
+    import zlib
+
+    if bytes(blob[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG byte string (bad signature)")
+    pos, idat = 8, b""
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack(">I4s", bytes(blob[pos : pos + 8]))
+        pos += 8
+        data = bytes(blob[pos : pos + length])
+        pos += length + 4  # payload + CRC (CRC not re-verified)
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"decode_png supports 8-bit non-interlaced gray/RGB/LA/RGBA; "
+            f"got depth={depth} color_type={color} interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS[color]
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data has unexpected length")
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _row in range(h):
+        ft = raw[i]
+        i += 1
+        cur = bytearray(raw[i : i + stride])
+        i += stride
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 255
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prev[x]) & 255
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 255
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += cur
+        prev = cur
+    return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
+
+
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_pixel", LongType()),
+    ]
+)
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Real decode in the standard multimodal plumbing: Arrow-batched
+    mapInPandas over the binary column, PNG blobs decoded with
+    ``decode_png`` into (width, height, channels, mean pixel value);
+    non-PNG blobs yield null features instead of failing the batch —
+    at corpus scale a poison blob must dead-letter, not kill a task."""
+
+    def _png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    img = decode_png(blob)
+                    mean = sum(img["pixels"]) // max(1, len(img["pixels"]))
+                    rows.append(
+                        (doc_id, img["width"], img["height"], img["channels"], mean)
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_pixel"]
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _png_batch, schema=PNG_FEATURE_SCHEMA
+    )
+
+
 def decode_image(blob: bytes) -> object:
-    """Real image decode — STUB. Pillow is not available in this
-    container; the Spark-side plumbing above is the tested surface."""
+    """Image decode: Pillow when importable (any format), else the
+    pure-stdlib ``decode_png`` for PNG bytes. Other formats raise
+    NotImplementedError pointing at the pluggable batch function —
+    swap the inner function of ``extract_blob_features`` /
+    ``png_features`` (mapInPandas) for your decoder; the Spark-side
+    schema, batching, and partitioning don't change."""
     try:
         from PIL import Image  # noqa: F401
         import io
 
         return Image.open(io.BytesIO(blob))
-    except ImportError as exc:  # pragma: no cover - environment-dependent
+    except ImportError:
+        if bytes(blob[:8]) == _PNG_SIG:
+            return decode_png(blob)
         raise NotImplementedError(
-            "image decode requires Pillow; not available in this environment"
-        ) from exc
+            "decode for this format requires an image library (e.g. Pillow); "
+            "only PNG decodes via the built-in pure-python path. Plug a real "
+            "decoder into the mapInPandas batch function "
+            "(extract_blob_features / png_features) — the Spark plumbing "
+            "(schema, Arrow batching, partitioning) is decoder-agnostic."
+        ) from None
 
 
 def sample_frames(blob: bytes, stride: int = 1024, max_frames: int = 8) -> list[bytes]:

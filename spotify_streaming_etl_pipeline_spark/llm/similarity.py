@@ -114,6 +114,61 @@ def cosine_topk(
     return _ranked(pairs, k)
 
 
+def _ivf_from_centroid_table(
+    emb: DataFrame,
+    cents: DataFrame,
+    query_ids: list[int],
+    k: int,
+    n_probe: int,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF assign/probe/score core over a (cell, dim, c)
+    centroid table: every vector joins the broadcast centroid table on
+    dim (exploded — all codegen, linear in corpus × n_centroids), is
+    assigned to its nearest cell, queries probe their n_probe nearest
+    cells, and pairwise cosine touches only probed cells.
+
+    Rounding discipline: cell distances round to 4dp before comparison
+    (absorbs float sum-order drift between engines); ties break on
+    cell id — both required for the SQL oracle to agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    d2 = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 4)
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked_cells = d2.withColumn("rn", F.row_number().over(w))
+    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked_cells.filter(
+            F.col("vec_id").isin(query_ids) & (F.col("rn") <= n_probe)
+        )
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    q_vecs = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(emb.select("vec_id", F.col(vec_col).alias("vec")), "vec_id")
+        .join(F.broadcast(q_vecs), "q_id")
+        .select(
+            "q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine")
+        )
+    )
+    return _ranked(pairs, k)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -122,6 +177,7 @@ def ivf_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus by k-means
     centroid, score each query only against its ``n_probe`` nearest
@@ -129,9 +185,30 @@ def ivf_topk(
     hyperplane bucket in ``cosine_topk_lsh`` — same join shape, better
     cell balance on clustered data.
 
-    Uses pyspark.ml KMeans (seeded -> deterministic for a fixed corpus
-    and Spark version, but not reproducible in the SQL oracle — this
-    operator is covered by unit tests, not the hash gate)."""
+    Two centroid sources, mirroring production IVF (train once offline,
+    serve from the frozen index):
+
+    - ``centroids`` given: a pinned, pre-learned centroid matrix
+      (n_centroids × dim). Assignment/probing/scoring run through the
+      fully relational ``_ivf_from_centroid_table`` core — deterministic
+      and SQL-oracle-reproducible (gated by ``ann_topk_ivf_learned``,
+      whose fixture in llm/ivf_fixture.py was learned by the code path
+      below). ``n_centroids`` is ignored in favor of ``len(centroids)``.
+    - ``centroids=None``: fit pyspark.ml KMeans here (seeded ->
+      deterministic for a fixed corpus and Spark version, but not
+      reproducible in the SQL oracle — this training path is covered by
+      unit tests, and by the fixture provenance check)."""
+    if centroids is not None:
+        cents = emb.sparkSession.createDataFrame(
+            [
+                (cell, dim, float(c))
+                for cell, row in enumerate(centroids)
+                for dim, c in enumerate(row)
+            ],
+            "cell int, dim int, c double",
+        )
+        return _ivf_from_centroid_table(emb, cents, query_ids, k, n_probe, vec_col)
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -194,8 +271,6 @@ def ivf_topk_hashseed(
     Rounding discipline: centroid components and cell distances round
     to 4dp before any comparison, absorbing float sum-order drift
     between engines; ties break on cell id."""
-    from pyspark.sql import Window
-
     dims = emb.select(
         "vec_id",
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
@@ -205,36 +280,7 @@ def ivf_topk_hashseed(
         .groupBy("cell", "dim")
         .agg(F.round(F.avg("x"), 4).alias("c"))
     )
-    d2 = (
-        dims.join(F.broadcast(cents), "dim")
-        .groupBy("vec_id", "cell")
-        .agg(
-            F.round(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 4)
-            .alias("d2")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
-    ranked_cells = d2.withColumn("rn", F.row_number().over(w))
-    assigned = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "cell")
-    probes = (
-        ranked_cells.filter(
-            F.col("vec_id").isin(query_ids) & (F.col("rn") <= n_probe)
-        )
-        .select(F.col("vec_id").alias("q_id"), "cell")
-    )
-    q_vecs = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    pairs = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .join(emb.select("vec_id", F.col(vec_col).alias("vec")), "vec_id")
-        .join(F.broadcast(q_vecs), "q_id")
-        .select(
-            "q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine")
-        )
-    )
-    return _ranked(pairs, k)
+    return _ivf_from_centroid_table(emb, cents, query_ids, k, n_probe, vec_col)
 
 
 def embedding_near_dup(

@@ -93,6 +93,7 @@ def run(
     # ORDER MATTERS: artist URIs come from track envelopes, podcast URIs
     # from episode envelopes (reference extractor.py:317).
     envelopes: dict[str, DataFrame] = {}
+    persisted_envelopes: list[DataFrame] = []
 
     def enrich(entity: str, uris: DataFrame) -> DataFrame | None:
         fetch = fetchers.get(entity)
@@ -104,16 +105,26 @@ def run(
         # Past ``enrich_collect_max`` the batch loop moves into
         # mapInPandas on executors, and only the (rare) dead letters
         # ever reach the driver.
-        if uris.count() > enrich_collect_max:
-            enriched = enrich_partitions(uris, fetch, entity).persist()
-            out.dead_letters.extend(
-                (r["uri"], entity, r["status"])
-                for r in enriched.filter(F.col("status") != "ok").collect()
-            )
-            return enriched.filter(F.col("status") == "ok").select(
-                "uri", "raw_data"
-            )
-        uri_list = sorted(r["uri"] for r in uris.collect())
+        # uris is persisted so the anti-join plan behind it evaluates
+        # once, not once for count() and again for the consumer below.
+        uris = uris.persist()
+        try:
+            if uris.count() > enrich_collect_max:
+                enriched = enrich_partitions(uris, fetch, entity).persist()
+                persisted_envelopes.append(enriched)
+                # The dead-letter collect materializes (and caches)
+                # every partition of enriched — after it, the ok-split
+                # below reads the cache, never re-fetching.
+                out.dead_letters.extend(
+                    (r["uri"], entity, r["status"])
+                    for r in enriched.filter(F.col("status") != "ok").collect()
+                )
+                return enriched.filter(F.col("status") == "ok").select(
+                    "uri", "raw_data"
+                )
+            uri_list = sorted(r["uri"] for r in uris.collect())
+        finally:
+            uris.unpersist()
         result = fetch_in_batches(uri_list, fetch, entity)
         out.dead_letters.extend(result.failures)
         return spark.createDataFrame(
@@ -195,4 +206,12 @@ def run(
             out.dims[entity] = spark.read.parquet(f"{warehouse_dir}/dim_{entity}")
         for name in out.facts:
             out.facts[name] = spark.read.parquet(f"{warehouse_dir}/fact_{name}")
+        # The re-read repointed every returned frame at parquet, so the
+        # cached enrichment envelopes are no longer reachable — release
+        # their executor storage instead of leaking it across entities.
+        # (write=False intentionally keeps them cached: the returned
+        # dims/facts are still lazy plans over the envelopes, and a
+        # recompute would re-hit the REST source.)
+        for df in persisted_envelopes:
+            df.unpersist()
     return out

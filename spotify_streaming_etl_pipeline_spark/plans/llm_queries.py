@@ -520,6 +520,79 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_centroid_values() -> str:
+    from ..llm.ivf_fixture import IVF_CENTROIDS
+
+    return ",\n            ".join(
+        f"({cell}, {dim}, {c})"
+        for cell, row in enumerate(IVF_CENTROIDS)
+        for dim, c in enumerate(row)
+    )
+
+
+@query(
+    "ann_topk_ivf_learned",
+    f"""
+    WITH cents AS (
+        SELECT cell, dim, c::DOUBLE AS c FROM (VALUES
+            {_ivf_centroid_values()}
+        ) AS t(cell, dim, c)
+    ),
+    dims AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    ),
+    d2 AS (
+        SELECT d.vec_id, ct.cell,
+               round(sum((d.x - ct.c) * (d.x - ct.c)), 4) AS d2
+        FROM dims d JOIN cents ct ON d.dim = ct.dim
+        GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2
+    ),
+    assigned AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS q_id, cell FROM rc
+        WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= {_IVF_PROBE}
+    ),
+    pairs AS (
+        SELECT p.q_id, a.vec_id,
+               {_cos_sql('e.embedding', 'qe.embedding')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM pairs
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN serving against the PINNED learned centroid index
+    (llm/ivf_fixture.py — trained once offline by seeded KMeans on the
+    sf0.01 corpus, exactly how production IVF freezes its coarse
+    quantizer). Gates ivf_topk's relational assign/probe/score core
+    with learned centroids; the in-situ KMeans training path of the
+    same function remains unit-gated."""
+    from ..llm.ivf_fixture import IVF_CENTROIDS
+
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir),
+        _QUERY_IDS,
+        k=5,
+        n_probe=_IVF_PROBE,
+        centroids=IVF_CENTROIDS,
+    )
+
+
 @query(
     "embedding_near_dup",
     f"""

@@ -171,3 +171,52 @@ def test_compact_leaf_partition_preserves_partition_column(spark, tmp_path):
         (r["id"], r["year"]) for r in spark.read.parquet(root).collect()
     )
     assert after == before  # year column and every row intact
+
+
+def test_ivf_fixture_provenance(spark):
+    """The pinned centroids in llm/ivf_fixture.py must be exactly what
+    seeded KMeans (k=8, seed=7) learns on the sf0.01 corpus — proving
+    the 'trained offline, frozen for serving' fixture is genuine, not
+    hand-picked to make the oracle pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from spotify_streaming_etl_pipeline_spark.llm.ivf_fixture import (
+        IVF_CENTROIDS,
+        IVF_FIXTURE_DIM,
+        IVF_FIXTURE_K,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    vecs = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=IVF_FIXTURE_K, seed=7, featuresCol="features").fit(vecs)
+    centers = sorted(
+        [round(float(c), 4) for c in row] for row in model.clusterCenters()
+    )
+    assert len(IVF_CENTROIDS) == IVF_FIXTURE_K
+    assert all(len(row) == IVF_FIXTURE_DIM for row in IVF_CENTROIDS)
+    assert centers == IVF_CENTROIDS
+
+
+def test_ivf_pinned_centroids_beat_random_assignment(spark, sf_dir):
+    """Serving from the learned index must agree with the brute-force
+    top-1 for most queries on the training corpus (IVF recall check —
+    the learned cells actually concentrate neighbors)."""
+    from spotify_streaming_etl_pipeline_spark.llm.ivf_fixture import IVF_CENTROIDS
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        r["q_id"]: r["vec_id"]
+        for r in similarity.cosine_topk(emb, qids, k=1).collect()
+    }
+    ivf = {
+        r["q_id"]: r["vec_id"]
+        for r in similarity.ivf_topk(
+            emb, qids, k=1, n_probe=2, centroids=IVF_CENTROIDS
+        ).collect()
+    }
+    hits = sum(1 for q in qids if ivf.get(q) == exact[q])
+    assert hits >= 3  # approximate by design; majority recall expected
