@@ -55,14 +55,14 @@ def compact_parquet(
     compaction should run on partitions past their append horizon
     (e.g. closed year= partitions).
 
-    The rewrite goes to sibling work dirs whose basenames start with
-    an underscore, so Spark/Hadoop path filters hide them from any
-    read of the partitioned table root while the rewrite (or crash
-    residue) exists, and partition inference never sees them. The swap
-    itself is two renames, not one atomic operation: the old dir is
-    renamed aside, the new one promoted, then the old one removed — a
-    crash between the renames leaves the data recoverable under
-    ``_compact_old_*`` rather than half-deleted.
+    The rewrite goes to sibling work dirs whose basenames start with a
+    dot (and contain no ``=``), so Spark/Hadoop path filters hide them
+    from any read of the partitioned table root while the rewrite (or
+    crash residue) exists, and partition inference never sees them.
+    The swap itself is two renames, not one atomic operation: the old
+    dir is renamed aside, the new one promoted, then the old one
+    removed — a crash between the renames leaves the data recoverable
+    under ``.compact_old_*`` rather than half-deleted.
     """
     n_files, total_bytes = parquet_file_stats(path)
     n_target = max(1, -(-total_bytes // target_file_bytes))  # ceil
@@ -70,8 +70,16 @@ def compact_parquet(
         return n_files
     df = spark.read.parquet(path)
     parent, base = os.path.split(os.path.normpath(path))
-    tmp = os.path.join(parent, f"_compact_tmp_{base}")
-    old = os.path.join(parent, f"_compact_old_{base}")
+    # Dot-prefixed AND '='-free: Spark keeps '_'-prefixed dirs whose
+    # name contains '=' (that's how `_year=2021` partitions survive),
+    # so a tmp name derived from a leaf dir must strip the '=' or it
+    # would be picked up by partition discovery (verified: an
+    # '=' -containing residue dir fails the read with
+    # CONFLICTING_PARTITION_COLUMN_NAMES; a '.'-prefixed one is
+    # invisible).
+    safe = base.replace("=", "-")
+    tmp = os.path.join(parent, f".compact_tmp_{safe}")
+    old = os.path.join(parent, f".compact_old_{safe}")
     # coalesce, not repartition: narrowing to fewer files needs no
     # shuffle — each output task reads a run of input files.
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
@@ -80,3 +88,29 @@ def compact_parquet(
     shutil.rmtree(old)
     spark.catalog.refreshByPath(path)
     return parquet_file_stats(path)[0]
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict[str, int]:
+    """Compact every leaf partition directory (``key=value``) under a
+    partitioned table root, one directory at a time — the incremental
+    form that scales: only partitions whose file count drifted are
+    rewritten, a 100 TB table never sees a whole-table job. Leaf
+    selection matches Spark's own path filter: ``key=value`` dirs are
+    partitions even with a leading underscore (``_year=2021``), while
+    dot-prefixed dirs (compaction work dirs / crash residue) are
+    hidden. Returns {partition_dir_name: file_count_after}. Inherits
+    compact_parquet's single-writer contract per leaf."""
+    out: dict[str, int] = {}
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if os.path.isdir(p) and "=" in entry and not entry.startswith("."):
+            out[entry] = compact_parquet(
+                spark, p, target_file_bytes, min_files_to_compact
+            )
+    spark.catalog.refreshByPath(root)
+    return out

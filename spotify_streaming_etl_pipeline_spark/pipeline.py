@@ -40,6 +40,7 @@ class RunResult:
     dead_letters: list[tuple[str, str, str]] = field(default_factory=list)
     n_history_rows: int = 0
     n_fact_rows: dict[str, int] = field(default_factory=dict)
+    compacted: dict[str, dict[str, int]] = field(default_factory=dict)
 
 
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
@@ -74,9 +75,16 @@ def run(
     fetchers: dict[str, Callable[[list[str]], dict]] | None = None,
     write: bool = True,
     enrich_collect_max: int = 10_000,
+    compact_facts: bool = False,
 ) -> RunResult:
     """Execute one incremental load. Returns the resulting dim/fact
-    frames (also written under ``warehouse_dir`` when ``write``)."""
+    frames (also written under ``warehouse_dir`` when ``write``).
+
+    ``compact_facts`` folds small-file maintenance into the load: after
+    this run's appends land, each fact table's year partitions are
+    compacted to ~target-size files (operators/maintenance.py). Safe
+    here by construction — the runner is the table's only writer and
+    its appends have finished before compaction starts."""
     import json
 
     out = RunResult()
@@ -198,6 +206,13 @@ def run(
         for name, df in out.facts.items():
             out.n_fact_rows[name] = df.count()
             write_fact(df, f"{warehouse_dir}/fact_{name}")
+        if compact_facts:
+            from .operators.maintenance import compact_partitioned
+
+            for name in out.facts:
+                out.compacted[name] = compact_partitioned(
+                    spark, f"{warehouse_dir}/fact_{name}"
+                )
         for entity, df in out.dims.items():
             _overwrite_parquet_safe(df, f"{warehouse_dir}/dim_{entity}")
         # Re-read everything written: the pre-swap lazy plans pin file

@@ -248,3 +248,80 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     flat = [w for b in batches for w in b]
     assert not any(s.startswith("2021-01-01T05") for s, _ in flat), flat
     assert ("2021-01-01T10:00:00", 2) in flat, flat
+
+
+def test_session_windows_batch_stream_parity(spark, tmp_path):
+    """The registered `user_sessions` operator must produce IDENTICAL
+    rows whether its events arrive as a batch frame or as a stream
+    drained through foreachBatch (the backfill mode every streaming
+    deployment starts from) — one logical operator, two front ends,
+    zero semantic drift. Runs on the driver's correctness corpus
+    (sf0.01 events when present, else the conftest default)."""
+    import os
+
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+    from spotify_streaming_etl_pipeline_spark.streaming.ingest import session_windows
+
+    from tests.conftest import SF_DIR
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):  # pragma: no cover - driver env always has it
+        sf = SF_DIR
+    ev = load_table(spark, sf, "events").select("user_id", "ts", "value")
+
+    batch_rows = sorted(
+        map(tuple, session_windows(ev, key_col="user_id").collect())
+    )
+
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    assert stream.isStreaming
+    got: list = []
+
+    def sink(bdf, _bid):
+        got.extend(
+            map(tuple, session_windows(bdf, key_col="user_id").collect())
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == batch_rows
+    assert len(batch_rows) > 0
+
+
+def test_pipeline_compacts_fact_partitions_end_to_end(spark, raw_dir, tmp_path):
+    """compact_facts=True on the runner: after incremental appends
+    fragment a year partition, the run leaves each `_year=` leaf at the
+    size-derived file count with every row and the partition column
+    intact — exercising the pipeline call site, not just the operator."""
+    from spotify_streaming_etl_pipeline_spark.operators.maintenance import (
+        parquet_file_stats,
+    )
+
+    wh = str(tmp_path / "warehouse")
+    pipeline.run(spark, str(raw_dir), wh, fetchers=_fake_fetchers())
+    # new export -> second incremental append fragments _year=2021
+    _write_export(
+        raw_dir / "export_3.json",
+        [history_row(ts="2021-07-01T00:00:00Z", spotify_track_uri="spotify:track:456")],
+    )
+    fact_dir = f"{wh}/fact_tracks"
+    n_before, _ = parquet_file_stats(fact_dir)
+    res = pipeline.run(
+        spark, str(raw_dir), wh, fetchers=_fake_fetchers(), compact_facts=True
+    )
+    assert res.n_fact_rows["tracks"] == 1  # the new play appended
+    assert n_before >= 2  # appends really did fragment before compaction
+    assert res.compacted["tracks"].get("_year=2021") == 1
+    # no work-dir residue is visible to (or breaks) the partitioned read
+    fact = spark.read.parquet(fact_dir)
+    assert fact.count() == 4
+    assert fact.filter(F.col("_year") == 2021).count() == 4
+    # returned frame is the re-read table and agrees
+    assert res.facts["tracks"].count() == 4
