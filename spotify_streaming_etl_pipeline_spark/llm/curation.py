@@ -62,3 +62,62 @@ def mix_sources(
     for src, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(source_col) == src, F.lit(pct)).otherwise(rate)
     return df.filter(keep_expr(F.col(id_col), rate))
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    cuts: tuple[tuple[str, int], ...] = (("train", 90), ("val", 95), ("test", 100)),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = hash48(seed:id)
+    mod 100, split by cumulative percentage cutoffs (cuts must ascend
+    and end at 100).
+
+    Properties a random split lacks, and the reasons every large corpus
+    splits this way: a document's split never changes as the corpus
+    grows (membership depends only on its own id), re-runs and task
+    retries agree, and no shuffle happens — the assignment is a narrow
+    projection, so it pushes down past scans and costs nothing at
+    100 TB. Changing ``seed`` re-deals the split without touching data."""
+    bucket = F.pmod(
+        portable_hash48(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(100),
+    )
+    expr = None
+    for name, cut in cuts:
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+def source_quota_sample(
+    df: DataFrame,
+    quota: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "quota",
+) -> DataFrame:
+    """Cap every source at ``quota`` documents, chosen deterministically:
+    rank docs within each source by the portable hash of their id (a
+    reproducible stand-in for a uniform draw) and keep the first
+    ``quota``. The balancing stage that stops one crawl dump from
+    dominating a mix.
+
+    Scale shape: one shuffle on source + per-group window. A source's
+    group must fit a task's window state; for planet-hot sources
+    (single source >> one task) pre-filter with ``keep_expr`` at an
+    estimated rate, then apply the exact window on the survivors."""
+    from pyspark.sql import Window
+
+    h = portable_hash48(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )

@@ -339,3 +339,39 @@ def encode_with_vocab(
             ).alias("ids"),
         )
     )
+
+
+def chunk_documents(
+    df,
+    chunk_size: int = 16,
+    stride: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window chunking with overlap (``chunk_size - stride``
+    tokens shared between consecutive chunks) — the context-window
+    preparation step for training and retrieval corpora.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_size); the last
+    window starts at the smallest multiple of stride that reaches the
+    end, so every token lands in >= 1 chunk and no chunk is fully
+    contained in its predecessor. Entirely narrow operations (split /
+    sequence / explode / slice) — no shuffle, embarrassingly parallel,
+    output size a fixed ~(1/stride) multiple of the token count. The
+    100 TB form is this exact plan."""
+    n = F.size(F.col("w"))
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + stride - 1) / F.lit(stride)).cast("long") + 1
+    )
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("w"))
+        .filter(F.size("w") > 0)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)))
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * stride + 1, chunk_size)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -755,6 +755,84 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_sources(d, {"src0": 50, "src1": 10})
 
 
+@query(
+    "dataset_split",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN h < 90 THEN 'train'
+                WHEN h < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               ({_H48.format(x="'split:' || doc_id::VARCHAR")}) % 100 AS h
+        FROM documents
+    )
+    """,
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by salted id hash —
+    growth-stable (a doc's split never changes as the corpus grows),
+    shuffle-free (narrow projection)."""
+    from ..llm.curation import dataset_split
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return dataset_split(d)
+
+
+@query(
+    "source_quota_sample",
+    f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ({_H48.format(x="'quota:' || doc_id::VARCHAR")}), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 100
+    """,
+)
+def source_quota_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (100 docs/source), selected by deterministic
+    hash rank — the balancing stage that stops one crawl dump from
+    dominating the mix."""
+    from ..llm.curation import source_quota_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return source_quota_sample(d, quota=100)
+
+
+@query(
+    "document_chunks",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t != '') AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w, len(w) AS n,
+               CASE WHEN len(w) <= 16 THEN 1
+                    ELSE cast(floor((len(w) - 16 + 11) / 12.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM toks WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           cast(len(w[i * 12 + 1 : i * 12 + 16]) AS BIGINT) AS n_tokens,
+           array_to_string(w[i * 12 + 1 : i * 12 + 16], ' ') AS chunk_text
+    FROM c, unnest(range(n_chunks)) AS t(i)
+    """,
+)
+def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (16-token windows, stride 12 -> 4-token
+    overlap) — narrow-only plan, no shuffle (llm/text.py:chunk_documents)."""
+    from ..llm.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=16, stride=12)
+
+
 # --- multimodal --------------------------------------------------------------
 
 

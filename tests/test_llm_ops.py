@@ -517,3 +517,76 @@ def test_decode_image_contract():
         assert decoded["width"] == 2
         with pytest.raises(NotImplementedError, match="mapInPandas"):
             multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+# --- split / quota / chunking -----------------------------------------------
+
+
+def test_dataset_split_stable_under_corpus_growth(spark, docs):
+    """A document's split assignment must not change when the corpus
+    grows — the defining advantage over randomSplit."""
+    from spotify_streaming_etl_pipeline_spark.llm.curation import dataset_split
+
+    small = dataset_split(docs.filter(F.col("doc_id") < 3))
+    full = dataset_split(docs)
+    small_map = {r["doc_id"]: r["split"] for r in small.collect()}
+    full_map = {r["doc_id"]: r["split"] for r in full.collect()}
+    for doc_id, split in small_map.items():
+        assert full_map[doc_id] == split
+    assert set(full_map.values()) <= {"train", "val", "test"}
+
+
+def test_dataset_split_proportions(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import dataset_split
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    d = dataset_split(load_table(spark, sf_dir, "documents").select("doc_id"))
+    counts = {r["split"]: r["n"] for r in d.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    # 90/5/5 within generous tolerance for a hash draw
+    assert counts.get("train", 0) / total > 0.8
+    assert 0 < counts.get("val", 0) / total < 0.15
+    assert 0 < counts.get("test", 0) / total < 0.15
+
+
+def test_source_quota_sample_caps_and_is_deterministic(spark, docs):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import source_quota_sample
+
+    out1 = source_quota_sample(docs, quota=2)
+    out2 = source_quota_sample(docs, quota=2)
+    rows1 = sorted((r["doc_id"], r["source"]) for r in out1.collect())
+    rows2 = sorted((r["doc_id"], r["source"]) for r in out2.collect())
+    assert rows1 == rows2  # deterministic
+    per_src = {}
+    for _d, s in rows1:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert all(n <= 2 for n in per_src.values())
+    assert per_src["src1"] == 2  # src1 has 3 docs -> capped
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(1, text), (2, "only three words"), (3, " ")],
+                               "doc_id: long, text: string")
+    out = chunk_documents(df, chunk_size=16, stride=12)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in out.collect())
+    )
+    by_doc = {}
+    for doc, cid, n, txt in rows:
+        by_doc.setdefault(doc, []).append((cid, n, txt.split(" ")))
+    # doc 1: 40 tokens -> starts 0,12,24 (24+16=40 reaches the end)
+    assert [c for c, _n, _t in by_doc[1]] == [0, 1, 2]
+    covered = set()
+    for cid, n, toks in by_doc[1]:
+        assert toks == [f"w{i}" for i in range(cid * 12, min(cid * 12 + 16, 40))]
+        assert n == len(toks)
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(40)}  # every token in >= 1 chunk
+    # consecutive chunks share exactly chunk_size - stride tokens
+    assert set(by_doc[1][0][2]) & set(by_doc[1][1][2]) == {f"w{i}" for i in range(12, 16)}
+    # short doc -> single whole-doc chunk; whitespace-only doc -> no rows
+    assert by_doc[2] == [(0, 3, ["only", "three", "words"])]
+    assert 3 not in by_doc

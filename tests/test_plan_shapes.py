@@ -138,3 +138,24 @@ def test_pivot_has_no_distinct_values_job(spark, sf_dir, queries):
     over event_type alone."""
     plan = _plan(queries["event_type_pivot"](spark, sf_dir))
     assert plan.count("Exchange") == 1
+
+
+def test_split_and_chunking_are_shuffle_free(spark, sf_dir, queries):
+    """dataset_split and document_chunks are narrow-only pipelines: no
+    semantic shuffle (hash/range repartitioning) anywhere — the
+    property that makes them free at 100 TB. (The loader's round-robin
+    fan-out of an under-split scan is allowed: it's scan parallelism,
+    not data movement the operator demanded.)"""
+    for name in ("dataset_split", "document_chunks"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, f"{name} shuffles"
+        assert "Exchange rangepartitioning" not in plan, f"{name} sorts globally"
+
+
+def test_source_quota_sample_single_shuffle(spark, sf_dir, queries):
+    """Quota sampling is one hash partitioning on source + a window —
+    exactly one Exchange, no sort-merge join, no broadcast of the big
+    side."""
+    plan = _plan(queries["source_quota_sample"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan

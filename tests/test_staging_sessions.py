@@ -172,3 +172,16 @@ def test_epoch_queries_are_session_timezone_proof(spark, sf_dir):
         utc_rows = sorted(map(tuple, qs[name](spark, sf_dir).collect()))
         est_rows = sorted(map(tuple, qs[name](s2, sf_dir).collect()))
         assert est_rows == utc_rows, f"{name} shifts with session timezone"
+
+
+def test_epoch_of_rejects_unknown_unit(spark):
+    """A typo'd unit must raise, not silently fall back to microseconds."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import TimestampType
+
+    from spotify_streaming_etl_pipeline_spark.functions.scalar import epoch_of
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="MILLISECOND"):
+        epoch_of(TimestampType(), F.col("ts"), "MILLIS")
