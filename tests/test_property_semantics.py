@@ -274,3 +274,42 @@ def test_asof_join_matches_brute_force(spark, lefts, rights):
                  if rk == k and rt <= t]
         expect = max(cands) if cands else (None, None)
         assert got[i] == expect, f"left {i} (k={k}, ts={t})"
+
+
+@PROPS
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcdef", min_size=1, max_size=4),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=20),
+    st.integers(min_value=1, max_value=20),
+)
+def test_chunking_matches_python_model(spark, token_lists, chunk_size, stride):
+    """chunk_documents against an independent Python sliding-window
+    model, for arbitrary token counts / chunk sizes / strides
+    (stride <= chunk_size): same chunk ids, same token slices."""
+    from spotify_streaming_etl_pipeline_spark.llm.text import chunk_documents
+
+    stride = min(stride, chunk_size)
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_size=chunk_size, stride=stride).collect()
+    }
+    want = {}
+    for i, toks in enumerate(token_lists):
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= chunk_size else (n - chunk_size + stride - 1) // stride + 1
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + chunk_size]
+            want[(i, c)] = (len(piece), " ".join(piece))
+    assert got == want
