@@ -121,3 +121,36 @@ def source_quota_sample(
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff for dataset versioning: which documents were
+    added, removed, or changed between two corpus snapshots — the audit
+    table every reproducible training run records next to its data.
+
+    Shape for 100 TB: each side reduces to (id, content-hash48) BEFORE
+    the full-outer join, so document text never enters the shuffle —
+    the join moves 16-byte rows. Unchanged docs are dropped from the
+    output (churn-sized, not corpus-sized). Output: (id, status in
+    added|removed|changed, old_hash, new_hash)."""
+    oh = old.select(
+        F.col(id_col), portable_hash48(F.col(text_col)).alias("old_hash")
+    )
+    nh = new.select(
+        F.col(id_col), portable_hash48(F.col(text_col)).alias("new_hash")
+    )
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        oh.join(nh, id_col, "full_outer")
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+    )

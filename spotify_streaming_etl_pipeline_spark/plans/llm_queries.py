@@ -833,6 +833,81 @@ def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_size=16, stride=12)
 
 
+@query(
+    "corpus_diff",
+    f"""
+    WITH old AS (
+        SELECT doc_id, ({_H48.format(x="text")}) AS old_hash
+        FROM documents WHERE doc_id % 13 != 0
+    ),
+    new AS (
+        SELECT doc_id,
+               ({_H48.format(x="CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")}) AS new_hash
+        FROM documents WHERE doc_id % 11 != 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           o.old_hash, n.new_hash
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.old_hash IS NULL OR n.new_hash IS NULL OR o.old_hash != n.new_hash
+    """,
+)
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning snapshot diff (llm/curation.py:corpus_diff):
+    two snapshots derived deterministically from documents (docs with
+    id % 13 = 0 are 'late additions' absent from old; id % 11 = 0 were
+    removed; id % 7 = 0 had text edited), classified added / removed /
+    changed by content hash — text never shuffles, only 16-byte hash
+    rows enter the full-outer join."""
+    from ..llm.curation import corpus_diff
+
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
+@query(
+    "corpus_stats_cube",
+    """
+    SELECT source, lang,
+           cast(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(len(list_filter(string_split(text, ' '), t -> t != ''))) AS BIGINT)
+               AS total_tokens
+    FROM documents
+    GROUP BY CUBE (source, lang)
+    """,
+)
+def corpus_stats_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition across every (source x lang) margin in ONE
+    pass: cube() plans a single Expand + one shuffle for all four
+    grouping sets — per-pair, per-source, per-lang, and grand total —
+    instead of four scans. The explicit grouping-flag arithmetic keeps
+    the set id engine-portable."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("source", "lang")
+        .agg(
+            (F.grouping("source") * 2 + F.grouping("lang"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws(F.col("text"))).alias("total_tokens"),
+        )
+        .select("source", "lang", "gid", "n_docs", "total_tokens")
+    )
+
+
 # --- multimodal --------------------------------------------------------------
 
 

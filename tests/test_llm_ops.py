@@ -590,3 +590,18 @@ def test_chunk_documents_covers_every_token_with_overlap(spark):
     # short doc -> single whole-doc chunk; whitespace-only doc -> no rows
     assert by_doc[2] == [(0, 3, ["only", "three", "words"])]
     assert 3 not in by_doc
+
+
+def test_corpus_diff_classification(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will be removed")],
+        "doc_id: long, text: string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # unchanged 1 omitted

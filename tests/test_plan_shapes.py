@@ -159,3 +159,23 @@ def test_source_quota_sample_single_shuffle(spark, sf_dir, queries):
     plan = _plan(queries["source_quota_sample"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_cube_is_single_expand_single_shuffle(spark, sf_dir, queries):
+    """All four grouping sets of the corpus cube come from ONE Expand
+    feeding ONE aggregation shuffle — never four rescans."""
+    plan = _plan(queries["corpus_stats_cube"](spark, sf_dir))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_diff_shuffles_hashes_not_text(spark, sf_dir, queries):
+    """The snapshot-diff join must move (id, hash) rows only — the text
+    column is reduced to a 48-bit hash before any Exchange."""
+    plan = _plan(queries["corpus_diff"](spark, sf_dir))
+    import re
+
+    for exch in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in exch
+    # text appears only below the hash projection, never as a join output
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
