@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registers them into the shared QUERIES/ORACLE dicts."""
     from spotify_streaming_etl_pipeline_spark.plans import (  # noqa: F401
         analytics,
+        behavior,
         extras,
         llm_queries,
     )
@@ -85,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL for each query (same column aliases)."""
     from spotify_streaming_etl_pipeline_spark.plans import (  # noqa: F401
         analytics,
+        behavior,
         extras,
         llm_queries,
     )

@@ -1,0 +1,240 @@
+"""Behavioral analytics over the event stream: funnel conversion and
+cohort retention — the two queries every product-analytics deployment
+of an event pipeline runs first (additive family, SURVEY §2.11; the
+reference's dashboard marts are per-entity top-Ns, not behavioral).
+
+Scale shapes (written for 100 TB of events, tested at sf0.1):
+
+- ``funnel_conversion``: the sequential dependency (step k's timestamp
+  must EXCEED step k-1's) is expressed as a chain of unbounded
+  ``min(CASE ...) OVER (PARTITION BY user_id)`` windows. All three
+  window passes share one partitioning, so the whole funnel costs ONE
+  shuffle of the events table — no per-step self-joins (the naive
+  formulation shuffles events once per step).
+- ``cohort_retention``: the per-user first-activity month is an
+  unbounded min window over the same user partitioning as the distinct
+  (user, month) activity set — again one shuffle of events, then an
+  aggregate over the (cohort, offset) grid, which is tiny (months²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .analytics import query
+
+# The ordered funnel steps; events carry view/click/purchase (plus
+# signup/error) event types.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user strictly-increasing step timestamps: t1 = first step-1
+    event; t_k = first step-k event AFTER t_{k-1} (NULL once any link
+    breaks). One row per user with columns t1..tN.
+
+    Each t_k is ``min(CASE WHEN type = step_k AND ts > t_{k-1})`` over
+    an unbounded window partitioned by user — the chain nests, but all
+    windows share the user partitioning so Catalyst plans a single
+    Exchange followed by N Window operators (pinned in
+    tests/test_plan_shapes.py)."""
+    w = Window.partitionBy(user_col)
+    df = events
+    prev: str | None = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        df = df.withColumn(
+            f"t{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"t{i}"
+    t_cols = [f"t{i}" for i in range(1, len(steps) + 1)]
+    return df.groupBy(user_col).agg(
+        *[F.first(t).alias(t) for t in t_cols]
+    )
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """One row per funnel step: users who reached it (in order) and
+    conversion percent vs step 1. ``n_users`` counts users whose t_k is
+    non-null — i.e. who performed every prior step first."""
+    per_user = funnel_times(events, steps)
+    counts = per_user.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        row = counts.select(
+            F.lit(i).cast("long").alias("step_no"),
+            F.lit(step).alias("step"),
+            F.col(f"n{i}").alias("n_users"),
+            F.round(F.col(f"n{i}") * 100.0 / F.col("n1"), 2).alias("pct_of_first"),
+        )
+        rows = row if rows is None else rows.unionAll(row)
+    return rows
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_ym, month_offset, n_users): distinct users from the
+    cohort (first-ever activity month, yyyymm int) active again
+    ``month_offset`` months later. Month key is integer year*12+month
+    arithmetic — no timestamp rendering, so it is identical on any
+    session timezone and in the DuckDB oracle."""
+    mkey = (F.year(ts_col) * 12 + F.month(ts_col) - 1).cast("long")
+    w = Window.partitionBy(user_col)
+    # No pre-distinct: the final countDistinct dedups (user) per grid
+    # cell map-side anyway, so an explicit .distinct() would only add
+    # a third shuffle for nothing.
+    act = events.select(F.col(user_col), mkey.alias("mk")).withColumn(
+        "cohort_mk", F.min("mk").over(w)
+    )
+    return (
+        act.groupBy(
+            (
+                F.floor(F.col("cohort_mk") / 12) * 100
+                + (F.pmod(F.col("cohort_mk"), 12) + 1)
+            )
+            .cast("long")
+            .alias("cohort_ym"),
+            (F.col("mk") - F.col("cohort_mk")).cast("long").alias("month_offset"),
+        )
+        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    t2s AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM t
+    ),
+    t3s AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM t2s
+    ),
+    u AS (
+        SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+               any_value(t3) AS t3
+        FROM t3s GROUP BY user_id
+    ),
+    c AS (
+        SELECT cast(count(t1) AS BIGINT) AS n1,
+               cast(count(t2) AS BIGINT) AS n2,
+               cast(count(t3) AS BIGINT) AS n3
+        FROM u
+    )
+    SELECT cast(1 AS BIGINT) AS step_no, 'view' AS step, n1 AS n_users,
+           round(n1 * 100.0 / n1, 2) AS pct_of_first FROM c
+    UNION ALL
+    SELECT cast(2 AS BIGINT), 'click', n2, round(n2 * 100.0 / n1, 2) FROM c
+    UNION ALL
+    SELECT cast(3 AS BIGINT), 'purchase', n3, round(n3 * 100.0 / n1, 2) FROM c
+    """,
+)
+def funnel_conversion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel. The strict-order semantics
+    (a click only counts after the user's first view; a purchase only
+    after that click) is what distinguishes a funnel from three
+    independent counts."""
+    return funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH a AS (
+        SELECT DISTINCT user_id,
+               (year(ts) * 12 + month(ts) - 1) AS mk,
+               min(year(ts) * 12 + month(ts) - 1)
+                   OVER (PARTITION BY user_id) AS cohort_mk
+        FROM events
+    )
+    SELECT cast((cohort_mk // 12) * 100 + (cohort_mk % 12) + 1 AS BIGINT)
+               AS cohort_ym,
+           cast(mk - cohort_mk AS BIGINT) AS month_offset,
+           cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort × month-offset retention grid over events."""
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "scd2_history",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_type, event_id,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+        SELECT user_id, ts, event_type, event_id FROM o
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type AS attr,
+           cast(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+           cast(coalesce(epoch_ms(lead(ts) OVER w2), -1) AS BIGINT)
+               AS valid_to_ms,
+           cast(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_current,
+           cast(row_number() OVER w2 AS BIGINT) AS version
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 over the events feed, treating event_type as the
+    tracked attribute per user: consecutive same-type events collapse,
+    each type change opens a [valid_from, valid_to) interval. Epochs
+    via zone-proof epoch_of; open intervals surface as -1."""
+    from ..functions.scalar import epoch_of
+    from ..operators.scd import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    hist = scd2_collapse(
+        ev, key_col="user_id", attr_col="event_type", tiebreak_col="event_id"
+    )
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("attr"),
+        epoch_of(ts_type, F.col("valid_from"), "MILLISECOND").alias(
+            "valid_from_ms"
+        ),
+        F.coalesce(
+            epoch_of(ts_type, F.col("valid_to"), "MILLISECOND"), F.lit(-1)
+        ).alias("valid_to_ms"),
+        F.col("is_current").cast("long").alias("is_current"),
+        "version",
+    )

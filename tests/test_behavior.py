@@ -1,0 +1,97 @@
+"""Funnel / cohort semantics on constructed frames + plan-shape pins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.plans.behavior import (
+    cohort_retention,
+    funnel_conversion,
+    funnel_times,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(int(u), dt.datetime(2020, m, d, h), t) for u, m, d, h, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_requires_strict_step_order(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, 1, 1, 0, "view"),
+        (1, 1, 1, 1, "click"),
+        (1, 1, 1, 2, "purchase"),
+        # u2: clicked BEFORE first view -> stops at view
+        (2, 1, 1, 1, "click"),
+        (2, 1, 2, 0, "view"),
+        (2, 1, 1, 2, "purchase"),
+        # u3: view then purchase, no click -> stops at view
+        (3, 1, 1, 0, "view"),
+        (3, 1, 1, 5, "purchase"),
+        # u4: never viewed -> counted nowhere
+        (4, 1, 1, 0, "click"),
+        (4, 1, 1, 1, "purchase"),
+    ]
+    out = {
+        r["step"]: (r["n_users"], r["pct_of_first"])
+        for r in funnel_conversion(_ev(spark, rows)).collect()
+    }
+    assert out["view"] == (3, 100.0)
+    assert out["click"] == (1, 33.33)
+    assert out["purchase"] == (1, 33.33)
+
+
+def test_funnel_later_click_rescues_purchase(spark):
+    # u1's purchase comes after a click that itself follows the view,
+    # even though an earlier (pre-view) click exists.
+    rows = [
+        (1, 1, 1, 1, "click"),
+        (1, 1, 2, 0, "view"),
+        (1, 1, 2, 1, "click"),
+        (1, 1, 2, 2, "purchase"),
+    ]
+    per_user = funnel_times(_ev(spark, rows)).collect()[0]
+    assert per_user["t1"] == dt.datetime(2020, 1, 2, 0)
+    assert per_user["t2"] == dt.datetime(2020, 1, 2, 1)
+    assert per_user["t3"] == dt.datetime(2020, 1, 2, 2)
+
+
+def test_cohort_retention_offsets(spark):
+    rows = [
+        # u1: first active Jan, returns Mar -> offsets 0 and 2
+        (1, 1, 5, 0, "view"),
+        (1, 3, 5, 0, "view"),
+        # u2: first active Mar only -> offset 0 in Mar cohort
+        (2, 3, 1, 0, "click"),
+        # u1 twice in the same month dedups
+        (1, 1, 6, 0, "click"),
+    ]
+    got = {
+        (r["cohort_ym"], r["month_offset"]): r["n_users"]
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert got == {(202001, 0): 1, (202001, 2): 1, (202003, 0): 1}
+
+
+def test_funnel_single_shuffle_window_chain(spark, sf_dir):
+    """The three chained min-windows share the user_id partitioning:
+    exactly ONE hash Exchange of the events table feeds all Window
+    operators (the rest of the plan is single-partition aggregation)."""
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    plan = funnel_times(load_table(spark, sf_dir, "events"))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_cohort_two_shuffles(spark, sf_dir):
+    """Window on user_id + final grid aggregate: two hash Exchanges,
+    no more (no pre-distinct shuffle)."""
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    plan = cohort_retention(load_table(spark, sf_dir, "events"))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
