@@ -238,3 +238,53 @@ def scd2_history_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_current").cast("long").alias("is_current"),
         "version",
     )
+
+
+_HALF_WINDOW_MS = 30 * 60 * 1000  # error windows reach ±30 min
+
+
+@query(
+    "interval_join_binned",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           cast(count(*) AS BIGINT) AS n_windows,
+           cast(min(e.event_id) AS BIGINT) AS first_error_id
+    FROM events p JOIN events e
+      ON p.event_type = 'purchase' AND e.event_type = 'error'
+     AND epoch_ms(p.ts) >= epoch_ms(e.ts) - {_HALF_WINDOW_MS}
+     AND epoch_ms(p.ts) <  epoch_ms(e.ts) + {_HALF_WINDOW_MS}
+    GROUP BY 1
+    """,
+)
+def interval_join_binned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases inside ±30-minute windows around ANY error event —
+    a pure range join with no equi-key, which Spark would otherwise
+    plan as a nested-loop pair stream. The binned operator
+    (operators/rangejoin.py) turns it into one equi-join on 30-minute
+    time buckets; the oracle states the naive inequality join."""
+    from ..functions.scalar import epoch_of
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    ems = epoch_of(ts_type, F.col("ts"), "MILLISECOND")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        (ems - _HALF_WINDOW_MS).alias("start_ms"),
+        (ems + _HALF_WINDOW_MS).alias("end_ms"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), ems.alias("pms")
+    )
+    joined = interval_join(
+        purchases,
+        errors,
+        point_ms="pms",
+        start_ms="start_ms",
+        end_ms="end_ms",
+        bucket_width_ms=_HALF_WINDOW_MS,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("error_id").alias("first_error_id"),
+    )
