@@ -1241,3 +1241,58 @@ def token_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.text import encode_with_vocab
 
     return encode_with_vocab(_docs(spark, sf_dir))
+
+
+# --- tf-idf sparse cosine similarity ----------------------------------------
+
+_TFIDF_CAP = 1000  # document-frequency cap for the pair join
+
+
+@query(
+    "tfidf_similarity",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t != ''))
+                   AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    voc AS (
+        SELECT token, round(ln(n / count(DISTINCT doc_id)), 4) AS idf
+        FROM tok, nd GROUP BY token, n
+        HAVING count(DISTINCT doc_id) <= {_TFIDF_CAP}
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.token, tf.tf * voc.idf AS w
+        FROM tf JOIN voc USING (token)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b USING (token)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.9
+    """,
+)
+def tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs by tf-idf cosine >= 0.9 (llm/tfidf.py):
+    the weighted complement of the set-based Jaccard family. idf is
+    rounded 4dp before weighting so Spark and DuckDB agree on every
+    weight bit-for-bit; the final cosine rounding absorbs sum-order
+    drift. The df cap bounds the posting self-join's hottest key."""
+    from ..llm.tfidf import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.9, max_doc_freq=_TFIDF_CAP
+    )
