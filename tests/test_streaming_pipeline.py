@@ -325,3 +325,52 @@ def test_pipeline_compacts_fact_partitions_end_to_end(spark, raw_dir, tmp_path):
     assert fact.filter(F.col("_year") == 2021).count() == 4
     # returned frame is the re-read table and agrees
     assert res.facts["tracks"].count() == 4
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream attribution join == the same join run
+    as one batch: every (click, purchase-within-30min) pair, no
+    duplicates, no losses, under an availableNow drain."""
+    import os
+
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+    from spotify_streaming_etl_pipeline_spark.streaming.joins import attribution_join
+
+    from tests.conftest import SF_DIR
+
+    sf = "/root/testdata/sf0.01" if os.path.isdir("/root/testdata/sf0.01") else SF_DIR
+    # Watermarks require TIMESTAMP (event time); the catalog's events
+    # ts is NTZ, so pin the zone interpretation explicitly up front.
+    ev = (
+        load_table(spark, sf, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").drop("event_type")
+    purch_b = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+
+    batch_rows = sorted(map(tuple, attribution_join(clicks_b, purch_b).collect()))
+    assert len(batch_rows) > 0
+
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks_b.write.parquet(csrc)
+    purch_b.write.parquet(psrc)
+    cs = spark.readStream.schema(clicks_b.schema).parquet(csrc)
+    ps = spark.readStream.schema(purch_b.schema).parquet(psrc)
+    joined = attribution_join(cs, ps)
+    assert joined.isStreaming
+    # Both sides carry a watermark -> join state is evictable.
+    lp = joined._jdf.queryExecution().analyzed().toString()
+    assert lp.count("EventTimeWatermark") == 2, lp
+
+    got: list = []
+    q = (
+        joined.writeStream.foreachBatch(
+            lambda bdf, _bid: got.extend(map(tuple, bdf.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == batch_rows
