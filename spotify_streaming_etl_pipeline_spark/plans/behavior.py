@@ -288,3 +288,44 @@ def interval_join_binned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_windows"),
         F.min("error_id").alias("first_error_id"),
     )
+
+
+@query(
+    "rolling_revenue_7d",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS rev_7d,
+           cast(count(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_7d
+    FROM orders
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per customer attached to every order —
+    the time-RANGE window frame (value-based, not row-based: all
+    orders within the last 6 days of *time* join the frame, however
+    many rows that is, and same-day ties always agree). One shuffle on
+    o_custkey; frame evaluation is a per-partition sliding scan, no
+    self-join. At 100 TB this is the canonical replacement for the
+    'join the table to itself on a date inequality' anti-pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"),
+    )

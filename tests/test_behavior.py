@@ -95,3 +95,52 @@ def test_cohort_two_shuffles(spark, sf_dir):
 
     plan = cohort_retention(load_table(spark, sf_dir, "events"))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_rolling_revenue_time_range_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        # cust 1: days 1, 3, 3 (tie), 20 (outside any prior frame)
+        (1, 1, dt.datetime(2020, 1, 1), 10.0),
+        (2, 1, dt.datetime(2020, 1, 3), 20.0),
+        (3, 1, dt.datetime(2020, 1, 3), 30.0),
+        (4, 1, dt.datetime(2020, 1, 20), 40.0),
+        # cust 2: exactly 7 days apart -> day 8 still includes day 2
+        (5, 2, dt.datetime(2020, 1, 2), 1.0),
+        (6, 2, dt.datetime(2020, 1, 8), 2.0),
+        (7, 2, dt.datetime(2020, 1, 9), 4.0),  # day 2 now out of range
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    day = F.unix_date(F.col("o_orderdate").cast("date")).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-6, Window.currentRow)
+    got = {
+        r["o_orderkey"]: (r["rev"], r["n"])
+        for r in o.select(
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("rev"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        ).collect()
+    }
+    # same-day ties share one frame value (RANGE, not ROWS)
+    assert got[2] == (60.0, 3) and got[3] == (60.0, 3)
+    assert got[1] == (10.0, 1)
+    assert got[4] == (40.0, 1)          # 17-day gap resets the frame
+    assert got[6] == (3.0, 2)           # day 8 - 6 = day 2 inclusive
+    assert got[7] == (6.0, 2)           # day 9 frame starts day 3
+
+
+def test_rolling_revenue_single_shuffle(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.plans.behavior import rolling_revenue_7d
+
+    plan = (
+        rolling_revenue_7d(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
