@@ -1,0 +1,74 @@
+"""One-pass table profiler: per-column null rate, distinct count,
+min/max — the data-card / quality-report stats a training-data
+pipeline publishes next to every snapshot (additive family, SURVEY
+§2.11).
+
+Scale shape: ALL columns profile in ONE aggregate pass over the table
+(a single global agg with partial/map-side combine), then the 1-row
+wide result is unpivoted driver-free with ``stack`` — versus the naive
+per-column loop that scans the table once per column. countDistinct
+per column plans through Spark's expand (rows × profiled-columns
+before partial aggregation), which is the standard price of exact
+multi-distinct; swap in approx_count_distinct per column for the
+sketch-based one at lake scale (same plan minus the expand).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """(col_name, n_rows, n_nulls, null_pct, n_distinct, min_str,
+    max_str): one metric row per profiled column.
+
+    min/max surface as strings so heterogeneous column types fit one
+    output schema (the profile is a report, not an input to further
+    math). ``exact_distinct=False`` switches to HLL sketches
+    (approx_count_distinct), the 100 TB default."""
+    cols = columns or df.columns
+    distinct_of = (
+        F.countDistinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),  # count(col) skips nulls
+            distinct_of(c).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_mn_{c}"),
+            F.max(c).cast("string").alias(f"_mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # stack(n, lit(name), metrics..., ...) unpivots the 1-row frame.
+    parts = []
+    for c in cols:
+        parts += [
+            f"'{c}'",
+            f"_nn_{c}",
+            f"_nd_{c}",
+            f"_mn_{c}",
+            f"_mx_{c}",
+        ]
+    stacked = wide.select(
+        F.col("_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) "
+            "AS (col_name, _nn, n_distinct, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        F.col("col_name"),
+        F.col("_rows").cast("long").alias("n_rows"),
+        (F.col("_rows") - F.col("_nn")).cast("long").alias("n_nulls"),
+        F.round((F.col("_rows") - F.col("_nn")) * 100.0 / F.col("_rows"), 2).alias(
+            "null_pct"
+        ),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_str",
+        "max_str",
+    )

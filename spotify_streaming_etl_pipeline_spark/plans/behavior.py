@@ -329,3 +329,76 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"),
     )
+
+
+# --- one-pass table profiler -------------------------------------------------
+
+_PROFILE_COLS = ['l_orderkey', 'l_quantity', 'l_discount', 'l_returnflag', 'l_shipdate']
+
+
+@query(
+    "table_profile",
+    """
+    WITH w AS (
+        SELECT count(*) AS _rows,
+               count(l_orderkey) AS nn1,
+               count(DISTINCT l_orderkey) AS nd1,
+               cast(min(l_orderkey) AS VARCHAR) AS mn1,
+               cast(max(l_orderkey) AS VARCHAR) AS mx1,
+               count(l_quantity) AS nn2,
+               count(DISTINCT l_quantity) AS nd2,
+               cast(min(l_quantity) AS VARCHAR) AS mn2,
+               cast(max(l_quantity) AS VARCHAR) AS mx2,
+               count(l_discount) AS nn3,
+               count(DISTINCT l_discount) AS nd3,
+               cast(min(l_discount) AS VARCHAR) AS mn3,
+               cast(max(l_discount) AS VARCHAR) AS mx3,
+               count(l_returnflag) AS nn4,
+               count(DISTINCT l_returnflag) AS nd4,
+               cast(min(l_returnflag) AS VARCHAR) AS mn4,
+               cast(max(l_returnflag) AS VARCHAR) AS mx4,
+               count(l_shipdate) AS nn5,
+               count(DISTINCT l_shipdate) AS nd5,
+               cast(min(l_shipdate) AS VARCHAR) AS mn5,
+               cast(max(l_shipdate) AS VARCHAR) AS mx5
+        FROM lineitem
+    )
+    SELECT 'l_orderkey' AS col_name, cast(_rows AS BIGINT) AS n_rows,
+           cast(_rows - nn1 AS BIGINT) AS n_nulls,
+           round((_rows - nn1) * 100.0 / _rows, 2) AS null_pct,
+           cast(nd1 AS BIGINT) AS n_distinct,
+           mn1 AS min_str, mx1 AS max_str FROM w
+    UNION ALL
+    SELECT 'l_quantity' AS col_name, cast(_rows AS BIGINT) AS n_rows,
+           cast(_rows - nn2 AS BIGINT) AS n_nulls,
+           round((_rows - nn2) * 100.0 / _rows, 2) AS null_pct,
+           cast(nd2 AS BIGINT) AS n_distinct,
+           mn2 AS min_str, mx2 AS max_str FROM w
+    UNION ALL
+    SELECT 'l_discount' AS col_name, cast(_rows AS BIGINT) AS n_rows,
+           cast(_rows - nn3 AS BIGINT) AS n_nulls,
+           round((_rows - nn3) * 100.0 / _rows, 2) AS null_pct,
+           cast(nd3 AS BIGINT) AS n_distinct,
+           mn3 AS min_str, mx3 AS max_str FROM w
+    UNION ALL
+    SELECT 'l_returnflag' AS col_name, cast(_rows AS BIGINT) AS n_rows,
+           cast(_rows - nn4 AS BIGINT) AS n_nulls,
+           round((_rows - nn4) * 100.0 / _rows, 2) AS null_pct,
+           cast(nd4 AS BIGINT) AS n_distinct,
+           mn4 AS min_str, mx4 AS max_str FROM w
+    UNION ALL
+    SELECT 'l_shipdate' AS col_name, cast(_rows AS BIGINT) AS n_rows,
+           cast(_rows - nn5 AS BIGINT) AS n_nulls,
+           round((_rows - nn5) * 100.0 / _rows, 2) AS null_pct,
+           cast(nd5 AS BIGINT) AS n_distinct,
+           mn5 AS min_str, mx5 AS max_str FROM w
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card stats for lineitem in ONE aggregate pass over the
+    table (operators/profile.py): null counts, exact distincts via the
+    multi-distinct expand, stringified min/max, unpivoted with stack.
+    The naive formulation scans the table once per column."""
+    from ..operators.profile import profile_table
+
+    return profile_table(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)

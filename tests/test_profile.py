@@ -1,0 +1,51 @@
+"""One-pass table profiler semantics + single-scan plan pin."""
+
+from __future__ import annotations
+
+from spotify_streaming_etl_pipeline_spark.operators.profile import profile_table
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    got = {r["col_name"]: r.asDict() for r in profile_table(df).collect()}
+    assert got["k"]["n_rows"] == 4
+    assert got["k"]["n_nulls"] == 1
+    assert got["k"]["null_pct"] == 25.0
+    assert got["k"]["n_distinct"] == 2
+    assert (got["k"]["min_str"], got["k"]["max_str"]) == ("1", "2")
+    assert got["s"]["n_nulls"] == 1
+    assert got["s"]["n_distinct"] == 2
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "b")
+
+
+def test_profile_approx_mode_close_to_exact(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_partkey"]
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(li, cols, exact_distinct=True).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(li, cols, exact_distinct=False).collect()
+    }
+    for c in cols:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.1, (c, approx[c], exact[c])
+
+
+def test_profile_scans_table_once(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = (
+        profile_table(li, ["l_orderkey", "l_quantity", "l_returnflag"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1, plan
