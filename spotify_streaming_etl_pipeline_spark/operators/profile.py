@@ -72,3 +72,44 @@ def profile_table(
         "min_str",
         "max_str",
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 4,
+    exact: bool = True,
+) -> DataFrame:
+    """(bucket, n, min_val, max_val): equi-depth histogram — bucket
+    boundaries at the value's own quantiles, so every bucket holds
+    ~equal row counts however skewed the distribution (the histogram
+    a cost optimizer or data card wants; equi-WIDTH buckets collapse
+    under skew).
+
+    Two passes, no global sort: one aggregate computes the n-1
+    interior cutoffs (exact interpolated percentile, or t-digest
+    ``approx_percentile`` when ``exact=False`` — the 100 TB default),
+    then a narrow CASE assigns buckets and a groupBy counts them.
+    The naive ``ntile`` formulation globally sorts the table through
+    ONE task; this shape never does.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    pfn = F.percentile if exact else F.approx_percentile
+    cuts_row = df.agg(
+        *[
+            pfn(F.col(value_col), F.lit(q)).alias(f"c{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).collect()[0]
+    cuts = [cuts_row[f"c{i}"] for i in range(len(qs))]
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (F.col(value_col) > F.lit(c)).cast("int")
+    return (
+        df.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
+    )

@@ -402,3 +402,107 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profile import profile_table
 
     return profile_table(load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+@query(
+    "scd2_pointintime",
+    """
+    WITH feed AS (SELECT * FROM events WHERE event_type <> 'purchase'),
+    o AS (
+        SELECT user_id, ts, event_type, event_id,
+               lag(event_type) OVER w AS prev,
+               row_number() OVER w AS rn
+        FROM feed
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    chg AS (
+        SELECT user_id, ts, event_type, event_id FROM o
+        WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ),
+    hist AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               row_number() OVER w2 AS version
+        FROM chg
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p.event_id AS purchase_id,
+           h.event_type AS status_at_purchase,
+           cast(h.version AS BIGINT) AS status_version
+    FROM events p JOIN hist h
+      ON p.event_type = 'purchase' AND p.user_id = h.user_id
+     AND h.valid_from <= p.ts AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase gets the user's
+    status (last non-purchase event type) valid AT its timestamp —
+    scd2_collapse composed with the as-of join. Zero-length intervals
+    (two changes at one instant) are dropped first, after which the
+    SCD2 intervals tile each user's timeline and backward-as-of on
+    valid_from is exactly interval membership — one shuffle + window
+    instead of the oracle's inequality join."""
+    from ..operators.asof import asof_join
+    from ..operators.scd import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.filter(F.col("event_type") != "purchase")
+    hist = scd2_collapse(
+        feed, key_col="user_id", attr_col="event_type", tiebreak_col="event_id"
+    )
+    hist = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_from") != F.col("valid_to"))
+    ).select(
+        "user_id",
+        F.col("valid_from"),
+        F.col("event_type").alias("status_at_purchase"),
+        F.col("version").alias("status_version"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases, hist, on=["user_id"], left_ts="ts", right_ts="valid_from"
+    )
+    return joined.filter(F.col("status_at_purchase").isNotNull()).select(
+        "purchase_id", "status_at_purchase", "status_version"
+    )
+
+
+@query(
+    "price_histogram_equidepth",
+    """
+    WITH t AS (
+        SELECT cast(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    c AS (
+        SELECT quantile_cont(cents, 0.25) AS c0,
+               quantile_cont(cents, 0.5)  AS c1,
+               quantile_cont(cents, 0.75) AS c2
+        FROM t
+    )
+    SELECT cast((cents > c0)::INT + (cents > c1)::INT + (cents > c2)::INT
+                AS BIGINT) AS bucket,
+           cast(count(*) AS BIGINT) AS n,
+           min(cents) AS min_val,
+           max(cents) AS max_val
+    FROM t, c
+    GROUP BY 1
+    """,
+)
+def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quartile-boundary) histogram of order prices in
+    integer cents (operators/profile.py:equidepth_histogram): ~equal
+    bucket populations under any skew, computed as one percentile
+    aggregate + one narrow bucket groupBy — never a global ntile
+    sort. Cents keep the interpolated cutoffs bit-identical between
+    Spark and DuckDB."""
+    from ..operators.profile import equidepth_histogram
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    return equidepth_histogram(o, "cents", n_buckets=4)

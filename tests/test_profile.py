@@ -49,3 +49,33 @@ def test_profile_scans_table_once(spark, sf_dir):
         .toString()
     )
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_equidepth_histogram_balances_buckets(spark):
+    from spotify_streaming_etl_pipeline_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    # heavily skewed values: equi-depth still splits ~evenly
+    vals = [(float(v),) for v in list(range(100)) + [1000.0] * 100]
+    df = spark.createDataFrame(vals, "x double")
+    got = {r["bucket"]: r["n"] for r in equidepth_histogram(df, "x", 4).collect()}
+    assert sum(got.values()) == 200
+    assert max(got.values()) <= 110  # no bucket hoards the hot value's share
+    assert len(got) >= 3
+
+
+def test_equidepth_histogram_no_global_sort(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.operators.profile import (
+        equidepth_histogram,
+    )
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    plan = (
+        equidepth_histogram(o, "o_totalprice")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" not in plan, plan  # no ntile sort

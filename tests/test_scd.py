@@ -77,3 +77,32 @@ def test_single_shuffle_plan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pointintime_skips_zero_length_intervals(spark):
+    """Two status changes at the same instant: the first forms a
+    zero-length [t, t) interval that no probe timestamp can inhabit —
+    the as-of lookup must resolve to the SECOND change."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.operators.asof import asof_join
+
+    t = dt.datetime(2021, 1, 5)
+    feed = spark.createDataFrame(
+        [
+            (1, dt.datetime(2021, 1, 1), "a", 0),
+            (1, t, "b", 1),
+            (1, t, "c", 2),  # same instant, later tiebreak
+        ],
+        "k long, ts timestamp, attr string, seq long",
+    )
+    hist = scd2_collapse(feed, "k", "attr", tiebreak_col="seq")
+    hist = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_from") != F.col("valid_to"))
+    ).select("k", "valid_from", "attr", "version")
+    probes = spark.createDataFrame([(100, 1, t)], "pid long, k long, ts timestamp")
+    got = asof_join(probes, hist, on=["k"], left_ts="ts", right_ts="valid_from").collect()
+    assert len(got) == 1
+    assert (got[0]["attr"], got[0]["version"]) == ("c", 3)
