@@ -86,3 +86,25 @@ def run_dedup_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time streaming dedup via the NATIVE
+    ``dropDuplicatesWithinWatermark``: one row per key among rows whose
+    event times fall within the watermark delay of each other; state
+    for a key is dropped once the watermark passes its event time.
+
+    The companion to ``dedup_stream``: that one bounds state by
+    PROCESSING-time TTL (redelivery windows measured on the wall
+    clock), this one by EVENT time (late data governed by the same
+    watermark as the windowed aggregates downstream). Prefer this form
+    when the pipeline already reasons in event time — one watermark
+    setting then rules both dedup and aggregation state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

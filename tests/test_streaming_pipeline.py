@@ -374,3 +374,40 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(got) == batch_rows
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    """Native event-time dedup: re-delivered keys inside the watermark
+    window emit once; the streaming drain equals batch dropDuplicates
+    on the same keys."""
+    import datetime as dt
+
+    from spotify_streaming_etl_pipeline_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    base = dt.datetime(2022, 3, 1, 12, 0, 0)
+    rows = [
+        (1, base, "a"),
+        (1, base + dt.timedelta(minutes=5), "a-dup"),   # same key, in window
+        (2, base + dt.timedelta(minutes=1), "b"),
+        (3, base + dt.timedelta(minutes=2), "c"),
+        (3, base + dt.timedelta(minutes=2), "c-dup"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, payload string")
+    src = str(tmp_path / "dedup_src")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    got: list = []
+    q = (
+        dedup_within_watermark(stream, ["k"], watermark="1 hour")
+        .writeStream.foreachBatch(
+            lambda bdf, _bid: got.extend((r["k"],) for r in bdf.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "dw_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == [(1,), (2,), (3,)]
