@@ -506,3 +506,77 @@ def price_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return equidepth_histogram(o, "cents", n_buckets=4)
+
+
+@query(
+    "cdc_apply",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey,
+               round(o_totalprice, 2) AS price, o_orderstatus AS status
+        FROM orders
+    ),
+    ch AS (
+        SELECT k, 'D' AS op, 1 AS seq, o_custkey, price, status
+        FROM base WHERE k % 7 = 0
+        UNION ALL
+        SELECT k, 'U', 1, o_custkey, round(price + 50, 2), status
+        FROM base WHERE k % 7 = 1
+        UNION ALL
+        SELECT k, 'U', 2, o_custkey, round(price + 100, 2), status
+        FROM base WHERE k % 7 = 1
+        UNION ALL
+        SELECT k + 100000000, 'I', 1, o_custkey, price, status
+        FROM base WHERE k % 7 = 2
+    ),
+    last AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                       AS rn
+            FROM ch
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(b.k, c.k) AS k,
+           CASE WHEN c.op IS NOT NULL THEN c.o_custkey
+                ELSE b.o_custkey END AS o_custkey,
+           CASE WHEN c.op IS NOT NULL THEN c.price
+                ELSE b.price END AS price,
+           CASE WHEN c.op IS NOT NULL THEN c.status
+                ELSE b.status END AS status
+    FROM base b FULL OUTER JOIN last c ON b.k = c.k
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def cdc_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as dataflow (operators/cdc.py): a synthetic
+    insert/update/delete feed over orders — deletes for k%7=0, two
+    competing updates for k%7=1 (the later sequence number must win),
+    inserts under fresh keys for k%7=2 — applied with one per-key
+    collapse of the feed plus one full-outer join against the base."""
+    from ..operators.cdc import apply_cdc
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    m = F.col("k") % 7
+
+    def feed(op, seq, key, price):
+        return base.filter(m == {"D": 0, "U": 1, "I": 2}[op]).select(
+            key.alias("k"),
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+            "o_custkey",
+            price.alias("price"),
+            "status",
+        )
+
+    changes = (
+        feed("D", 1, F.col("k"), F.col("price"))
+        .unionAll(feed("U", 1, F.col("k"), F.round(F.col("price") + 50, 2)))
+        .unionAll(feed("U", 2, F.col("k"), F.round(F.col("price") + 100, 2)))
+        .unionAll(feed("I", 1, F.col("k") + 100000000, F.col("price")))
+    )
+    return apply_cdc(base, changes, key_cols=["k"], seq_col="seq")

@@ -1,0 +1,86 @@
+"""CDC merge semantics on constructed feeds."""
+
+from __future__ import annotations
+
+from spotify_streaming_etl_pipeline_spark.operators.cdc import (
+    apply_cdc,
+    latest_changes,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(rows, "k long, op string, seq long, name string, v double")
+
+
+def test_insert_update_delete(spark):
+    ch = _changes(
+        spark,
+        [
+            (2, "U", 1, "b2", 21.0),
+            (3, "D", 1, None, None),
+            (4, "I", 1, "d", 40.0),
+        ],
+    )
+    got = sorted(map(tuple, apply_cdc(_base(spark), ch, ["k"], "seq").collect()))
+    assert got == [(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)]
+
+
+def test_latest_change_per_key_wins(spark):
+    ch = _changes(
+        spark,
+        [
+            (2, "U", 1, "first", 1.0),
+            (2, "U", 3, "last", 3.0),
+            (2, "D", 2, None, None),  # superseded delete
+        ],
+    )
+    got = sorted(map(tuple, apply_cdc(_base(spark), ch, ["k"], "seq").collect()))
+    assert (2, "last", 3.0) in got
+    assert len(got) == 3
+
+
+def test_replay_is_idempotent_and_delete_of_absent_is_noop(spark):
+    ch = _changes(spark, [(9, "D", 1, None, None), (4, "I", 1, "d", 40.0)])
+    once = apply_cdc(_base(spark), ch, ["k"], "seq")
+    twice = apply_cdc(once, ch, ["k"], "seq")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_latest_changes_collapses_to_one_row_per_key(spark):
+    ch = _changes(
+        spark,
+        [(5, "U", 1, "x", 1.0), (5, "U", 2, "y", 2.0), (6, "I", 1, "z", 3.0)],
+    )
+    got = {r["k"]: r["name"] for r in latest_changes(ch, ["k"], "seq").collect()}
+    assert got == {5: "y", 6: "z"}
+
+
+def test_single_feed_shuffle_one_join(spark, sf_dir):
+    """Plan: one window shuffle of the feed + one join with the base;
+    the base is never globally sorted or window-scanned."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+    ch = base.limit(100).select(
+        "k", F.lit("U").alias("op"), F.lit(1).alias("seq"), "o_totalprice"
+    )
+    plan = (
+        apply_cdc(base, ch, ["k"], "seq")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange rangepartitioning" not in plan, plan
+    # one Window operator (WindowGroupLimit is its pushdown helper)
+    assert plan.count("Window [") == 1, plan
