@@ -1,0 +1,53 @@
+"""Blocked fuzzy matching: near-identical string pairs by edit
+distance WITHOUT the all-pairs cross join — the entity-resolution /
+dimension-conformance primitive (dedup "Acme Corp" vs "Acme Corp.",
+additive family, SURVEY §2.11).
+
+Scale shape: candidates come from an equi-join on a BLOCKING key (a
+cheap canonical projection of the string — last token, soundex-ish
+prefix, length band…), so comparison work is Σ block² with blocks
+chosen small, never n². The expensive levenshtein() runs only inside
+blocks, JVM-side (whole-stage codegen), no UDF. The classic trade:
+recall is bounded by the blocking function (a typo IN the blocking
+token moves the string to another block) — layer multiple blocking
+passes (union of candidates from 2-3 cheap keys) when that matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def last_token(c: Column) -> Column:
+    """Default blocking key: the final whitespace token (for
+    'modifier noun' style names, the noun)."""
+    return F.element_at(F.split(c, " "), -1)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_distance: int = 2,
+    block_fn: Callable[[Column], Column] = last_token,
+) -> DataFrame:
+    """(name_a, name_b, distance): distinct values of ``text_col``
+    whose edit distance is <= max_distance, candidates blocked by
+    ``block_fn``. name_a < name_b canonicalizes the pair."""
+    names = (
+        df.select(F.col(text_col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+        .withColumn("blk", block_fn(F.col("name")))
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("distance") <= max_distance)
+        .select("name_a", "name_b", "distance")
+    )

@@ -580,3 +580,68 @@ def cdc_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(feed("I", 1, F.col("k") + 100000000, F.col("price")))
     )
     return apply_cdc(base, changes, key_cols=["k"], seq_col="seq")
+
+
+@query(
+    "revenue_mom_growth",
+    """
+    WITH m AS (
+        SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS ym,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT cast(ym AS BIGINT) AS ym,
+           revenue,
+           round(
+               CASE WHEN lag(revenue) OVER (ORDER BY ym) IS NULL THEN NULL
+                    ELSE (revenue - lag(revenue) OVER (ORDER BY ym))
+                         * 100.0 / lag(revenue) OVER (ORDER BY ym)
+               END, 2) AS mom_pct
+    FROM m
+    """,
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the lag window runs over the
+    ALREADY-AGGREGATED monthly table (tens of rows), so the global
+    (unpartitioned) ordering that would be a scale-killer on raw rows
+    is a no-op here — aggregate first, window the aggregate, never
+    window the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "ym",
+        "revenue",
+        F.round((F.col("revenue") - prev) * 100.0 / prev, 2).alias("mom_pct"),
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (
+        SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+    ),
+    blocked AS (
+        SELECT name, (string_split(name, ' '))[-1] AS blk FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           cast(levenshtein(a.name, b.name) AS BIGINT) AS distance
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names by edit distance <= 2, candidates
+    blocked on the final name token (operators/fuzzy.py) — the
+    entity-resolution primitive, with levenshtein evaluated JVM-side
+    only inside blocks, never across the full n^2."""
+    from ..operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name")

@@ -144,3 +144,25 @@ def test_rolling_revenue_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fuzzy_pairs_blocked_no_cartesian(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    pairs = fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_pairs_semantics(spark):
+    from spotify_streaming_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("red bolt",), ("ted bolt",), ("red hammer",), ("red bolt",)],
+        "p_name string",
+    )
+    got = sorted(map(tuple, fuzzy_pairs(df, "p_name").collect()))
+    # duplicates collapse; cross-block ('red hammer') never compared
+    assert got == [("red bolt", "ted bolt", 1)]
