@@ -35,15 +35,22 @@ def profile_table(
     distinct_of = (
         F.countDistinct if exact_distinct else F.approx_count_distinct
     )
+    # TWO aggregates, crossJoined as 1-row frames, NOT one combined
+    # agg: mixing the multi-countDistinct expand with string-buffered
+    # min/max forces SortAggregate over the (rows × n_cols)-expanded
+    # stream — measured 8.2 s at sf0.1. Split, both sides stay
+    # HashAggregate and the pair runs in ~1 s; the extra column-pruned
+    # scan is bandwidth-cheap at any scale, a sort of expanded data is
+    # not.
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs += [
             F.count(c).alias(f"_nn_{c}"),  # count(col) skips nulls
-            distinct_of(c).alias(f"_nd_{c}"),
             F.min(c).cast("string").alias(f"_mn_{c}"),
             F.max(c).cast("string").alias(f"_mx_{c}"),
         ]
-    wide = df.agg(*aggs)
+    dist = df.agg(*[distinct_of(c).alias(f"_nd_{c}") for c in cols])
+    wide = df.agg(*aggs).crossJoin(F.broadcast(dist))
     # stack(n, lit(name), metrics..., ...) unpivots the 1-row frame.
     parts = []
     for c in cols:

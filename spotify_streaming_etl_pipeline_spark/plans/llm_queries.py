@@ -1296,3 +1296,42 @@ def tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         _docs(spark, sf_dir), threshold=0.9, max_doc_freq=_TFIDF_CAP
     )
+
+
+# --- bigram LM quality scoring ----------------------------------------------
+
+
+@query(
+    "lm_quality_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+        FROM documents
+    ),
+    pe AS (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS pos
+        FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2 FROM pe),
+    bc AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+    uc AS (
+        SELECT w1, count(*)::DOUBLE AS cu
+        FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY 1
+    ),
+    v AS (SELECT count(*)::DOUBLE AS vsize FROM uc)
+    SELECT doc_id,
+           cast(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cb + 1) / (cu + vsize))), 4) AS avg_logprob
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+    GROUP BY doc_id
+    """,
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy text quality (llm/lm_score.py): per-doc mean
+    bigram log-probability under an add-one-smoothed model trained on
+    the corpus — the CCNet-style signal for ranking text before
+    mixing. Model tables are reusable aggregates; scoring is one
+    bigram-keyed join over the stream."""
+    from ..llm.lm_score import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))

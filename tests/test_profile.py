@@ -38,7 +38,10 @@ def test_profile_approx_mode_close_to_exact(spark, sf_dir):
         assert abs(approx[c] - exact[c]) / exact[c] < 0.1, (c, approx[c], exact[c])
 
 
-def test_profile_scans_table_once(spark, sf_dir):
+def test_profile_two_scans_no_per_column_loop(spark, sf_dir):
+    """Exactly TWO column-pruned scans (plain metrics + the distinct
+    agg — deliberately split so neither forces SortAggregate over the
+    expanded stream), never a scan per profiled column."""
     from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -48,7 +51,7 @@ def test_profile_scans_table_once(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("FileScan parquet") == 2, plan
 
 
 def test_equidepth_histogram_balances_buckets(spark):
