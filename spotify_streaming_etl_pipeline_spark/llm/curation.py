@@ -154,3 +154,28 @@ def corpus_diff(
         .withColumn("status", status)
         .filter(F.col("status").isNotNull())
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_pct: Column,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability ``rate_pct``/100 where the rate is a per-row COLUMN
+    (typically a quality score mapped to [0, 100]) — high-quality
+    documents survive at higher rates, junk is thinned, nothing is
+    random. Same hash-threshold mechanism as ``mix_sources`` (uniform
+    48-bit hash of seed:id), so the decision is reproducible across
+    runs, retries, and engines, and composes with the other
+    deterministic samplers: seeds namespace the hash, so applying
+    quota sampling and weighted sampling to the same corpus draws
+    independent "randomness"."""
+    h = F.pmod(
+        portable_hash48(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(100),
+    )
+    return df.filter(h < rate_pct)

@@ -1,0 +1,90 @@
+"""Character-level substring-overlap detection, MOSS-style: documents
+sharing verbatim 16-char substrings, found through mod-p fingerprint
+selection (Broder's "0 mod p" scheme — the deterministic cousin of
+winnowing). Catches copied passages that word-level Jaccard dilutes
+away (a long doc quoting one paragraph) and that embedding similarity
+never localizes (additive family, SURVEY §2.11).
+
+Scale shape: every sliding-window hash is computed JVM-side (same
+posting discipline as llm/text.fingerprint_table), then immediately
+thinned to the ~1/p that are ≡ 0 (mod p) — the posting that shuffles
+is 1/p of the character stream, and selection is position-independent
+so two documents sharing a substring ALWAYS share its selected
+hashes (no winnowing window-alignment miss). Pairs come from one
+equi-join of the thinned posting with itself; a document-frequency
+cap on the hash bounds the hottest key exactly like the n-gram
+dedup's cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import portable_hash48
+
+WINDOW = 16  # substring length, matches fingerprint_table
+MOD = 64  # keep hashes ≡ 0 (mod 64): ~1.6% of the stream
+
+
+def selected_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = WINDOW,
+    mod: int = MOD,
+) -> DataFrame:
+    """(doc_id, h): distinct selected substring hashes per document —
+    every 48-bit hash of a ``window``-char substring with h % mod == 0.
+    Deterministic, alignment-free, and shared verbatim text of length
+    >= window + mod·E[gap] almost surely contributes a selection."""
+    c = F.col(text_col)
+    return (
+        df.filter(F.length(c) >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length(c) - (window - 1))
+            ).alias("i"),
+            c.alias("_t"),
+        )
+        .select(
+            "doc_id",
+            portable_hash48(F.substring(F.col("_t"), F.col("i"), window)).alias(
+                "h"
+            ),
+        )
+        .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
+        .distinct()
+    )
+
+
+def substring_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    window: int = WINDOW,
+    mod: int = MOD,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing at least
+    ``min_shared`` selected substring fingerprints, doc_a < doc_b.
+    ``max_doc_freq`` drops boilerplate substrings present in more than
+    that many documents before pairing (skew guard, cap² worst key)."""
+    sel = selected_fingerprints(df, text_col, window, mod)
+    if max_doc_freq is not None:
+        hot = (
+            sel.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("h")
+        )
+        sel = sel.join(F.broadcast(hot), "h", "left_anti")
+    a = sel.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sel.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -1335,3 +1335,56 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.lm_score import bigram_lm_scores
 
     return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+# --- substring-overlap (MOSS-style) pairs -----------------------------------
+
+
+@query(
+    "substring_overlap",
+    f"""
+    WITH sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) - 14),
+                       i -> {_H48.format(x="substring(text, i, 16)")})) AS h
+            FROM documents WHERE length(text) >= 16
+        ) WHERE h % 64 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(count(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-passage pairs via mod-p substring fingerprint
+    selection (llm/overlap.py) — character-level plagiarism/quote
+    detection that word-Jaccard dilutes away. The shuffled posting is
+    ~1/64 of the character stream; pairing is one equi-join on the
+    selected hash."""
+    from ..llm.overlap import substring_overlap_pairs
+
+    return substring_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
+@query(
+    "weighted_sample",
+    f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE ({_H48.format(x="'wsample:' || doc_id::VARCHAR")}) % 100
+          < least(100, n_chars // 10)
+    """,
+)
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep probability
+    scales with document length (least(100, n_chars/10)%), decided by
+    the portable id hash — longer/higher-quality docs survive at
+    higher rates, reproducibly (llm/curation.py:weighted_sample)."""
+    from ..llm.curation import weighted_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    rate = F.least(F.lit(100), F.floor(F.col("n_chars") / 10))
+    return weighted_sample(d, rate)

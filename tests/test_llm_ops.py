@@ -605,3 +605,59 @@ def test_corpus_diff_classification(spark):
     )
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}  # unchanged 1 omitted
+
+
+def test_substring_overlap_finds_planted_copy(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        substring_overlap_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text before " + shared),
+            (2, shared + " plus an entirely different ending here"),
+            (3, "no copied passage in this document at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = substring_overlap_pairs(docs, min_shared=1).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_substring_overlap_df_cap_drops_boilerplate(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        substring_overlap_pairs,
+    )
+
+    # long, VARIED footer (~1.2k chars) so the 1/64 selection almost
+    # surely picks several of its substrings in every document
+    boiler = " ".join(
+        f"boilerplate clause number {j} of the standard footer" for j in range(24)
+    )
+    docs = spark.createDataFrame(
+        [(i, f"unique body {i} " * 3 + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    # every pair shares only the boilerplate; cap at df<=2 kills it
+    assert substring_overlap_pairs(docs, min_shared=1, max_doc_freq=2).count() == 0
+    assert substring_overlap_pairs(docs, min_shared=1, max_doc_freq=None).count() > 0
+
+
+def test_weighted_sample_rates_scale_with_weight(spark):
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.llm.curation import weighted_sample
+
+    rows = [(i, 10) for i in range(1000)] + [(i, 90) for i in range(1000, 2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = weighted_sample(df, F.col("w")).groupBy("w").count().collect()
+    by_w = {r["w"]: r["count"] for r in kept}
+    assert 50 < by_w[10] < 200      # ~10%
+    assert 800 < by_w[90] < 970     # ~90%
+    # deterministic: same call, same survivors
+    a = sorted(r["doc_id"] for r in weighted_sample(df, F.col("w")).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, F.col("w")).collect())
+    assert a == b
