@@ -334,3 +334,47 @@ def cosine_topk_lsh(
         .select("q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine"))
     )
     return _ranked(pairs, k)
+
+
+def cosine_topk_lsh_multiprobe(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket PLUS every
+    bucket at hamming distance 1 (one hyperplane flipped) — the
+    standard recall lever: candidates grow ×(n_planes+1), recall rises
+    toward exact, and the corpus side is untouched (still one bucket
+    per vector, so a candidate matches at most one probe and no dedup
+    is needed). Deterministic, and the oracle reproduces the probe set
+    with integer xor."""
+    bucketed = emb.select(
+        "vec_id",
+        F.col(vec_col).alias("vec"),
+        bucket_col(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    masks = F.array(
+        *[F.lit(m).cast("long") for m in [0] + [1 << p for p in range(n_planes)]]
+    )
+    q = (
+        bucketed.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            "bucket",
+            F.explode(masks).alias("m"),
+        )
+        .select(
+            "q_id",
+            "q_vec",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+        )
+    )
+    pairs = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine"))
+    )
+    return _ranked(pairs, k)

@@ -1388,3 +1388,47 @@ def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "n_chars")
     rate = F.least(F.lit(100), F.floor(F.col("n_chars") / 10))
     return weighted_sample(d, rate)
+
+
+_PROBE_MASKS = "[" + ", ".join(
+    str(m) for m in [0] + [1 << p for p in range(similarity.N_PLANES)]
+) + "]"
+
+
+@query(
+    "ann_topk_lsh_multiprobe",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    probes AS (
+        SELECT q_id, q_vec, xor(bucket, m) AS bucket
+        FROM q, unnest({_PROBE_MASKS}::BIGINT[]) AS t(m)
+    ),
+    p AS (
+        SELECT pr.q_id, b.vec_id,
+               {_cos_sql('b.embedding', 'pr.q_vec')} AS cosine
+        FROM b JOIN probes pr ON b.bucket = pr.bucket
+        WHERE b.vec_id <> pr.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+                   AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (hamming-1 probe set): the recall lever on
+    the bucketed path — candidates x(n_planes+1), corpus untouched."""
+    return similarity.cosine_topk_lsh_multiprobe(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5
+    )

@@ -661,3 +661,27 @@ def test_weighted_sample_rates_scale_with_weight(spark):
     a = sorted(r["doc_id"] for r in weighted_sample(df, F.col("w")).collect())
     b = sorted(r["doc_id"] for r in weighted_sample(df, F.col("w")).collect())
     assert a == b
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
+    """Hamming-1 probing must recover at least as many of the EXACT
+    top-5 neighbors as single-bucket LSH, for every query."""
+    from spotify_streaming_etl_pipeline_spark.llm import similarity
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topsets(similarity.cosine_topk(emb, qids, k=5))
+    single = topsets(similarity.cosine_topk_lsh(emb, qids, k=5))
+    multi = topsets(similarity.cosine_topk_lsh_multiprobe(emb, qids, k=5))
+    for q in exact:
+        r_single = len(exact[q] & single.get(q, set()))
+        r_multi = len(exact[q] & multi.get(q, set()))
+        assert r_multi >= r_single, (q, r_single, r_multi)
