@@ -645,3 +645,40 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import fuzzy_pairs
 
     return fuzzy_pairs(load_table(spark, sf_dir, "part"), "p_name")
+
+
+@query(
+    "incremental_monthly_agg",
+    """
+    SELECT cast(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS ym,
+           cast(count(o_totalprice) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def incremental_monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance equivalence gate: the monthly aggregate
+    built by MERGING a pre-1997 snapshot state with the post-1997
+    delta's state (operators/incremental.py) must hash-equal the
+    oracle's from-scratch aggregate over all orders. Rounding happens
+    only at presentation — partials merge raw."""
+    from ..operators.incremental import agg_state, merge_states
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "ym",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long"),
+    )
+    prev = agg_state(o.filter(F.col("ym") < 199701), ["ym"], "o_totalprice")
+    delta = agg_state(o.filter(F.col("ym") >= 199701), ["ym"], "o_totalprice")
+    merged = merge_states(prev, delta, ["ym"])
+    return merged.select(
+        "ym",
+        F.col("n_rows").alias("n_orders"),
+        F.round("sum_v", 2).alias("revenue"),
+        F.round("min_v", 2).alias("min_price"),
+        F.round("max_v", 2).alias("max_price"),
+    )
