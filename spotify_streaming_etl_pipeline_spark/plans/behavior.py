@@ -682,3 +682,63 @@ def incremental_monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 2).alias("min_price"),
         F.round("max_v", 2).alias("max_price"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH t AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ),
+    t2s AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2
+        FROM t
+    ),
+    t3s AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t3
+        FROM t2s
+    ),
+    u AS (
+        SELECT user_id, any_value(t1) AS t1, any_value(t3) AS t3
+        FROM t3s GROUP BY user_id
+    ),
+    d AS (
+        SELECT epoch_ms(t3) - epoch_ms(t1) AS ms FROM u
+        WHERE t3 IS NOT NULL
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(ms, 0.5), 1) AS p50_ms,
+           round(quantile_cont(ms, 0.9), 1) AS p90_ms,
+           cast(max(ms) AS BIGINT) AS max_ms
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency distribution of the full view->purchase funnel:
+    p50/p90/max seconds from first view to ordered purchase, over
+    converted users only. Epoch-MILLISECOND diffs (via zone-proof
+    epoch_of) sidestep the engines' differing sub-second truncation
+    in second-granularity diffs, and integer ms keep quantile_cont /
+    percentile interpolation bit-identical; the per-user table
+    (funnel_times) is the single-shuffle window chain."""
+    from ..functions.scalar import epoch_of
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType
+    per_user = funnel_times(ev)
+    ms = (
+        epoch_of(ts_type, F.col("t3"), "MILLISECOND")
+        - epoch_of(ts_type, F.col("t1"), "MILLISECOND")
+    ).cast("double")
+    d = per_user.filter(F.col("t3").isNotNull()).select(ms.alias("ms"))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("ms", F.lit(0.5)), 1).alias("p50_ms"),
+        F.round(F.percentile("ms", F.lit(0.9)), 1).alias("p90_ms"),
+        F.max("ms").cast("long").alias("max_ms"),
+    )
