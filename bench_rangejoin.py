@@ -71,7 +71,7 @@ def main() -> None:
     results = {}
     for factor in (1, 4):
         errs = errors_scaled(factor)
-        errs.count()
+        n_intervals = errs.count()  # materializes the persisted frame
         exact = (
             (F.col("pms") >= F.col("start_ms"))
             & (F.col("pms") < F.col("end_ms"))
@@ -92,9 +92,10 @@ def main() -> None:
         results[f"x{factor}"] = {
             "naive_bnlj_s": timed(naive),
             "binned_s": timed(binned),
-            "n_intervals": errs.count(),
+            "n_intervals": n_intervals,
         }
         errs.unpersist()
+    purchases.unpersist()
     print(json.dumps({"sf_dir": sf_dir, **results}))
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import portable_hash48
+from .text import window_hashes
 
 WINDOW = 16  # substring length, matches fingerprint_table
 MOD = 64  # keep hashes ≡ 0 (mod 64): ~1.6% of the stream
@@ -34,25 +34,13 @@ def selected_fingerprints(
     mod: int = MOD,
 ) -> DataFrame:
     """(doc_id, h): distinct selected substring hashes per document —
-    every 48-bit hash of a ``window``-char substring with h % mod == 0.
-    Deterministic, alignment-free, and shared verbatim text of length
-    >= window + mod·E[gap] almost surely contributes a selection."""
-    c = F.col(text_col)
+    every 48-bit hash of a ``window``-char substring with h % mod == 0
+    (the sliding-hash substrate is text.window_hashes, shared with the
+    min-hash fingerprint). Deterministic, alignment-free, and shared
+    verbatim text of length >= window + mod·E[gap] almost surely
+    contributes a selection."""
     return (
-        df.filter(F.length(c) >= window)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length(c) - (window - 1))
-            ).alias("i"),
-            c.alias("_t"),
-        )
-        .select(
-            "doc_id",
-            portable_hash48(F.substring(F.col("_t"), F.col("i"), window)).alias(
-                "h"
-            ),
-        )
+        window_hashes(df, text_col, window)
         .filter(F.pmod(F.col("h"), F.lit(mod)) == 0)
         .distinct()
     )

@@ -172,23 +172,40 @@ def doc_fingerprint(text: Column, window: int = 16) -> Column:
     )
 
 
-def fingerprint_table(
+def window_hashes(
     df: DataFrame, text_col: str = "text", window: int = 16
 ) -> DataFrame:
-    """(doc_id, fingerprint) for a whole table: explode window offsets,
-    hash in a relational projection (whole-stage codegen), min per doc
-    in one partial-aggregating groupBy. Same values as
-    ``doc_fingerprint``; ~2x faster because md5 is not evaluated by the
-    interpreted HOF path."""
+    """(doc_id, h): the 48-bit hash of EVERY ``window``-char sliding
+    substring, one row per offset — the shared substrate of the
+    min-hash fingerprint (below) and mod-p overlap selection
+    (llm/overlap.py). Docs shorter than ``window`` produce no rows.
+    All relational: explode offsets, substring, md5 — whole-stage
+    codegen end to end."""
     c = F.col(text_col)
-    long_docs = (
+    return (
         df.filter(F.length(c) >= window)
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(1), F.length(c) - (window - 1))).alias("i"),
             c.alias("_t"),
         )
-        .select("doc_id", portable_hash48(F.substring(F.col("_t"), F.col("i"), window)).alias("h"))
+        .select(
+            "doc_id",
+            portable_hash48(F.substring(F.col("_t"), F.col("i"), window)).alias("h"),
+        )
+    )
+
+
+def fingerprint_table(
+    df: DataFrame, text_col: str = "text", window: int = 16
+) -> DataFrame:
+    """(doc_id, fingerprint) for a whole table: min window-hash per doc
+    in one partial-aggregating groupBy. Same values as
+    ``doc_fingerprint``; ~2x faster because md5 is not evaluated by the
+    interpreted HOF path."""
+    c = F.col(text_col)
+    long_docs = (
+        window_hashes(df, text_col, window)
         .groupBy("doc_id")
         .agg(F.min("h").alias("fingerprint"))
     )

@@ -23,12 +23,13 @@ def latest_changes(
     changes: DataFrame,
     key_cols: list[str],
     seq_col: str,
-    op_col: str = "op",
 ) -> DataFrame:
     """Collapse a change feed to each key's LATEST row by ``seq_col``
     (a total order: log offset, LSN, commit ts + tiebreak). Earlier
     changes for a key are superseded — applying only the survivor is
-    what makes the merge idempotent and batch-size-independent."""
+    what makes the merge idempotent and batch-size-independent. The
+    op plays no role here: a superseded delete loses to a later
+    update purely by sequence order."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     return (
         changes.withColumn("_rn", F.row_number().over(w))
@@ -56,7 +57,7 @@ def apply_cdc(
     ``seq_col``. Payload columns are taken wholesale from the change
     row (full-row images, the Debezium-style contract)."""
     payload = [c for c in base.columns if c not in key_cols]
-    last = latest_changes(changes, key_cols, seq_col, op_col)
+    last = latest_changes(changes, key_cols, seq_col)
     joined = base.alias("b").join(
         last.alias("c"), on=key_cols, how="full_outer"
     )

@@ -54,12 +54,11 @@ def scd2_collapse(
         (F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(attr_col))
     )
 
-    w2 = Window.partitionBy(key_col).orderBy(*order)
     return changes.select(
         F.col(key_col),
         F.col(attr_col),
         F.col(ts_col).alias("valid_from"),
-        F.lead(ts_col).over(w2).alias("valid_to"),
-        F.lead(ts_col).over(w2).isNull().alias("is_current"),
-        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
     )

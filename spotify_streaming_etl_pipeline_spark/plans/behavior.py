@@ -45,7 +45,7 @@ def funnel_times(
     an unbounded window partitioned by user — the chain nests, but all
     windows share the user partitioning so Catalyst plans a single
     Exchange followed by N Window operators (pinned in
-    tests/test_plan_shapes.py)."""
+    tests/test_behavior.py::test_funnel_single_shuffle_window_chain)."""
     w = Window.partitionBy(user_col)
     df = events
     prev: str | None = None
@@ -76,16 +76,24 @@ def funnel_conversion(
             for i in range(1, len(steps) + 1)
         ]
     )
-    rows = None
-    for i, step in enumerate(steps, start=1):
-        row = counts.select(
-            F.lit(i).cast("long").alias("step_no"),
-            F.lit(step).alias("step"),
-            F.col(f"n{i}").alias("n_users"),
-            F.round(F.col(f"n{i}") * 100.0 / F.col("n1"), 2).alias("pct_of_first"),
-        )
-        rows = row if rows is None else rows.unionAll(row)
-    return rows
+    # stack() unpivots the 1-row counts frame to one row per step in a
+    # single plan subtree — a unionAll of per-step selects would embed
+    # N copies of the window+aggregate chain in the logical plan.
+    parts = ", ".join(
+        f"cast({i} AS bigint), '{step}', n{i}"
+        for i, step in enumerate(steps, start=1)
+    )
+    return counts.select(
+        F.expr(
+            f"stack({len(steps)}, {parts}) AS (step_no, step, n_users)"
+        ),
+        F.col("n1").alias("_n1"),
+    ).select(
+        "step_no",
+        "step",
+        "n_users",
+        F.round(F.col("n_users") * 100.0 / F.col("_n1"), 2).alias("pct_of_first"),
+    )
 
 
 def cohort_retention(
