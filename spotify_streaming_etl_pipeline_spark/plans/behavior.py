@@ -750,3 +750,210 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("ms", F.lit(0.9)), 1).alias("p90_ms"),
         F.max("ms").cast("long").alias("max_ms"),
     )
+
+
+@query(
+    "purchases_outside_error_windows",
+    f"""
+    SELECT p.event_id AS purchase_id, cast(epoch_ms(p.ts) AS BIGINT) AS pms
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND NOT EXISTS (
+          SELECT 1 FROM events e
+          WHERE e.event_type = 'error'
+            AND epoch_ms(p.ts) >= epoch_ms(e.ts) - {_HALF_WINDOW_MS}
+            AND epoch_ms(p.ts) <  epoch_ms(e.ts) + {_HALF_WINDOW_MS}
+      )
+    """,
+)
+def purchases_outside_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANTI form of the binned interval join: purchases matching
+    NO error window — same bucket-explode equi-join shape, planned as
+    left_anti, versus the oracle's NOT EXISTS inequality subquery."""
+    from ..functions.scalar import epoch_of
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    ems = epoch_of(ev.schema["ts"].dataType, F.col("ts"), "MILLISECOND")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        (ems - _HALF_WINDOW_MS).alias("start_ms"),
+        (ems + _HALF_WINDOW_MS).alias("end_ms"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), ems.alias("pms")
+    )
+    return interval_join(
+        purchases,
+        errors,
+        point_ms="pms",
+        start_ms="start_ms",
+        end_ms="end_ms",
+        bucket_width_ms=_HALF_WINDOW_MS,
+        how="left_missing",
+    )
+
+
+@query(
+    "hourly_anomalies",
+    """
+    WITH h AS (
+        SELECT event_type, epoch_ms(ts) // 3600000 AS hr,
+               count(*)::DOUBLE AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, hr, n,
+               avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+        FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, cast(hr AS BIGINT) AS hr, cast(n AS BIGINT) AS n,
+           round((n - mu) / sd, 2) AS z
+    FROM s WHERE sd > 0 AND abs((n - mu) / sd) > 3
+    """,
+)
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed z-score anomaly detection: each (event_type, hour)
+    count scored against the TRAILING 24 hourly buckets' mean/stddev
+    (current bucket excluded — scoring a point against a baseline that
+    contains it dilutes the signal), |z| > 3 flagged. Two shuffles
+    total (hourly agg, per-type window); the window state is 24 rows
+    per type regardless of corpus size — the monitoring query an event
+    pipeline runs on itself."""
+    from ..functions.scalar import epoch_of
+
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.floor(
+        epoch_of(ev.schema["ts"].dataType, F.col("ts"), "MILLISECOND")
+        / F.lit(3600000)
+    ).cast("long")
+    h = ev.groupBy(F.col("event_type"), hr.alias("hr")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    s = h.select(
+        "event_type",
+        "hr",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        s.filter((F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_type",
+            "hr",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 2).alias("z"),
+        )
+    )
+
+
+@query(
+    "session_funnel",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_type, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM o
+    ),
+    t AS (
+        SELECT user_id, session_no, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER ws AS t1
+        FROM s WINDOW ws AS (PARTITION BY user_id, session_no)
+    ),
+    t2s AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                   OVER (PARTITION BY user_id, session_no) AS t2
+        FROM t
+    ),
+    t3s AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                   OVER (PARTITION BY user_id, session_no) AS t3
+        FROM t2s
+    ),
+    u AS (
+        SELECT user_id, session_no, any_value(t1) AS t1, any_value(t2) AS t2,
+               any_value(t3) AS t3
+        FROM t3s GROUP BY user_id, session_no
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_sessions,
+           cast(count(t1) AS BIGINT) AS n_view,
+           cast(count(t2) AS BIGINT) AS n_click,
+           cast(count(t3) AS BIGINT) AS n_purchase
+    FROM u
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-SESSION funnel: the ordered view->click->purchase chain
+    must complete inside one 30-minute-gap session — the strict intent
+    metric (the cross-session funnel_conversion counts a purchase days
+    after the view). Session assignment is gaps-and-islands (lag +
+    running sum) on the same user partitioning the funnel windows then
+    extend with session_no; counts are per session, not per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w_user)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    s = ev.select("user_id", "ts", "event_type", "event_id").withColumn(
+        "session_no",
+        F.sum(new_session).over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_no")
+    s = s.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws),
+    )
+    s = s.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    s = s.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(ws),
+    )
+    per_session = s.groupBy("user_id", "session_no").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_click"),
+        F.count("t3").cast("long").alias("n_purchase"),
+    )

@@ -166,3 +166,39 @@ def test_fuzzy_pairs_semantics(spark):
     got = sorted(map(tuple, fuzzy_pairs(df, "p_name").collect()))
     # duplicates collapse; cross-block ('red hammer') never compared
     assert got == [("red bolt", "ted bolt", 1)]
+
+
+def test_session_funnel_requires_same_session(spark):
+    """A purchase in a LATER session than its view/click must not
+    count, even though the cross-session funnel would count it."""
+    import datetime as dt
+
+    from spotify_streaming_etl_pipeline_spark.plans.behavior import (
+        session_funnel as _sf,  # noqa: F401 - query fn needs sf_dir
+    )
+
+    # build via the registered logic on a tiny in-memory table: write
+    # it to parquet so the query's load_table can read it? Simpler:
+    # replicate the operator inline through funnel-on-session windows.
+    rows = [
+        # u1: view+click+purchase within one session -> full funnel
+        (1, dt.datetime(2020, 1, 1, 10, 0), "view", 1),
+        (1, dt.datetime(2020, 1, 1, 10, 5), "click", 2),
+        (1, dt.datetime(2020, 1, 1, 10, 10), "purchase", 3),
+        # u2: view+click in session 1, purchase 2 hours later
+        (2, dt.datetime(2020, 1, 1, 10, 0), "view", 4),
+        (2, dt.datetime(2020, 1, 1, 10, 5), "click", 5),
+        (2, dt.datetime(2020, 1, 1, 12, 30), "purchase", 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        got = _sf(spark, d).collect()[0]
+    assert got["n_sessions"] == 3  # u1 x1, u2 x2
+    assert got["n_view"] == 2
+    assert got["n_click"] == 2
+    assert got["n_purchase"] == 1  # only u1's same-session purchase
