@@ -313,3 +313,50 @@ def test_chunking_matches_python_model(spark, token_lists, chunk_size, stride):
             piece = toks[c * stride : c * stride + chunk_size]
             want[(i, c)] = (len(piece), " ".join(piece))
     assert got == want
+
+
+@given(
+    st.lists(  # base rows: (key, value)
+        st.tuples(st.integers(0, 15), st.integers(0, 100)),
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(  # change feed: (key, op, seq, value)
+        st.tuples(
+            st.integers(0, 20),
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 50),
+            st.integers(0, 100),
+        ),
+        max_size=40,
+        unique_by=lambda t: (t[0], t[2]),  # (key, seq) unique = total order
+    ),
+)
+@PROPS
+def test_apply_cdc_matches_dict_model(spark, base_rows, change_rows):
+    """apply_cdc == replaying the per-key-latest change into a dict."""
+    from spotify_streaming_etl_pipeline_spark.operators.cdc import apply_cdc
+
+    model = {k: v for k, v in base_rows}
+    latest = {}
+    for k, op, seq, v in change_rows:
+        if k not in latest or seq > latest[k][1]:
+            latest[k] = (op, seq, v)
+    for k, (op, _seq, v) in latest.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    base = spark.createDataFrame(
+        [(k, float(v)) for k, v in base_rows] or [(None, None)], "k long, v double"
+    ).filter("k IS NOT NULL")
+    changes = spark.createDataFrame(
+        [(k, op, s, float(v)) for k, op, s, v in change_rows]
+        or [(None, None, None, None)],
+        "k long, op string, seq long, v double",
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: r["v"] for r in apply_cdc(base, changes, ["k"], "seq").collect()
+    }
+    assert got == {k: float(v) for k, v in model.items()}
