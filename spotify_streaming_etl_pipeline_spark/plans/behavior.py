@@ -957,3 +957,68 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t2").cast("long").alias("n_click"),
         F.count("t3").cast("long").alias("n_purchase"),
     )
+
+
+@query(
+    "price_quantity_stats",
+    """
+    SELECT l_returnflag,
+           cast(count(*) AS BIGINT) AS n,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+           round(stddev_samp(l_extendedprice), 2) AS price_sd
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def price_quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per return flag: Pearson correlation,
+    sample covariance, and stddev in ONE grouped aggregate — the
+    corr/covar family runs map-side-partial like any sum (Spark keeps
+    the (n, mean_x, mean_y, co-moment) state per group), so this
+    costs exactly one shuffle of 3 small groups, not a join of
+    per-measure passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_cov"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+    )
+
+
+@query(
+    "revenue_trend_slope",
+    """
+    WITH m AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate))::DOUBLE AS mi,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT cast(count(*) AS BIGINT) AS n_months,
+           round(regr_slope(revenue, mi), 2) AS slope_per_month,
+           round(regr_intercept(revenue, mi), 2) AS intercept,
+           round(regr_r2(revenue, mi), 4) AS r2
+    FROM m
+    """,
+)
+def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares revenue trend over month index: slope, intercept
+    and R² from the regr_* aggregate family — fitted on the
+    pre-aggregated monthly table (tens of rows), never the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("double")
+        .alias("mi")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.round(F.regr_slope("revenue", "mi"), 2).alias("slope_per_month"),
+        F.round(F.regr_intercept("revenue", "mi"), 2).alias("intercept"),
+        F.round(F.regr_r2("revenue", "mi"), 4).alias("r2"),
+    )

@@ -360,3 +360,47 @@ def test_apply_cdc_matches_dict_model(spark, base_rows, change_rows):
         r["k"]: r["v"] for r in apply_cdc(base, changes, ["k"], "seq").collect()
     }
     assert got == {k: float(v) for k, v in model.items()}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["a", "b", None])),
+        min_size=1,
+        max_size=40,
+    )
+)
+@PROPS
+def test_scd2_collapse_matches_list_model(spark, rows):
+    """scd2_collapse == a per-key linear scan that opens an interval on
+    every (null-safe) attribute change."""
+    from spotify_streaming_etl_pipeline_spark.operators.scd import scd2_collapse
+
+    import datetime as dt
+
+    feed = [
+        (k, dt.datetime(2021, 1, 1) + dt.timedelta(hours=i), a, i)
+        for i, (k, a) in enumerate(rows)
+    ]
+    model = {}
+    for k, ts, a, _seq in sorted(feed, key=lambda r: (r[0], r[1], r[3])):
+        hist = model.setdefault(k, [])
+        if not hist or hist[-1][0] != a:
+            hist.append((a, ts))
+    expect = []
+    for k, hist in model.items():
+        for i, (a, ts) in enumerate(hist):
+            nxt = hist[i + 1][1] if i + 1 < len(hist) else None
+            expect.append((k, a, ts, nxt, nxt is None, i + 1))
+
+    df = spark.createDataFrame(
+        feed, "k long, ts timestamp, attr string, seq long"
+    )
+    key = lambda t: (t[0], t[5])  # (k, version) is a total order  # noqa: E731
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"], r["version"])
+            for r in scd2_collapse(df, "k", "attr", tiebreak_col="seq").collect()
+        ),
+        key=key,
+    )
+    assert got == sorted(expect, key=key)
