@@ -1022,3 +1022,79 @@ def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("revenue", "mi"), 2).alias("intercept"),
         F.round(F.regr_r2("revenue", "mi"), 4).alias("r2"),
     )
+
+
+@query(
+    "hopping_event_windows",
+    """
+    WITH e AS (
+        SELECT event_type, epoch_ms(ts) AS ems FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               (ems // 900000 - off) * 900000 AS win_start_ms
+        FROM e, unnest([0, 1, 2, 3]) AS t(off)
+        WHERE (ems // 900000 - off) * 900000 + 3600000 > ems
+    )
+    SELECT cast(win_start_ms AS BIGINT) AS win_start_ms, event_type,
+           cast(count(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def hopping_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) 1-hour windows every 15 minutes: each event
+    lands in 4 overlapping windows — Spark's native F.window with a
+    slideDuration, the streaming-capable form (same call under
+    readStream + watermark). The oracle reconstructs the window set
+    with an explicit 4-offset unnest. Window starts surface as epoch
+    ms via zone-proof arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    from ..functions.scalar import epoch_of
+
+    ts_type = ev.schema["ts"].dataType
+    w = ev.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return w.select(
+        epoch_of(ts_type, F.col("w.start"), "MILLISECOND").alias("win_start_ms"),
+        "event_type",
+        "n",
+    )
+
+
+@query(
+    "revenue_cumshare",
+    """
+    WITH m AS (
+        SELECT (year(o_orderdate) * 100 + month(o_orderdate)) AS ym,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(rev) AS total FROM m)
+    SELECT cast(ym AS BIGINT) AS ym,
+           round(rev, 2) AS revenue,
+           round(sum(rev) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING)
+                 * 100.0 / total, 2) AS cum_share_pct
+    FROM m, t
+    """,
+)
+def revenue_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue share by month: running sum over the
+    pre-aggregated monthly table divided by the broadcast grand total
+    — the Pareto/'when did we cross 80%' curve. The global ordering
+    touches months, never the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("ym")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    total = m.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return m.crossJoin(F.broadcast(total)).select(
+        "ym",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w) * 100.0 / F.col("total"), 2).alias(
+            "cum_share_pct"
+        ),
+    )
