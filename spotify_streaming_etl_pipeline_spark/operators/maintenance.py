@@ -21,7 +21,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -114,3 +114,23 @@ def compact_partitioned(
             )
     spark.catalog.refreshByPath(root)
     return out
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leave every other partition untouched — the idempotent
+    backfill/restatement write (re-run yesterday's load without
+    clobbering the rest of the table). Plain ``mode("overwrite")``
+    with STATIC overwrite semantics would truncate the whole root.
+
+    Scoped via the writer option (not a session-wide conf mutation) so
+    concurrent writers on the same session keep their own semantics.
+    Same contract as lakehouse `INSERT OVERWRITE ... PARTITION`."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
