@@ -1098,3 +1098,102 @@ def revenue_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share_pct"
         ),
     )
+
+
+@query(
+    "grouping_sets_agg",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of rollup/cube
+    (already gated): status margins, priority margins, and the grand
+    total in ONE aggregate over a single Expand, no self-union of
+    three scans. Sentinel 'ALL' stands in for the NULL grouping ids so
+    the hash compare is unambiguous."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               cast(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "top_orders_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               cast(rank() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY round(o_totalprice, 0) DESC) AS BIGINT) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders WITH ties: rank() (gapped) versus the
+    already-gated row_number() form — equal rounded prices share a
+    rank, so a tie at the boundary returns more than 3 rows. Prices
+    round to whole units first so the tie set is engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round("o_totalprice", 0).desc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "priority_order_lists",
+    """
+    SELECT o_orderpriority,
+           cast(count(*) AS BIGINT) AS n,
+           string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey)
+               AS first_keys
+    FROM (
+        SELECT o_orderpriority, o_orderkey FROM orders
+        WHERE o_orderkey % 997 = 0
+    )
+    GROUP BY 1
+    """,
+)
+def priority_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG): per priority, the sampled order
+    keys concatenated in key order — Spark has no ordered string_agg,
+    so the deterministic form is array_sort(collect_list(...)) then
+    array_join; collect order never leaks into the result."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 997 == 0
+    )
+    # Sort the LONGS, then stringify — sorting the strings would order
+    # "1994" before "997" lexicographically while the oracle orders by
+    # the numeric key.
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first_keys"),
+    )

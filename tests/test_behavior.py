@@ -202,3 +202,21 @@ def test_session_funnel_requires_same_session(spark):
     assert got["n_view"] == 2
     assert got["n_click"] == 2
     assert got["n_purchase"] == 1  # only u1's same-session purchase
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """Three grouping sets in ONE aggregate: a single Expand + a single
+    hash Exchange, never a self-union of three scans."""
+    from spotify_streaming_etl_pipeline_spark.plans.behavior import (
+        grouping_sets_agg,
+    )
+
+    plan = (
+        grouping_sets_agg(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
