@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         behavior,
         extras,
         llm_queries,
+        quality,
     )
 
     return _verification_order(dict(analytics.QUERIES))
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         behavior,
         extras,
         llm_queries,
+        quality,
     )
 
     return _verification_order(dict(analytics.ORACLE))

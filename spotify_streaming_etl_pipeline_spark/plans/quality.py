@@ -1,0 +1,532 @@
+"""Data-quality audits, classic warehouse subquery shapes, graph
+analytics, and time-series gap handling (additive family — the
+reference's warehouse assumes FK integrity instead of checking it;
+these are the queries run against the same schema before trusting it).
+
+Scale shapes (written for 100 TB, tested at sf0.1):
+
+- ``fk_integrity``: each edge is ONE pre-aggregate on the child's FK
+  (map-side combined, shuffles distinct keys only — never child rows)
+  followed by a presence join against the parent's key set.  Dim-sized
+  parents broadcast; the one fact→fact edge (lineitem→orders) joins
+  distinct keys against distinct keys.  The 7-edge audit is a union of
+  one-row frames, so the whole thing is 7 independent jobs with no
+  cross-edge shuffle.
+- ``order_priority_semi``: EXISTS realized as LEFT SEMI hash join on
+  the equi key with the non-equi part (l_shipdate > o_orderdate) as a
+  join-time residual — never a row explosion, each order emits at most
+  once regardless of how many lineitems match.
+- ``small_quantity_revenue``: the correlated scalar subquery
+  (per-part 0.2·avg threshold) decorrelates into a per-part aggregate
+  joined back — and because the outer query is brand-filtered, the
+  aggregate is computed only over that brand's lineitems (the per-part
+  avg is unaffected by the brand equi-filter), turning a full-table
+  correlated scan into a broadcast-sized one.
+- ``copurchase_triangles``: within-order self-join is bounded by
+  lines-per-order (~7); the edge list is thinned by a support
+  threshold BEFORE triangle enumeration, and triangles use the
+  standard ordered-edge (a<b<c) double join so each triangle is
+  counted exactly once with equi-joins only.
+- ``monthly_gap_fill``: the dense month spine derives from a one-row
+  min/max aggregate + ``sequence`` explode (driver-free, tiny), left
+  joins the monthly aggregate, and the running total windows over the
+  post-aggregate frame (≤ months rows — a single-partition window over
+  an already-reduced input, not over the fact table).
+- ``rfm_segments``: quartile boundaries come from ONE interpolated
+  ``percentile`` pass over the customer-level aggregate and attach via
+  a broadcast one-row cross join — no global ``ntile`` sort of the
+  customer table (the usual RFM formulation) anywhere.  At 100 TB the
+  exact percentile swaps for ``approx_percentile`` with identical
+  plumbing.  Money is summed as per-row-rounded integer cents, which
+  is order-independent where a float sum is not.
+- ``bpe_pair_counts``: the first iteration of BPE merge-candidate
+  counting.  The corpus tokenizes once into a word-frequency table
+  (map-side combined — the char-pair explosion then runs over DISTINCT
+  words weighted by frequency, not over every corpus token, which is
+  the standard trick that makes BPE training corpus-size-independent
+  per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .analytics import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit over every FK edge of the schema
+# ---------------------------------------------------------------------------
+
+# (edge label, child table, fk col, parent table, pk col, parent is dim-sized)
+_FK_EDGES = (
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+)
+
+
+def fk_violations(
+    spark: SparkSession, sf_dir: str, edges=_FK_EDGES
+) -> DataFrame:
+    """One row per FK edge: child row count, orphan rows (child rows
+    whose FK matches no parent key), and distinct orphan keys.
+
+    Per edge: child pre-aggregates to (key, cnt) — the shuffle carries
+    one row per DISTINCT key — then LEFT joins the parent's key set and
+    folds to a single row.  NULL FKs count as orphans (mirrors SQL
+    ``NOT EXISTS``, whose correlated predicate never matches a NULL)."""
+    out = None
+    for label, child_t, fk, parent_t, pk, dim in edges:
+        counts = (
+            _t(spark, sf_dir, child_t)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        parent = _t(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("pk")
+        ).distinct()
+        if dim:
+            parent = F.broadcast(parent)
+        joined = counts.join(parent, counts.k == parent.pk, "left")
+        row = joined.agg(
+            F.lit(label).alias("edge"),
+            F.sum("cnt").cast("long").alias("n_child_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("pk").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_orphan_rows"),
+            F.count(F.when(F.col("pk").isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_orphan_keys"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+_FK_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS edge,
+           cast(sum(cnt) AS BIGINT) AS n_child_rows,
+           cast(coalesce(sum(CASE WHEN pk IS NULL THEN cnt END), 0) AS BIGINT)
+               AS n_orphan_rows,
+           cast(count(CASE WHEN pk IS NULL THEN 1 END) AS BIGINT)
+               AS n_orphan_keys
+    FROM (SELECT {fk} AS k, count(*) AS cnt FROM {child_t} GROUP BY 1) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent_t}) p ON c.k = p.pk
+    """
+    for label, child_t, fk, parent_t, pk, _dim in _FK_EDGES
+)
+
+
+@query("fk_integrity", _FK_SQL)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fk_violations(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# EXISTS as LEFT SEMI join (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_priority_semi",
+    """
+    SELECT o_orderpriority, cast(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY 1
+    """,
+)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that shipped at least one line after the
+    order date, 1996 only.  EXISTS → LEFT SEMI join: the equi key
+    (orderkey) drives a hash join, the date inequality rides along as a
+    residual condition, and semi semantics emit each order at most once
+    — no DISTINCT needed, no multiplicity bugs."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery decorrelated (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+_SQR_BRAND = "Brand#4"
+
+
+@query(
+    "small_quantity_revenue",
+    f"""
+    SELECT round(coalesce(sum(l_extendedprice), 0) / 7.0, 2)
+               AS avg_weekly_revenue
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = '{_SQR_BRAND}'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to small (below 20 % of the part's average
+    quantity) orders of one brand, per week.  The correlated subquery
+    decorrelates into a per-part avg computed ONLY over the brand's
+    lineitems — the brand filter commutes with the per-part aggregate,
+    so the threshold table is brand-sized and broadcasts.  Quantities
+    are integer-valued, so sum/count (hence avg and 0.2·avg) are exact
+    doubles in both engines."""
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _SQR_BRAND)
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    thresholds = F.broadcast(
+        li.groupBy(F.col("l_partkey").alias("tk")).agg(
+            (F.avg("l_quantity") * 0.2).alias("q_thresh")
+        )
+    )
+    small = li.join(thresholds, li.l_partkey == thresholds.tk).filter(
+        F.col("l_quantity") < F.col("q_thresh")
+    )
+    return small.agg(
+        F.round(
+            F.coalesce(F.sum("l_extendedprice"), F.lit(0)) / 7.0, 2
+        ).alias("avg_weekly_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase graph triangle census (ordered-edge double join)
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "copurchase_triangles",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT})
+    SELECT
+      (SELECT cast(count(*) AS BIGINT)
+       FROM (SELECT pa AS v FROM e UNION SELECT pb FROM e)) AS n_nodes,
+      (SELECT cast(count(*) AS BIGINT) FROM e) AS n_edges,
+      (SELECT cast(count(*) AS BIGINT)
+       FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+                 JOIN e e3 ON e1.pa = e3.pa AND e2.pb = e3.pb)
+          AS n_triangles
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (edge = two parts
+    appearing in ≥ {support} common orders).
+
+    Edges are built from the within-order self-join — bounded per key
+    by lines-per-order — then support-thinned BEFORE enumeration, which
+    is what keeps the triangle join tractable (raw co-occurrence edges
+    grow ~quadratically in basket size; supported edges don't).  Nodes
+    are kept canonically ordered (pa < pb) so the two-hop join e1(a,b)
+    ⋈ e2(b,c) ⋈ e3(a,c) counts each triangle exactly once with pure
+    equi-joins.  The edge table persists across its three uses."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("pa").alias("v"))
+        .union(e.select(F.col("pb").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
+    e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
+    tri = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling over a dense month spine
+# ---------------------------------------------------------------------------
+
+_GAP_PRICE_MIN = 470000.0
+
+
+@query(
+    "monthly_gap_fill",
+    f"""
+    WITH big AS (SELECT * FROM orders WHERE o_totalprice > {_GAP_PRICE_MIN}),
+    m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+                 cast(count(*) AS BIGINT) AS n_orders,
+                 round(sum(o_totalprice), 2) AS revenue
+          FROM big GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(
+                 (SELECT min(mo) FROM m), (SELECT max(mo) FROM m),
+                 INTERVAL 1 MONTH)) AS mo)
+    SELECT strftime(cast(spine.mo AS DATE), '%Y-%m-%d') AS month_start,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(revenue, 0.0) AS revenue,
+           round(sum(coalesce(revenue, 0.0))
+                 OVER (ORDER BY spine.mo), 2) AS cum_revenue
+    FROM spine LEFT JOIN m ON spine.mo = m.mo
+    """,
+)
+def monthly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly count/revenue of high-value orders on a DENSE month
+    spine — months with no qualifying order appear with zeros (the
+    filter is chosen so gaps exist at test scale), plus a running
+    total.
+
+    The spine is ``sequence(min_month, max_month, interval 1 month)``
+    exploded from a one-row aggregate — no driver round-trip, no
+    generated-data table.  The running-total window sorts ≤ #months
+    rows (the POST-aggregate frame), so the single-partition window is
+    a non-issue at any corpus size; the heavy lifting is the monthly
+    aggregate, which shuffles one row per month."""
+    big = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _GAP_PRICE_MIN
+    )
+    m = big.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    spine = (
+        m.agg(F.min("mo").alias("lo"), F.max("mo").alias("hi"))
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 month)")
+            ).alias("mo")
+        )
+    )
+    joined = spine.join(m, "mo", "left")
+    w = Window.orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.date_format(F.col("mo").cast("date"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.round(
+            F.sum(F.coalesce("revenue", F.lit(0.0))).over(w), 2
+        ).alias("cum_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via quantile boundaries (no global ntile sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             cast(count(*) AS BIGINT) AS frequency,
+             cast(sum(cast(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1),
+    q AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rq,
+                 quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fq,
+                 quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mq
+          FROM rfm)
+    SELECT cast(1 + (recency_days >= rq[1])::INT + (recency_days >= rq[2])::INT
+                  + (recency_days >= rq[3])::INT AS BIGINT) AS r_score,
+           cast(1 + (frequency >= fq[1])::INT + (frequency >= fq[2])::INT
+                  + (frequency >= fq[3])::INT AS BIGINT) AS f_score,
+           cast(1 + (monetary_cents >= mq[1])::INT + (monetary_cents >= mq[2])::INT
+                  + (monetary_cents >= mq[3])::INT AS BIGINT) AS m_score,
+           cast(count(*) AS BIGINT) AS n_customers,
+           cast(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
+    FROM rfm CROSS JOIN q
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into quartile scores on Recency / Frequency /
+    Monetary, one row per (r, f, m) cell.
+
+    Boundaries are ONE interpolated-percentile pass over the
+    customer-level aggregate, attached by broadcast cross join — the
+    textbook ``ntile(4) OVER (ORDER BY ...)`` needs a global sort of
+    every customer three times; this needs none.  Monetary sums
+    per-row-rounded integer cents (order-independent, unlike a float
+    sum), and quartiles of integers interpolate to exact binary
+    fractions, so the >= score comparisons are reproducible across
+    engines.  At 100 TB swap ``percentile`` → ``approx_percentile``;
+    the plumbing is identical."""
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.datediff(
+                F.col("ref_date").cast("date"),
+                F.col("last_order").cast("date"),
+            ).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    q = rfm.agg(
+        F.expr(
+            "percentile(recency_days, array(0.25, 0.5, 0.75))"
+        ).alias("rq"),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias(
+            "fq"
+        ),
+        F.expr(
+            "percentile(monetary_cents, array(0.25, 0.5, 0.75))"
+        ).alias("mq"),
+    )
+
+    def score(col: str, qcol: str):
+        s = F.lit(1)
+        for i in range(3):
+            s = s + F.when(
+                F.col(col) >= F.col(qcol).getItem(i), 1
+            ).otherwise(0)
+        return s.cast("long")
+
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            score("recency_days", "rq").alias("r_score"),
+            score("frequency", "fq").alias("f_score"),
+            score("monetary_cents", "mq").alias("m_score"),
+            "monetary_cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents")
+            .cast("long")
+            .alias("total_monetary_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (first training iteration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT word, cast(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 2
+      GROUP BY 1),
+    pairs AS (
+      SELECT unnest([substring(word, cast(i AS INT), 2)
+                     FOR i IN generate_series(1, length(word) - 1)]) AS pair,
+             freq
+      FROM words)
+    SELECT pair, cast(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the count a
+    BPE trainer maximizes on its first merge iteration (symbols =
+    characters here; later iterations would re-run over merged symbol
+    sequences).
+
+    The corpus collapses to a DISTINCT-word frequency table first
+    (map-side combined), and the quadratic-ish pair explosion runs over
+    distinct words weighted by frequency — corpus size only affects the
+    word-count aggregate, which is the standard trick that makes each
+    BPE iteration vocabulary-sized instead of corpus-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("pair_count")
+    )

@@ -1,0 +1,115 @@
+"""Unit semantics for plans/quality.py: constructed-input checks for
+the FK audit, triangle census, and BPE pair counts; invariant checks
+for gap fill and RFM; a plan pin for the EXISTS→LEFT SEMI shape.
+(End-to-end value parity vs DuckDB is in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.plans import quality
+
+
+def _write(df, path):
+    df.coalesce(1).write.mode("overwrite").parquet(str(path))
+
+
+def test_fk_violations_counts_orphan_rows_and_keys(spark, tmp_path):
+    _write(
+        spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99), (4, 99), (5, None)],
+            "o_orderkey long, o_custkey long",
+        ),
+        tmp_path / "orders.parquet",
+    )
+    _write(
+        spark.createDataFrame([(10,)], "c_custkey long"),
+        tmp_path / "customer.parquet",
+    )
+    edges = (
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey", True),
+    )
+    row = quality.fk_violations(spark, str(tmp_path), edges).collect()[0]
+    assert row.n_child_rows == 5
+    # 99 (x2) and the NULL are orphans — NOT EXISTS semantics
+    assert row.n_orphan_rows == 3
+    assert row.n_orphan_keys == 2  # keys 99 and NULL
+
+
+def test_fk_integrity_clean_on_testdata(spark, sf_dir):
+    rows = quality.fk_integrity(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r.n_orphan_rows == 0 for r in rows), rows
+
+
+def test_order_priority_semi_plan_is_left_semi(spark, sf_dir):
+    plan = quality.order_priority_semi(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # the non-equi shipdate predicate must ride the hash join, not a
+    # nested loop
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_triangles_constructed_triangle(spark, tmp_path):
+    # parts (1,2), (2,3), (1,3) each co-occur in 2 orders → 3 edges,
+    # 1 triangle; pair (1,4) co-occurs once → thinned out by support 2.
+    rows = []
+    for ok, parts in [
+        (100, [1, 2]), (101, [1, 2]),
+        (102, [2, 3]), (103, [2, 3]),
+        (104, [1, 3]), (105, [1, 3]),
+        (106, [1, 4]),
+    ]:
+        rows += [(ok, p) for p in parts]
+    _write(
+        spark.createDataFrame(rows, "l_orderkey long, l_partkey long"),
+        tmp_path / "lineitem.parquet",
+    )
+    out = quality.copurchase_triangles(spark, str(tmp_path)).collect()[0]
+    assert (out.n_nodes, out.n_edges, out.n_triangles) == (3, 3, 1)
+
+
+def test_monthly_gap_fill_spine_is_dense_and_cum_monotone(spark, sf_dir):
+    rows = quality.monthly_gap_fill(spark, sf_dir).orderBy("month_start").collect()
+    months = [date.fromisoformat(r.month_start) for r in rows]
+    # dense: consecutive months, no holes in the spine itself
+    for a, b in zip(months, months[1:]):
+        assert (b.year - a.year) * 12 + b.month - a.month == 1
+    # the filter threshold is chosen so at least one month has no rows
+    assert any(r.n_orders == 0 for r in rows)
+    assert all(r.revenue == 0.0 for r in rows if r.n_orders == 0)
+    cums = [r.cum_revenue for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_rfm_scores_partition_all_customers(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    seg = quality.rfm_segments(spark, sf_dir).collect()
+    for r in seg:
+        for s in (r.r_score, r.f_score, r.m_score):
+            assert 1 <= s <= 4
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in seg) == n_cust
+
+
+def test_bpe_pair_counts_constructed_corpus(spark, tmp_path):
+    _write(
+        spark.createDataFrame(
+            [(1, "abab ab", "en", "s", 7), (2, "ab", "en", "s", 2)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = {
+        r.pair: r.pair_count
+        for r in quality.bpe_pair_counts(spark, str(tmp_path)).collect()
+    }
+    # word freqs: 'abab'×1 (pairs ab,ba,ab), 'ab'×2 (pair ab)
+    assert out == {"ab": 4, "ba": 1}
