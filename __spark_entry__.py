@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         analytics,
         behavior,
         extras,
+        insights,
         llm_queries,
         quality,
     )
@@ -89,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         analytics,
         behavior,
         extras,
+        insights,
         llm_queries,
         quality,
     )

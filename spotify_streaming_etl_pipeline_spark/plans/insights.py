@@ -1,0 +1,355 @@
+"""Sketch-based corpus insights and event/fulfillment analytics
+(additive family): Count-Min heavy hitters, k-min-hash source
+similarity, Markov event transitions, new-vs-returning user splits,
+and fulfillment-latency percentiles.
+
+Scale shapes (written for 100 TB, tested at sf0.1):
+
+- ``heavy_hitters_cms``: the Count-Min sketch is built from the
+  word-frequency table, not the raw token stream — the (depth × width)
+  bucket aggregate is vocabulary-sized, and the sketch itself is a
+  fixed ``d·w`` rows no matter the corpus.  Hashes are the portable
+  48-bit md5 prefix (`llm/text.py:portable_hash48`) so the DuckDB
+  oracle reproduces every bucket exactly.  The exact counts appear in
+  the output because that is how you *validate* a sketch (the unit
+  test asserts the one-sided error: estimate ≥ truth, always); the
+  production path queries the ``d·w``-row sketch alone.
+- ``source_similarity_minhash``: per-source k-min-hash signatures
+  (k=32) reduce each source's word SET to 32 longs; pairwise Jaccard
+  is then estimated on the 20×32 signature table — the corpus is read
+  once, and the quadratic part runs on signatures, never documents.
+- ``event_transition_matrix``: consecutive-event pairs come from ONE
+  ``lag`` window partitioned by user (single shuffle of events),
+  totally ordered by (ts, event_id) so the successor is deterministic
+  under timestamp ties; the matrix aggregate is |event_types|² rows.
+- ``monthly_new_vs_returning``: the per-user first-activity month is
+  a min-window over the same user partitioning the activity dedup
+  needs — month keys are integer year·12+month arithmetic (no
+  timestamp rendering → session-timezone-proof, same discipline as
+  behavior.py:cohort_retention).
+- ``ship_latency_percentiles``: one fact-fact equi-join on orderkey,
+  then per-priority interpolated percentiles of integer day diffs
+  (exact binary fractions → reproducible across engines; at 100 TB
+  swap ``percentile`` → ``approx_percentile``, same plumbing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..llm.text import portable_hash48
+from ..sources.catalog import load_table
+from .analytics import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256
+# a word is a "heavy hitter" above 1/200 of total token mass
+_CMS_FRACTION = 200
+
+_H48_SQL = "('0x' || substring(md5({x}), 1, 12))::BIGINT"
+
+
+@query(
+    "heavy_hitters_cms",
+    f"""
+    WITH words AS (
+      SELECT word, cast(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY 1),
+    buckets AS (
+      SELECT d,
+             {_H48_SQL.format(x="word || '#' || d")} % {_CMS_WIDTH} AS bucket,
+             cast(sum(cnt) AS BIGINT) AS bucket_count
+      FROM words CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)
+      GROUP BY 1, 2),
+    total AS (SELECT sum(cnt) AS n_tokens FROM words),
+    heavy AS (SELECT word, cnt FROM words CROSS JOIN total
+              WHERE cnt * {_CMS_FRACTION} >= n_tokens)
+    SELECT word, cnt AS true_count,
+           cast(min(bucket_count) AS BIGINT) AS est_count
+    FROM (SELECT heavy.word, heavy.cnt, d,
+                 {_H48_SQL.format(x="word || '#' || d")} % {_CMS_WIDTH}
+                     AS bucket
+          FROM heavy CROSS JOIN (SELECT unnest([0, 1, 2]) AS d)) probe
+    JOIN buckets USING (d, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words above 1/{frac} of total token mass with their exact count
+    and their Count-Min estimate (min over {d} md5-seeded bucket rows
+    of width {w}).  One-sided by construction: est ≥ true."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    ds = F.explode(F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])).alias("d")
+
+    def bucket(word_col, d_col):
+        return F.pmod(
+            portable_hash48(F.concat(word_col, F.lit("#"), d_col.cast("string"))),
+            F.lit(_CMS_WIDTH),
+        )
+
+    sketch = (
+        words.select("word", "cnt", ds)
+        .select(F.col("d"), bucket(F.col("word"), F.col("d")).alias("bucket"), "cnt")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("bucket_count"))
+    )
+    total = words.agg(F.sum("cnt").alias("n_tokens"))
+    heavy = words.crossJoin(F.broadcast(total)).filter(
+        F.col("cnt") * _CMS_FRACTION >= F.col("n_tokens")
+    )
+    probes = heavy.select("word", "cnt", ds).select(
+        "word",
+        "cnt",
+        F.col("d"),
+        bucket(F.col("word"), F.col("d")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("word", F.col("cnt").alias("true_count"))
+        .agg(F.min("bucket_count").cast("long").alias("est_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-min-hash source-level Jaccard similarity
+# ---------------------------------------------------------------------------
+
+_KMH_K = 32
+
+
+@query(
+    "source_similarity_minhash",
+    f"""
+    WITH sw AS (
+      SELECT DISTINCT source, word
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''),
+    sig AS (
+      SELECT source, seed,
+             min({_H48_SQL.format(x="word || '@' || seed")}) AS mh
+      FROM sw CROSS JOIN
+           (SELECT unnest(generate_series(0, {_KMH_K - 1})) AS seed)
+      GROUP BY 1, 2)
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                 / {_KMH_K}.0, 4) AS est_jaccard
+    FROM sig a JOIN sig b ON a.seed = b.seed AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard similarity of the word SETS of every source
+    pair, estimated from k=32 min-hash slots per source.  The
+    signature table is |sources|·k rows — the pairwise stage never
+    touches documents."""
+    docs = _t(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(_KMH_K)])
+    ).alias("seed")
+    sig = (
+        sw.select("source", "word", seeds)
+        .select(
+            "source",
+            "seed",
+            portable_hash48(
+                F.concat("word", F.lit("@"), F.col("seed").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("source", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    a = sig.select(
+        F.col("source").alias("source_a"), "seed", F.col("mh").alias("mha")
+    )
+    b = sig.select(
+        F.col("source").alias("source_b"), "seed", F.col("mh").alias("mhb")
+    )
+    return (
+        a.join(b, "seed")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0)
+                )
+                / float(_KMH_K),
+                4,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type,
+           cast(count(*) AS BIGINT) AS n,
+           round(count(*) / sum(count(*))
+                 OVER (PARTITION BY from_type), 4) AS prob
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type, count, row-normalized probability) over
+    consecutive events per user.  One shuffle (the user-partitioned
+    lead window, totally ordered by (ts, event_id) so ties are
+    deterministic); the matrix itself is |event_types|² rows, and the
+    row normalization windows over that tiny aggregate, not events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wrow = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow), 4).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Monthly new-vs-returning user split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_new_vs_returning",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             cast(year(ts) * 12 + month(ts) - 1 AS BIGINT) AS mk
+      FROM events),
+    firsts AS (
+      SELECT user_id, mk, min(mk) OVER (PARTITION BY user_id) AS first_mk
+      FROM act)
+    SELECT cast(mk // 12 * 100 + (mk % 12) + 1 AS BIGINT) AS ym,
+           cast(count(*) AS BIGINT) AS n_users,
+           cast(count(CASE WHEN mk = first_mk THEN 1 END) AS BIGINT)
+               AS n_new,
+           cast(count(CASE WHEN mk > first_mk THEN 1 END) AS BIGINT)
+               AS n_returning
+    FROM firsts GROUP BY 1
+    """,
+)
+def monthly_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per month: active users split into first-ever-active (new) vs
+    seen-before (returning).  Month keys are integer year·12+month
+    arithmetic (timezone-proof); the first-activity month rides the
+    same user-partitioned window the activity dedup shuffles for, so
+    events shuffle once."""
+    ev = _t(spark, sf_dir, "events")
+    mk = (F.year("ts") * 12 + F.month("ts") - 1).cast("long")
+    act = ev.select(F.col("user_id"), mk.alias("mk")).distinct()
+    act = act.withColumn(
+        "first_mk", F.min("mk").over(Window.partitionBy("user_id"))
+    )
+    return act.groupBy(
+        (F.floor(F.col("mk") / 12) * 100 + F.pmod(F.col("mk"), 12) + 1)
+        .cast("long")
+        .alias("ym")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count(F.when(F.col("mk") == F.col("first_mk"), 1))
+        .cast("long")
+        .alias("n_new"),
+        F.count(F.when(F.col("mk") > F.col("first_mk"), 1))
+        .cast("long")
+        .alias("n_returning"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment-latency percentiles per order priority
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ship_latency_percentiles",
+    """
+    WITH lat AS (
+      SELECT o_orderpriority,
+             date_diff('day', o_orderdate, l_shipdate) AS days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           cast(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(days, 0.25), 2) AS p25,
+           round(quantile_cont(days, 0.50), 2) AS p50,
+           round(quantile_cont(days, 0.75), 2) AS p75,
+           round(quantile_cont(days, 0.90), 2) AS p90
+    FROM lat GROUP BY 1
+    """,
+)
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per priority class: one
+    orderkey equi-join, one grouped interpolated-percentile aggregate
+    over integer day diffs (exact binary fractions, reproducible).
+    At 100 TB the exact percentile swaps for ``approx_percentile``."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("days"),
+    )
+    agg = lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.expr(
+            "percentile(days, array(0.25, 0.5, 0.75, 0.9))"
+        ).alias("q"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_lines",
+        *[
+            F.round(F.col("q").getItem(i), 2).alias(p)
+            for i, p in enumerate(("p25", "p50", "p75", "p90"))
+        ],
+    )

@@ -1,0 +1,107 @@
+"""Unit semantics for plans/insights.py: sketch error bounds on real
+data, constructed-input checks for minhash similarity / transitions /
+new-vs-returning, percentile ordering invariants.  (Value parity vs
+DuckDB is in test_oracle_parity.py.)"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from spotify_streaming_etl_pipeline_spark.plans import insights
+
+
+def _write(df, path):
+    df.coalesce(1).write.mode("overwrite").parquet(str(path))
+
+
+def test_cms_estimate_is_one_sided(spark, sf_dir):
+    rows = insights.heavy_hitters_cms(spark, sf_dir).collect()
+    assert rows, "no heavy hitters found"
+    # Count-Min never underestimates
+    assert all(r.est_count >= r.true_count for r in rows), rows
+
+
+def test_minhash_source_similarity_identical_and_disjoint(spark, tmp_path):
+    docs = [
+        (1, "x y z", "en", "A", 5),
+        (2, "x y z", "en", "B", 5),
+        (3, "q r s", "en", "C", 5),
+    ]
+    _write(
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = {
+        (r.source_a, r.source_b): r.est_jaccard
+        for r in insights.source_similarity_minhash(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("A", "B")] == 1.0  # identical word sets: every slot equal
+    assert out[("A", "C")] == 0.0  # disjoint: no slot equal
+    assert out[("B", "C")] == 0.0
+
+
+def test_transition_matrix_constructed_chain(spark, tmp_path):
+    ts = [datetime(2024, 1, 1, h) for h in range(4)]
+    events = [
+        (1, ts[0], 10, "view", 1.0, "{}"),
+        (2, ts[1], 10, "click", 1.0, "{}"),
+        (3, ts[2], 10, "view", 1.0, "{}"),
+        (4, ts[3], 10, "click", 1.0, "{}"),
+        (5, ts[0], 20, "view", 1.0, "{}"),
+        (6, ts[1], 20, "purchase", 1.0, "{}"),
+    ]
+    _write(
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in insights.event_transition_matrix(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # user 10: view->click, click->view, view->click; user 20: view->purchase
+    assert out[("view", "click")] == (2, 0.6667)
+    assert out[("view", "purchase")] == (1, 0.3333)
+    assert out[("click", "view")] == (1, 1.0)
+
+
+def test_monthly_new_vs_returning_constructed(spark, tmp_path):
+    events = [
+        (1, datetime(2024, 1, 5), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 2, 5), 1, "view", 1.0, "{}"),
+        (3, datetime(2024, 2, 6), 2, "view", 1.0, "{}"),
+    ]
+    _write(
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = {
+        r.ym: (r.n_users, r.n_new, r.n_returning)
+        for r in insights.monthly_new_vs_returning(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[202401] == (1, 1, 0)
+    assert out[202402] == (2, 1, 1)
+
+
+def test_ship_latency_percentiles_ordered(spark, sf_dir):
+    rows = insights.ship_latency_percentiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75 <= r.p90
+        assert r.n_lines > 0
