@@ -1432,3 +1432,46 @@ def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh_multiprobe(
         _emb(spark, sf_dir), _QUERY_IDS, k=5
     )
+
+
+@query(
+    "langid_confusion",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x != '')) AS dw
+        FROM documents
+    ),
+    s AS (SELECT lang, {_LANG_SCORES_SQL} FROM t)
+    SELECT lang AS lang_label, {_LANG_CASE} AS lang_pred,
+           cast(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY lang), 4)
+               AS row_share
+    FROM s GROUP BY 1, 2
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix with row-share —
+    the evaluation query you run before trusting the lang-ID heuristic
+    as a corpus filter.  One pass over documents (the same lexicon
+    argmax as ``text_quality``), then a |langs|² aggregate; the
+    row-normalizing window runs over that tiny matrix, not documents."""
+    d = _docs(spark, sf_dir)
+    counts = d.select(
+        F.col("lang").alias("lang_label"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    ).groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("lang_label")
+    return counts.select(
+        "lang_label",
+        "lang_pred",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "row_share"
+        ),
+    )

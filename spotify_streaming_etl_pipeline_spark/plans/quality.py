@@ -530,3 +530,174 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("pair").agg(
         F.sum("freq").cast("long").alias("pair_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-based argmax (no per-group sort window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_part_per_supplier",
+    """
+    WITH g AS (
+      SELECT l_suppkey, l_partkey,
+             cast(sum(cast(round(l_extendedprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem GROUP BY 1, 2),
+    r AS (
+      SELECT l_suppkey, l_partkey, revenue_cents,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY revenue_cents DESC,
+                                         l_partkey DESC) AS rn
+      FROM g)
+    SELECT l_suppkey, l_partkey AS top_partkey, revenue_cents
+    FROM r WHERE rn = 1
+    """,
+)
+def top_part_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier's highest-revenue part — argmax as ONE aggregate
+    (``max(struct(revenue, part))``), not a row_number window: no
+    per-group sort, partial max runs map-side, and the shuffle carries
+    one struct per (supplier) group instead of every (supplier, part)
+    row ranked.  Revenue is order-independent integer cents; the
+    struct's second field makes the tie-break (higher partkey)
+    deterministic and identical to the oracle's ORDER BY."""
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    top = g.groupBy("l_suppkey").agg(
+        F.max(F.struct("revenue_cents", "l_partkey")).alias("m")
+    )
+    return top.select(
+        "l_suppkey",
+        F.col("m.l_partkey").alias("top_partkey"),
+        F.col("m.revenue_cents").alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_profile",
+    """
+    WITH c AS (SELECT l_partkey, cast(count(*) AS BIGINT) AS cnt
+               FROM lineitem GROUP BY 1)
+    SELECT cast(count(*) AS BIGINT) AS n_keys,
+           cast(sum(cnt) AS BIGINT) AS n_rows,
+           cast(max(cnt) AS BIGINT) AS max_cnt,
+           round(quantile_cont(cnt, 0.50), 2) AS p50_cnt,
+           round(quantile_cont(cnt, 0.99), 2) AS p99_cnt,
+           round(max(cnt) / (sum(cnt) / count(*)), 2) AS skew_ratio
+    FROM c
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of a join key (lineitem.l_partkey): key
+    count, row count, hottest key, count percentiles, and the
+    max-over-mean skew ratio — the diagnostic you run BEFORE deciding
+    whether a join needs salting (`operators/skew.py`) or AQE skew
+    splitting.  One distinct-key aggregate (map-side combined), then a
+    one-row summary; nothing driver-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.50)"), 2).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 2).alias("p99_cnt"),
+        F.round(
+            F.max("cnt") / (F.sum("cnt") / F.count(F.lit(1))), 2
+        ).alias("skew_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality (multi-dimensional data layout)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # interleave the low 8 bits of each dimension
+
+
+def _z16_sql(pk: str, sk: str) -> str:
+    """16-bit Morton interleave as portable SQL (works in Spark SQL
+    and DuckDB: >>, <<, & are common operators)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({pk} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({sk} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_locality",
+    f"""
+    WITH z AS (
+      SELECT {_z16_sql('l_partkey', 'l_suppkey')} AS z16,
+             l_partkey & 255 AS pk8, l_suppkey & 255 AS sk8
+      FROM lineitem)
+    SELECT cast(z16 >> 10 AS BIGINT) AS z_bucket,
+           cast(count(*) AS BIGINT) AS n_rows,
+           cast(min(pk8) AS BIGINT) AS pk_min,
+           cast(max(pk8) AS BIGINT) AS pk_max,
+           cast(min(sk8) AS BIGINT) AS sk_min,
+           cast(max(sk8) AS BIGINT) AS sk_max
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) bucket statistics for the (partkey, suppkey)
+    pair: interleave the low 8 bits of each dimension, bucket on the
+    top 6 z-bits, and report per-bucket min/max of BOTH coordinates.
+
+    This is the layout trick behind multi-dimension file clustering
+    (Delta/Iceberg OPTIMIZE ZORDER): sorting by the interleaved key
+    bounds every bucket's range in EVERY dimension (the test pins the
+    ≤ 32-value span), so parquet min/max stats prune scans filtered on
+    either column.  ``zorder_layout`` below applies it as an actual
+    write layout; the query form is the verifiable statistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.selectExpr(
+        f"{_z16_sql('l_partkey', 'l_suppkey')} AS z16",
+        "l_partkey & 255 AS pk8",
+        "l_suppkey & 255 AS sk8",
+    )
+    return (
+        z.groupBy(
+            F.shiftright(F.col("z16"), 10).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("pk8").cast("long").alias("pk_min"),
+            F.max("pk8").cast("long").alias("pk_max"),
+            F.min("sk8").cast("long").alias("sk_min"),
+            F.max("sk8").cast("long").alias("sk_max"),
+        )
+    )
+
+
+def zorder_layout(
+    df: DataFrame, col_a: str, col_b: str, n_files: int
+) -> DataFrame:
+    """Cluster ``df`` for writing by the 16-bit Morton key of
+    (col_a, col_b): range-partition into ``n_files`` output tasks and
+    sort within each — every output file then covers a bounded range
+    of BOTH columns, so min/max parquet stats prune on either.
+    ``df.transform(lambda d: zorder_layout(d, 'a', 'b', 64)).write...``"""
+    keyed = df.withColumn(
+        "_zkey", F.expr(_z16_sql(col_a, col_b)).cast("long")
+    )
+    return (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
