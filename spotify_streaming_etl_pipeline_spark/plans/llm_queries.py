@@ -25,7 +25,7 @@ from ..llm.text import (
     token_count_ws,
 )
 from ..sources.catalog import load_table, rebalance
-from .analytics import query
+from .analytics import ORACLE, query
 
 # --- shared DuckDB fragments -------------------------------------------------
 
@@ -1475,3 +1475,90 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+# Embed the two registered pair queries as derived tables (a DuckDB
+# subquery may carry its own WITH), so the eval oracle is BY
+# CONSTRUCTION the same ground truth / candidate definitions the
+# individual gates certify.
+@query(
+    "minhash_recall_eval",
+    f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({ORACLE["ngram_jaccard_dedup"]})),
+    m AS (SELECT doc_a, doc_b FROM ({ORACLE["minhash_near_dup"]})),
+    j AS (
+      SELECT e.doc_a IS NOT NULL AS in_e, m.doc_a IS NOT NULL AS in_m
+      FROM e FULL OUTER JOIN m
+        ON e.doc_a = m.doc_a AND e.doc_b = m.doc_b)
+    SELECT cast(count(CASE WHEN in_e THEN 1 END) AS BIGINT) AS n_exact,
+           cast(count(CASE WHEN in_m THEN 1 END) AS BIGINT) AS n_minhash,
+           cast(count(CASE WHEN in_e AND in_m THEN 1 END) AS BIGINT) AS tp,
+           cast(count(CASE WHEN in_m AND in_e IS NULL THEN 1 END) AS BIGINT)
+               AS fp,
+           cast(count(CASE WHEN in_e AND in_m IS NULL THEN 1 END) AS BIGINT)
+               AS fn,
+           round(count(CASE WHEN in_e AND in_m THEN 1 END)
+                 / nullif(count(CASE WHEN in_m THEN 1 END), 0), 4)
+               AS precision,
+           round(count(CASE WHEN in_e AND in_m THEN 1 END)
+                 / nullif(count(CASE WHEN in_e THEN 1 END), 0), 4)
+               AS recall
+    FROM j
+    """,
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup path measured
+    against the exact n-gram-Jaccard ground truth at the same
+    threshold — the evaluation you run before trusting the sketch as
+    the 100 TB substitute for the exact join.  Both pair sets are the
+    very DataFrames the individual gates certify; the comparison is a
+    full outer join on the (small) pair lists, so the eval costs the
+    two pair computations plus a pair-table-sized join, and the oracle
+    embeds the SAME two certified SQL definitions as derived tables."""
+    docs = _docs(spark, sf_dir)
+    e = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_e")
+    )
+    m = dedup.minhash_near_dup(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_m")
+    )
+    j = e.join(m, ["doc_a", "doc_b"], "full_outer")
+    tp = F.count(F.when(F.col("in_e") & F.col("in_m"), 1))
+    n_e = F.count(F.when(F.col("in_e"), 1))
+    n_m = F.count(F.when(F.col("in_m"), 1))
+    return j.agg(
+        n_e.cast("long").alias("n_exact"),
+        n_m.cast("long").alias("n_minhash"),
+        tp.cast("long").alias("tp"),
+        F.count(F.when(F.col("in_m") & F.col("in_e").isNull(), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when(F.col("in_e") & F.col("in_m").isNull(), 1))
+        .cast("long")
+        .alias("fn"),
+        F.round(tp / F.nullif(n_m, F.lit(0)), 4).alias("precision"),
+        F.round(tp / F.nullif(n_e, F.lit(0)), 4).alias("recall"),
+    )
+
+
+@query(
+    "jaccard_histogram",
+    f"""
+    WITH {_NG_CTE}, {_JACCARD_PAIRS}
+    SELECT floor(jaccard * 10) / 10 AS bucket,
+           cast(count(*) AS BIGINT) AS n_pairs
+    FROM jacc WHERE jaccard >= 0.3
+    GROUP BY 1
+    """,
+)
+def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-mass histogram of near-dup candidate pairs (0.1-wide
+    buckets above 0.3) — the threshold-tuning view: where the pair
+    mass sits tells you what a 0.8 cutoff keeps vs drops.  Runs on the
+    inverted-index pair table (the oracle's all-pairs form is the
+    naive-by-design ground truth); the histogram is a tiny aggregate
+    over pairs."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return pairs.groupBy(
+        (F.floor(F.col("jaccard") * 10) / 10).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
