@@ -1562,3 +1562,60 @@ def jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         (F.floor(F.col("jaccard") * 10) / 10).alias("bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@query(
+    "dedup_funnel_summary",
+    f"""
+    WITH eg AS (SELECT * FROM ({ORACLE["exact_dedup"]})),
+    nc AS (SELECT * FROM ({ORACLE["near_dup_clusters"]})),
+    removed AS (SELECT doc_id FROM nc WHERE doc_id <> cluster_id),
+    keep AS (SELECT keeper_doc_id AS doc_id FROM eg)
+    SELECT (SELECT cast(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT cast(count(*) AS BIGINT) FROM keep) AS n_unique_content,
+           (SELECT cast(count(*) AS BIGINT) FROM nc) AS n_clustered_docs,
+           (SELECT cast(count(DISTINCT cluster_id) AS BIGINT) FROM nc)
+               AS n_clusters,
+           (SELECT cast(count(*) AS BIGINT) FROM removed) AS n_near_removed,
+           (SELECT cast(count(*) AS BIGINT) FROM keep
+            WHERE doc_id NOT IN (SELECT doc_id FROM removed)) AS n_final
+    """,
+)
+def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel in one row: corpus size → exact-dedup
+    survivors → near-dup clustering → final kept set (exact keepers
+    minus non-keeper cluster members).  Composes the SAME certified
+    building blocks (`exact_dedup`, `near_dup_clusters`), and the
+    oracle embeds their registered SQL as derived tables, so the
+    funnel arithmetic can never drift from the per-stage gates.
+    Cluster keeper = cluster_id (the min-label convention
+    ``dup_clusters`` guarantees), so no extra argmax pass is needed."""
+    d = _docs(spark, sf_dir)
+    groups = dedup.exact_dedup_groups(d)
+    clusters = dedup.dup_clusters(
+        dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    ).persist()
+    keep = groups.select(F.col("keeper_doc_id").alias("doc_id"))
+    removed = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_keep = keep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_content")
+    )
+    n_clustered = clusters.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    n_removed = removed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_near_removed")
+    )
+    n_final = keep.join(removed, "doc_id", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_final")
+    )
+    return (
+        n_docs.crossJoin(n_keep)
+        .crossJoin(n_clustered)
+        .crossJoin(n_removed)
+        .crossJoin(n_final)
+    )

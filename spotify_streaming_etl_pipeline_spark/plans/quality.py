@@ -701,3 +701,96 @@ def zorder_layout(
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive join predicate (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "disjunctive_filter_revenue",
+    """
+    SELECT cast(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#4'  AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#2'  AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#19' AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue under an OR-of-conjunctions predicate across both join
+    sides (TPC-H Q19's shape).  The common ``p_partkey = l_partkey``
+    conjunct is what Catalyst extracts as the hash-join key — the
+    disjunction rides as a residual filter, and the
+    ``p_brand IN (...)`` implication is pushed to the part scan, so
+    the broadcast side ships only candidate brands."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#4", "Brand#2", "Brand#19"))
+        .select("p_partkey", "p_brand")
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#4") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#19") & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery threshold + anti join (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "idle_rich_customers",
+    """
+    SELECT c_mktsegment,
+           cast(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average (positive-balance) account value
+    and no RECENT orders (dormant since 2000), per segment (TPC-H
+    Q22's shape).  The scalar subquery is a one-row broadcast cross
+    join; the NOT EXISTS is a LEFT ANTI hash join against the distinct
+    recently-ordering custkeys — the date filter pushes to the orders
+    scan and the anti side pre-aggregates to distinct keys, so the
+    join input is key-sized, not order-sized."""
+    c = _t(spark, sf_dir, "customer")
+    thresh = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            F.avg("c_acctbal").alias("avg_bal")
+        )
+    )
+    rich = c.crossJoin(thresh).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    ordered_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    idle = rich.join(
+        ordered_keys, rich.c_custkey == ordered_keys.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )

@@ -113,3 +113,29 @@ def test_bpe_pair_counts_constructed_corpus(spark, tmp_path):
     }
     # word freqs: 'abab'×1 (pairs ab,ba,ab), 'ab'×2 (pair ab)
     assert out == {"ab": 4, "ba": 1}
+
+
+def test_disjunctive_filter_plan_broadcasts_filtered_part(spark, sf_dir):
+    plan = (
+        quality.disjunctive_filter_revenue(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idle_rich_customers_plan_is_left_anti(spark, sf_dir):
+    df = quality.idle_rich_customers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert rows and all(r.n_customers > 0 for r in rows)
+
+
+def test_dedup_funnel_identities(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.plans import llm_queries
+
+    r = llm_queries.dedup_funnel_summary(spark, sf_dir).collect()[0]
+    assert r.n_near_removed == r.n_clustered_docs - r.n_clusters
+    assert r.n_final <= r.n_unique_content <= r.n_docs
+    assert r.n_final >= r.n_unique_content - r.n_near_removed
