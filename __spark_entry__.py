@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         insights,
         llm_queries,
         quality,
+        vectors_qa,
     )
 
     return _verification_order(dict(analytics.QUERIES))
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         insights,
         llm_queries,
         quality,
+        vectors_qa,
     )
 
     return _verification_order(dict(analytics.ORACLE))

@@ -794,3 +794,118 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expectation suite (dbt-test-style data contract report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "expectation_report",
+    """
+    WITH li AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+                 AS v_qty,
+             cast(count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+                  AS BIGINT) AS v_disc,
+             cast(count(CASE WHEN l_tax < 0 THEN 1 END) AS BIGINT) AS v_tax
+      FROM lineitem),
+    o AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+                 AS v_price,
+             cast(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT)
+                 AS v_nulldate
+      FROM orders),
+    x AS (
+      SELECT cast(count(*) AS BIGINT) AS n,
+             cast(count(CASE WHEN l_shipdate < o_orderdate THEN 1 END)
+                  AS BIGINT) AS v_ship
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT 'lineitem.quantity_positive' AS check_name, n AS n_rows,
+           v_qty AS n_violations, v_qty = 0 AS passed FROM li
+    UNION ALL
+    SELECT 'lineitem.discount_in_unit_range', n, v_disc, v_disc = 0 FROM li
+    UNION ALL
+    SELECT 'lineitem.tax_nonnegative', n, v_tax, v_tax = 0 FROM li
+    UNION ALL
+    SELECT 'orders.totalprice_positive', n, v_price, v_price = 0 FROM o
+    UNION ALL
+    SELECT 'orders.orderdate_not_null', n, v_nulldate, v_nulldate = 0 FROM o
+    UNION ALL
+    SELECT 'lineitem.shipdate_after_orderdate', n, v_ship, v_ship = 0 FROM x
+    """,
+)
+def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style data-contract report: one row per expectation
+    with checked-row and violation counts.  All single-table checks
+    for a table fold into ONE conditional-aggregate scan (not one scan
+    per check — the usual expectation-suite anti-pattern at scale),
+    then unpivot via ``stack``; the single cross-table check is one
+    orderkey equi-join.  Complements ``fk_integrity`` (which covers
+    the referential edges)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    li_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1))
+        .cast("long")
+        .alias("v_qty"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        )
+        .cast("long")
+        .alias("v_disc"),
+        F.count(F.when(F.col("l_tax") < 0, 1)).cast("long").alias("v_tax"),
+    )
+    o_agg = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("long")
+        .alias("v_price"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1))
+        .cast("long")
+        .alias("v_nulldate"),
+    )
+    x_agg = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1))
+            .cast("long")
+            .alias("v_ship"),
+        )
+    )
+    li_rows = li_agg.select(
+        F.expr(
+            "stack(3,"
+            " 'lineitem.quantity_positive', n, v_qty,"
+            " 'lineitem.discount_in_unit_range', n, v_disc,"
+            " 'lineitem.tax_nonnegative', n, v_tax)"
+            " AS (check_name, n_rows, n_violations)"
+        )
+    )
+    o_rows = o_agg.select(
+        F.expr(
+            "stack(2,"
+            " 'orders.totalprice_positive', n, v_price,"
+            " 'orders.orderdate_not_null', n, v_nulldate)"
+            " AS (check_name, n_rows, n_violations)"
+        )
+    )
+    x_rows = x_agg.select(
+        F.lit("lineitem.shipdate_after_orderdate").alias("check_name"),
+        F.col("n").alias("n_rows"),
+        F.col("v_ship").alias("n_violations"),
+    )
+    return (
+        li_rows.unionAll(o_rows)
+        .unionAll(x_rows)
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
