@@ -353,3 +353,50 @@ def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(("p25", "p50", "p75", "p90"))
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-grain time rollup (one Expand)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multi_grain_rollup",
+    """
+    WITH t AS (
+      SELECT cast(year(ts) AS BIGINT) AS y,
+             cast(month(ts) AS BIGINT) AS m,
+             cast(day(ts) AS BIGINT) AS d,
+             value
+      FROM events)
+    SELECT y, coalesce(m, -1) AS m, coalesce(d, -1) AS d,
+           cast(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM t GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
+    """,
+)
+def multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day, month, and year rollups of the event stream in ONE
+    aggregate — the continuous-aggregate ladder a hypertable keeps
+    (TimescaleDB's caggs, Druid's rollup), expressed as GROUPING SETS
+    over extracted date parts: a single Expand feeds one shuffle, not
+    three scans unioned.  Sentinel -1 stands in for the coarser
+    grains' NULLs so the hash compare is unambiguous.  At scale the
+    day grain is what you materialize incrementally
+    (`operators/incremental.py`); month/year derive from it by the
+    same mergeable-state algebra."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    ).createOrReplaceTempView("_mgr_events")
+    return spark.sql(
+        """
+        SELECT y, coalesce(m, -1) AS m, coalesce(d, -1) AS d,
+               cast(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM _mgr_events GROUP BY GROUPING SETS ((y), (y, m), (y, m, d))
+        """
+    )

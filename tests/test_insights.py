@@ -105,3 +105,15 @@ def test_ship_latency_percentiles_ordered(spark, sf_dir):
     for r in rows:
         assert r.p25 <= r.p50 <= r.p75 <= r.p90
         assert r.n_lines > 0
+
+
+def test_multi_grain_rollup_single_expand_and_grain_identity(spark, sf_dir):
+    df = insights.multi_grain_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1  # one Expand feeds all three grains
+    rows = df.collect()
+    years = [r for r in rows if r.m == -1]
+    days = [r for r in rows if r.d != -1]
+    # the year grain must equal the sum of its day grain
+    for y in years:
+        assert y.n == sum(r.n for r in days if r.y == y.y)
