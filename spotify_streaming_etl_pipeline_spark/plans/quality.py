@@ -909,3 +909,91 @@ def expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(x_rows)
         .withColumn("passed", F.col("n_violations") == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Local-supplier revenue (TPC-H Q5 join-graph shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "local_supplier_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1996 revenue per Asian nation where the customer and the
+    supplier share a nation (TPC-H Q5's join graph — the one query
+    whose defining predicate, ``c_nationkey = s_nationkey``, connects
+    two different dimension BRANCHES of the star rather than fact to
+    dim).  Plan shape: lineitem flows through size-chosen joins —
+    dims broadcast, the one fact⋈fact edge (orders) is AQE's call —
+    and the branch-equality predicate rides the supplier join as a
+    residual.  The region filter prunes the nation broadcast to one
+    region's worth before it ships."""
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        # no broadcast hint on orders: it is a FACT — under the gate
+        # SFs Spark's size estimate broadcasts it anyway, and at 100 TB
+        # AQE correctly picks a shuffle join for this one edge (same
+        # contract as star_join, PLANS.md).
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2,
+        ).alias("revenue")
+    )

@@ -117,3 +117,39 @@ def test_multi_grain_rollup_single_expand_and_grain_identity(spark, sf_dir):
     # the year grain must equal the sum of its day grain
     for y in years:
         assert y.n == sum(r.n for r in days if r.y == y.y)
+
+
+def test_day_grain_maintains_incrementally(spark, sf_dir):
+    """The multi_grain_rollup day grain is exactly the mergeable-state
+    shape operators/incremental.py maintains: splitting events at any
+    cutoff and merging the two day-grain states equals the full
+    recompute."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.operators import incremental
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        "value",
+    )
+    cutoff = ev.agg(F.expr("percentile(y * 10000 + m * 100 + d, 0.5)")).first()[0]
+    key = F.col("y") * 10000 + F.col("m") * 100 + F.col("d")
+    old, new = ev.filter(key <= cutoff), ev.filter(key > cutoff)
+    keys = ["y", "m", "d"]
+    merged = incremental.merge_states(
+        incremental.agg_state(old, keys, "value"),
+        incremental.agg_state(new, keys, "value"),
+        keys,
+    )
+    full = incremental.agg_state(ev, keys, "value")
+
+    def canon(df):
+        return sorted(
+            (r.y, r.m, r.d, r.n_rows, round(r.sum_v, 6), r.min_v, r.max_v)
+            for r in df.collect()
+        )
+
+    assert canon(merged) == canon(full)

@@ -139,3 +139,24 @@ def test_dedup_funnel_identities(spark, sf_dir):
     assert r.n_near_removed == r.n_clustered_docs - r.n_clusters
     assert r.n_final <= r.n_unique_content <= r.n_docs
     assert r.n_final >= r.n_unique_content - r.n_near_removed
+
+
+def test_local_supplier_revenue_asia_only_and_no_sort_merge(spark, sf_dir):
+    df = quality.local_supplier_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # at gate scale every edge broadcasts
+    rows = df.collect()
+    assert rows and all(r.revenue > 0 for r in rows)
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    asia = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region").filter(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .count()
+    )
+    assert len(rows) <= asia  # one row per Asian nation at most
