@@ -997,3 +997,84 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE graph reachability (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+# One SQL text for BOTH engines (Spark 4.1 and DuckDB parse it
+# identically): depth-bounded BFS over the support-thinned co-purchase
+# graph from the smallest node, min-depth per reached node.
+_REACH_SQL = """
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    reach(node, depth) AS (
+      SELECT min(src), 0 FROM e
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.depth < 3
+    )
+    SELECT cast(node AS BIGINT) AS node,
+           cast(min(depth) AS BIGINT) AS hops
+    FROM reach GROUP BY 1
+"""
+
+
+@query("copurchase_reach", _REACH_SQL)
+def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-bounded BFS reachability (min hops ≤ 3) from the smallest
+    node of the support-≥2 co-purchase graph, via Spark 4's native
+    ``WITH RECURSIVE`` — certifying the recursive-CTE feature itself,
+    not a reimplementation (contrast `near_dup_clusters`, whose Spark
+    side is the iterative min-label algorithm and only the oracle
+    recurses).  The recursion is depth-bounded with a terminal
+    min-depth aggregate, so cyclic edges cannot loop it; each
+    iteration is one equi-join of the frontier against the edge list.
+
+    The edge list is built ONCE and cached before the recursion — an
+    inline CTE re-evaluates the (expensive) edge build on every
+    iteration because Spark does not materialize CTEs (measured:
+    6.4 s → 3.1 s at sf0.01; the residual is the one-time edge build,
+    the same cost `copurchase_triangles` pays for its edge stage).
+    The oracle keeps the inline form; the recursion text itself is
+    identical in both engines."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+        .persist()
+    )
+    edges.createOrReplaceTempView("_reach_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT min(src), 0 FROM _reach_edges
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN _reach_edges e ON e.src = r.node
+          WHERE r.depth < 3
+        )
+        SELECT cast(node AS BIGINT) AS node,
+               cast(min(depth) AS BIGINT) AS hops
+        FROM reach GROUP BY 1
+        """
+    )

@@ -160,3 +160,15 @@ def test_local_supplier_revenue_asia_only_and_no_sort_merge(spark, sf_dir):
         .count()
     )
     assert len(rows) <= asia  # one row per Asian nation at most
+
+
+def test_copurchase_reach_bfs_semantics(spark, sf_dir):
+    rows = quality.copurchase_reach(spark, sf_dir).collect()
+    by_node = {r.node: r.hops for r in rows}
+    # the seed itself is reached at depth 0 and is the smallest node
+    seeds = [n for n, h in by_node.items() if h == 0]
+    assert seeds == [min(by_node)]
+    assert all(0 <= h <= 3 for h in by_node.values())
+    # BFS frontier property: some node sits at depth 1 if any edge
+    # leaves the seed
+    assert 1 in by_node.values()
