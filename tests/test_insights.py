@@ -153,3 +153,14 @@ def test_day_grain_maintains_incrementally(spark, sf_dir):
         )
 
     assert canon(merged) == canon(full)
+
+
+def test_props_variant_stats_covers_all_events(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    rows = insights.props_variant_stats(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert r.min_k <= r.max_k
+        assert 0 <= r.n_k_ge_50 <= r.n
