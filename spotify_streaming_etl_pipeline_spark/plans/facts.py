@@ -146,12 +146,30 @@ def build_fact_podcasts(
     )
 
 
-def write_fact(fact: DataFrame, path: str, partition_by_year: bool = True) -> None:
+def write_fact(
+    fact: DataFrame, path: str, partition_by_year: bool = True
+) -> dict:
     """Facts are partitioned by derived year at rest — date-range
     queries prune partitions; at 100 TB this is the difference between
-    a full scan and reading one year."""
+    a full scan and reading one year.
+
+    Returns write metrics (row count, null-key count, year span)
+    collected via ``DataFrame.observe`` — accumulated DURING the write
+    job itself, so the audit costs zero extra passes (a follow-up
+    ``count()`` would re-scan everything just written)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
     out = fact.withColumn("_year", (F.col("date_fk") / 10000).cast("int"))
+    out = out.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("date_fk").isNull(), 1)).alias("n_null_date_fk"),
+        F.min("_year").alias("min_year"),
+        F.max("_year").alias("max_year"),
+    )
     writer = out.write.mode("append")
     if partition_by_year:
         writer = writer.partitionBy("_year")
     writer.parquet(path)
+    return obs.get

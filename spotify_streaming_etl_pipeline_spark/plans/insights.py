@@ -441,3 +441,45 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("long").alias("max_k"),
         F.count(F.when(F.col("k") >= 50, 1)).cast("long").alias("n_k_ge_50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Official melt/unpivot API (long-form measure table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "yearly_measures_long",
+    """
+    WITH y AS (
+      SELECT cast(year(o_orderdate) AS BIGINT) AS year,
+             round(sum(o_totalprice), 2) AS revenue,
+             cast(count(*) AS BIGINT)::DOUBLE AS n_orders,
+             cast(count(DISTINCT o_custkey) AS BIGINT)::DOUBLE AS n_customers
+      FROM orders GROUP BY 1)
+    SELECT year, measure, value FROM y
+    UNPIVOT (value FOR measure IN (revenue, n_orders, n_customers))
+    """,
+)
+def yearly_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wide yearly KPI table melted to (year, measure, value) long
+    form — what every BI/metrics-store export wants — via the official
+    ``DataFrame.unpivot`` (one Expand over the already-tiny aggregate,
+    not a UNION of three re-aggregations; counts cast to double since
+    long form forces one value type).  The DuckDB oracle uses its
+    native UNPIVOT, so both engines' melt semantics are certified
+    against each other."""
+    o = _t(spark, sf_dir, "orders")
+    y = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("year")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return y.unpivot(
+        ["year"],
+        ["revenue", "n_orders", "n_customers"],
+        "measure",
+        "value",
+    )

@@ -412,3 +412,20 @@ def test_get_chart_data_validates_item_type(spark):
     fact = spark.createDataFrame([], "date_fk long, sec_played long, percent_played double, track_fk long, artist_fk long")
     with _pytest.raises(ValueError, match="item_type"):
         marts.get_chart_data("playlist", fact)
+
+
+def test_write_fact_returns_observed_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.plans.facts import write_fact
+
+    df = spark.createDataFrame(
+        [(20200101, 1.0), (20200102, 2.0), (20210301, 3.0)],
+        "date_fk long, v double",
+    )
+    metrics = write_fact(df, str(tmp_path / "fact"))
+    assert metrics["n_rows"] == 3
+    assert metrics["n_null_date_fk"] == 0
+    assert (metrics["min_year"], metrics["max_year"]) == (2020, 2021)
+    # the write itself succeeded with the observed plan attached
+    assert spark.read.parquet(str(tmp_path / "fact")).count() == 3
