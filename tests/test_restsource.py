@@ -1,0 +1,71 @@
+"""The REST enrichment exposed as a Spark 4 Python Data Source
+(sources/restsource.py): partitioned fetch, success + dead-letter
+rows in one frame, factory-resolved fetch callables."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.sources.restsource import (
+    RestEnrichmentDataSource,
+)
+
+# importable on executors (local mode shares the interpreter; on a
+# real cluster this module ships with the package)
+TRUTH = {
+    f"uri:{i}": {"uri": f"uri:{i}", "name": f"artist {i}"} for i in range(7)
+}
+
+
+def fake_fetch(batch):
+    # uri:3 is unknown -> the API returns null for it (quarantine path)
+    return {"artists": [TRUTH.get(u) for u in batch]}
+
+
+def make_fetch():
+    return fake_fetch
+
+
+make_fetch.__rest_factory__ = True
+
+
+def _read(spark, uris, fetch_path, per_partition=2):
+    spark.dataSource.register(RestEnrichmentDataSource)
+    return (
+        spark.read.format("rest_enrichment")
+        .option("uris", json.dumps(uris))
+        .option("entity", "artists")
+        .option("fetch", fetch_path)
+        .option("uris_per_partition", str(per_partition))
+        .option("batch_size", "2")
+        .load()
+    )
+
+
+def test_rest_source_reads_successes_and_dead_letters(spark):
+    uris = [f"uri:{i}" for i in range(5)] + ["uri:99"]  # 99 -> null
+    df = _read(spark, uris, "tests.test_restsource:fake_fetch")
+    rows = {r.uri: r for r in df.collect()}
+    assert set(rows) == set(uris)
+    ok = [r for r in rows.values() if r.error_reason is None]
+    dead = [r for r in rows.values() if r.error_reason is not None]
+    assert len(ok) == 5 and len(dead) == 1
+    assert dead[0].uri == "uri:99"
+    assert dead[0].error_reason == "API returned null"
+    payload = json.loads(rows["uri:2"].raw_data)
+    assert payload["name"] == "artist 2"
+
+
+def test_rest_source_partitions_the_uri_list(spark):
+    uris = [f"uri:{i}" for i in range(6)]
+    df = _read(spark, uris, "tests.test_restsource:fake_fetch", per_partition=2)
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 6
+
+
+def test_rest_source_resolves_fetch_factories(spark):
+    uris = ["uri:0", "uri:1"]
+    df = _read(spark, uris, "tests.test_restsource:make_fetch")
+    assert df.filter(F.col("error_reason").isNull()).count() == 2
