@@ -108,3 +108,60 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas form of the TTL dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream_tws(
+    events: DataFrame,
+    key_cols: list[str],
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """The ``dedup_stream`` semantics on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: typed state handles (ValueState /
+    ListState / MapState) with NATIVE per-state TTL instead of a
+    hand-managed timeout, timers as a first-class concept, and an
+    evolvable-schema state store.  Kept alongside the legacy form so
+    both front ends are exercised; semantics are pinned identical by
+    ``test_tws_dedup_matches_legacy_dedup``.
+
+    State per key is one boolean ValueState with
+    ``ttlDurationMs = ttl_minutes`` — expiry re-admits a later
+    duplicate exactly like the legacy form's timeout."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    schema = events.schema
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen boolean", ttlDurationMs=ttl_minutes * 60 * 1000
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._seen.exists():
+                for _ in rows:
+                    pass
+                return
+            self._seen.update((True,))
+            for pdf in rows:
+                if len(pdf):
+                    yield pdf.head(1)
+                    return
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=_DedupProcessor(),
+        outputStructType=schema,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -82,3 +82,61 @@ def test_replaying_a_batch_id_is_idempotent(spark, tmp_path):
     assert _canon(read_state(spark, state_dir)) == once
     d2 = [r for r in read_state(spark, state_dir).collect() if r.d == 2][0]
     assert (d2.n_rows, d2.sum_v) == (2, 12.0)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (its state"
+    " server speaks protobuf); absent in this sandbox - the TWS form is"
+    " exercised wherever protobuf exists",
+)
+def test_tws_dedup_matches_legacy_dedup(spark, tmp_path):
+    """transformWithStateInPandas and applyInPandasWithState dedup
+    must admit exactly the same first-row-per-key set across
+    microbatches."""
+    from spotify_streaming_etl_pipeline_spark.streaming.stateful import (
+        dedup_stream,
+        dedup_stream_tws,
+    )
+
+    rows = [
+        (1, "a", 1.0), (2, "b", 2.0), (1, "a", 3.0),
+        (3, "c", 4.0), (2, "b", 5.0), (4, "d", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, name string, v double")
+    src = str(tmp_path / "src")
+    df.repartition(3).write.parquet(src)
+
+    def drain(maker, name):
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            maker(stream, ["k"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.k,) for r in spark.sql(f"select * from {name}").collect()
+        )
+
+    legacy = drain(dedup_stream, "legacy_dedup")
+    tws = drain(dedup_stream_tws, "tws_dedup")
+    assert legacy == tws == [(1,), (2,), (3,), (4,)]
