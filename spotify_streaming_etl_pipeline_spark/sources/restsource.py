@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from .enrichment import BATCH_SIZE, fetch_in_batches
@@ -96,3 +97,58 @@ class RestEnrichmentDataSource(DataSource):
 
     def reader(self, schema) -> RestEnrichmentReader:
         return RestEnrichmentReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: poll the URI feed incrementally with replayable
+# offsets (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+
+class RestEnrichmentStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are indexes into the (ordered) URI feed: each trigger
+    fetches the next ``uris_per_batch`` URIs; ``readBetweenOffsets``
+    re-fetches a committed range verbatim on recovery, which is what
+    makes the source replayable — the fetch MUST be deterministic for
+    a given URI (same contract the oracle gates elsewhere).  This is
+    the incremental-enrichment half of the reference's extractor (new
+    URIs stream in, enrichment keeps up) with checkpointed progress
+    instead of a processed-flag table."""
+
+    def __init__(self, options: dict):
+        self.uris = json.loads(options["uris"])
+        self.entity = options.get("entity", "artists")
+        self.fetch_path = options["fetch"]
+        self.per_batch = int(options.get("uris_per_batch", "100"))
+        self.batch_size = int(options.get("batch_size", str(BATCH_SIZE)))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows(self, lo: int, hi: int):
+        fetch = _resolve_fetch(self.fetch_path)
+        result = fetch_in_batches(
+            self.uris[lo:hi], fetch, self.entity, batch_size=self.batch_size
+        )
+        for uri, payload in result.records:
+            yield (uri, json.dumps(payload, sort_keys=True), None)
+        for uri, _etype, reason in result.failures:
+            yield (uri, None, reason)
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(lo + self.per_batch, len(self.uris))
+        # iter(list), not a generator: the simple-reader prefetch
+        # cache pickles the rows alongside the offset (generators
+        # don't pickle; list iterators do)
+        return iter(list(self._rows(lo, hi))), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["index"], end["index"])))
+
+
+def _streaming_reader(self, schema):
+    return RestEnrichmentStreamReader(self.options)
+
+
+RestEnrichmentDataSource.simpleStreamReader = _streaming_reader
