@@ -1619,3 +1619,120 @@ def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_removed)
         .crossJoin(n_final)
     )
+
+
+@query(
+    "simhash_recall_eval",
+    f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({ORACLE["ngram_jaccard_dedup"]})),
+    s AS (SELECT doc_a, doc_b FROM ({ORACLE["simhash_dedup"]})),
+    j AS (
+      SELECT e.doc_a IS NOT NULL AS in_e, s.doc_a IS NOT NULL AS in_s
+      FROM e FULL OUTER JOIN s
+        ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b)
+    SELECT cast(count(CASE WHEN in_e THEN 1 END) AS BIGINT) AS n_exact,
+           cast(count(CASE WHEN in_s THEN 1 END) AS BIGINT) AS n_simhash,
+           cast(count(CASE WHEN in_e AND in_s THEN 1 END) AS BIGINT) AS tp,
+           round(count(CASE WHEN in_e AND in_s THEN 1 END)
+                 / nullif(count(CASE WHEN in_s THEN 1 END), 0), 4)
+               AS precision,
+           round(count(CASE WHEN in_e AND in_s THEN 1 END)
+                 / nullif(count(CASE WHEN in_e THEN 1 END), 0), 4)
+               AS recall
+    FROM j
+    """,
+)
+def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-distance pairs scored against the exact
+    n-gram-Jaccard ground truth — the companion of
+    ``minhash_recall_eval`` for the OTHER sketch family.  Unlike the
+    MinHash path (whose candidates are jaccard-verified, so precision
+    is 1 by construction), SimHash admits pairs by hamming distance
+    alone: both false positives and false negatives are possible, and
+    this eval is how you pick between the sketches for a corpus.
+    Oracle embeds the same two certified SQL definitions."""
+    docs = _docs(spark, sf_dir)
+    e = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_e")
+    )
+    s = dedup.simhash_near_dup(docs, max_distance=3).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_s")
+    )
+    j = e.join(s, ["doc_a", "doc_b"], "full_outer")
+    tp = F.count(F.when(F.col("in_e") & F.col("in_s"), 1))
+    n_e = F.count(F.when(F.col("in_e"), 1))
+    n_s = F.count(F.when(F.col("in_s"), 1))
+    return j.agg(
+        n_e.cast("long").alias("n_exact"),
+        n_s.cast("long").alias("n_simhash"),
+        tp.cast("long").alias("tp"),
+        F.round(tp / F.nullif(n_s, F.lit(0)), 4).alias("precision"),
+        F.round(tp / F.nullif(n_e, F.lit(0)), 4).alias("recall"),
+    )
+
+
+@query(
+    "vocab_coverage",
+    """
+    WITH words AS (
+      SELECT word, cast(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY 1),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, word) AS rnk,
+             sum(freq) OVER () AS total
+      FROM words),
+    cum AS (
+      SELECT rnk, total,
+             sum(freq) OVER (ORDER BY rnk) AS cum_freq
+      FROM ranked)
+    SELECT cast(n AS BIGINT) AS vocab_size,
+           round(max(CASE WHEN rnk <= n THEN cum_freq END)
+                 * 100.0 / max(total), 2) AS coverage_pct
+    FROM cum CROSS JOIN (SELECT unnest([10, 20, 50]) AS n)
+    GROUP BY 1
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of a frequency-truncated vocabulary at
+    sizes 10/20/50 — the tokenizer-design curve (what does capping the
+    vocab cost in <unk> rate?).  One corpus pass builds the frequency
+    table; ranking and the cumulative curve run over the
+    vocabulary-sized aggregate, and the three coverage points read off
+    one cumulative window with a deterministic (freq desc, word)
+    total order."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = words.select(
+        "freq",
+        F.row_number()
+        .over(_W.orderBy(F.desc("freq"), F.col("word")))
+        .alias("rnk"),
+    )
+    total = words.agg(F.sum("freq").alias("total"))
+    cum = ranked.select(
+        "rnk",
+        F.sum("freq").over(_W.orderBy("rnk")).alias("cum_freq"),
+    ).crossJoin(F.broadcast(total))
+    sizes = F.explode(F.array(F.lit(10), F.lit(20), F.lit(50))).alias("n")
+    return (
+        cum.select("rnk", "cum_freq", "total", sizes)
+        .groupBy(F.col("n").cast("long").alias("vocab_size"))
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rnk") <= F.col("n"), F.col("cum_freq")))
+                * 100.0
+                / F.max("total"),
+                2,
+            ).alias("coverage_pct")
+        )
+    )
