@@ -483,3 +483,115 @@ def yearly_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality index (month-of-year profile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonality_profile",
+    """
+    WITH m AS (
+      SELECT cast(year(o_orderdate) AS BIGINT) AS y,
+             cast(month(o_orderdate) AS BIGINT) AS moy,
+             sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2),
+    prof AS (
+      SELECT moy, sum(rev_c) AS sum_c, cast(count(*) AS BIGINT) AS n_years
+      FROM m GROUP BY 1),
+    base AS (SELECT sum(sum_c) AS total_c,
+                    sum(n_years) AS total_rows FROM prof)
+    SELECT moy AS month_of_year, n_years,
+           cast(sum_c // n_years AS BIGINT) AS avg_revenue_cents,
+           round((sum_c::DOUBLE / n_years)
+                 / (total_c::DOUBLE / total_rows), 4) AS seasonal_index
+    FROM prof CROSS JOIN base
+    """,
+)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    monthly revenue over the years it appears in, normalized by the
+    across-months mean (index > 1 = seasonally strong month).  Two
+    tiny aggregates stacked on the monthly rollup — the classic
+    decomposition input, and the broadcastable denominator pattern
+    (one-row cross join) yet again instead of a second scan."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("moy"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    prof = m.groupBy("moy").agg(
+        F.sum("rev_c").alias("sum_c"),
+        F.count(F.lit(1)).cast("long").alias("n_years"),
+    )
+    base = prof.agg(
+        F.sum("sum_c").alias("total_c"),
+        F.sum("n_years").alias("total_rows"),
+    )
+    return prof.crossJoin(F.broadcast(base)).select(
+        F.col("moy").alias("month_of_year"),
+        "n_years",
+        F.expr("sum_c div n_years").cast("long").alias(
+            "avg_revenue_cents"
+        ),
+        F.round(
+            (F.col("sum_c").cast("double") / F.col("n_years"))
+            / (F.col("total_c").cast("double") / F.col("total_rows")),
+            4,
+        ).alias("seasonal_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "benford_digit_profile",
+    """
+    WITH d AS (
+      SELECT cast(substring(cast(cast(floor(o_totalprice) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, cast(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT digit, n,
+           round(n * 100.0 / total, 2) AS observed_pct,
+           round(log10(1.0 + 1.0 / digit) * 100, 2) AS benford_pct
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the standard forensic screen for fabricated
+    monetary data.  Digit extraction is string-head-of-integer (exact,
+    no float log tricks in the grouping key); only the EXPECTED curve
+    uses log10, identically computed by both engines.  One scan, a
+    9-row aggregate, a one-row total cross join."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 100.0 / F.col("total"), 2).alias(
+            "observed_pct"
+        ),
+        F.round(
+            F.log10(1.0 + 1.0 / F.col("digit")) * 100, 2
+        ).alias("benford_pct"),
+    )

@@ -164,3 +164,20 @@ def test_props_variant_stats_covers_all_events(spark, sf_dir):
     for r in rows:
         assert r.min_k <= r.max_k
         assert 0 <= r.n_k_ge_50 <= r.n
+
+
+def test_seasonality_index_averages_to_one(spark, sf_dir):
+    rows = insights.seasonality_profile(spark, sf_dir).collect()
+    assert {r.month_of_year for r in rows} <= set(range(1, 13))
+    mean_idx = sum(r.seasonal_index for r in rows) / len(rows)
+    assert abs(mean_idx - 1.0) < 0.05  # indexes center on 1 by construction
+    assert all(r.avg_revenue_cents > 0 for r in rows)
+
+
+def test_benford_digits_complete_and_shares_sum(spark, sf_dir):
+    rows = insights.benford_digit_profile(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_pct for r in rows) - 100.0) < 0.5
+    # the Benford expectation itself must be the textbook curve
+    d1 = [r for r in rows if r.digit == 1][0]
+    assert d1.benford_pct == 30.1
