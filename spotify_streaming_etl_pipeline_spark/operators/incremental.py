@@ -52,3 +52,18 @@ def merge_states(prev: DataFrame, delta: DataFrame, keys: list[str]) -> DataFram
             F.max("max_v").alias("max_v"),
         )
     )
+
+
+def rollup_state(state: DataFrame, coarse_keys: list[str]) -> DataFrame:
+    """Derive a coarser-grain state table from a finer one by the same
+    merge algebra — month from day, year from month — WITHOUT touching
+    base data: counts and sums add, min/max fold.  This is why the
+    finest grain is the only one a continuous aggregate needs to
+    maintain (`streaming/aggregates.py`); every coarser ladder rung is
+    a group-cardinality-sized aggregate of the snapshot itself."""
+    return state.groupBy(*coarse_keys).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )

@@ -140,3 +140,88 @@ def test_tws_dedup_matches_legacy_dedup(spark, tmp_path):
     legacy = drain(dedup_stream, "legacy_dedup")
     tws = drain(dedup_stream_tws, "tws_dedup")
     assert legacy == tws == [(1,), (2,), (3,), (4,)]
+
+
+def test_hopping_windows_batch_stream_parity(spark, sf_dir, tmp_path):
+    """The hopping-window aggregate produces identical rows whether
+    events arrive as one batch frame or drain through a watermarked
+    readStream (completing the batch/stream parity set: tumbling and
+    session forms are already pinned)."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.functions.scalar import epoch_of
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    # watermarks require TIMESTAMP (LTZ); cast the NTZ column once so
+    # batch and stream run the identical window plan on this session
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    ts_type = ev.schema["ts"].dataType
+
+    def hopping(df):
+        w = df.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return w.select(
+            epoch_of(ts_type, F.col("w.start"), "MILLISECOND").alias(
+                "win_start_ms"
+            ),
+            "event_type",
+            "n",
+        )
+
+    batch_rows = sorted(map(tuple, hopping(ev).collect()))
+
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        hopping(stream)
+        .writeStream.format("memory")
+        .queryName("hopping_parity")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("select * from hopping_parity").collect())
+    )
+    assert got == batch_rows and len(batch_rows) > 0
+
+
+def test_coarser_grains_derive_from_the_day_state(spark, sf_dir):
+    """month-from-day and year-from-month rollup_state equal the
+    states computed directly from base data — the ladder only ever
+    maintains its finest rung."""
+    from spotify_streaming_etl_pipeline_spark.operators.incremental import (
+        agg_state,
+        rollup_state,
+    )
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    ev = _day_grain(load_table(spark, sf_dir, "events"))
+    day = agg_state(ev, ["y", "m", "d"], "value")
+
+    def canon(df, keys):
+        return sorted(
+            tuple(r[k] for k in keys)
+            + (r.n_rows, round(r.sum_v, 6), r.min_v, r.max_v)
+            for r in df.collect()
+        )
+
+    month_direct = agg_state(ev, ["y", "m"], "value")
+    assert canon(rollup_state(day, ["y", "m"]), ["y", "m"]) == canon(
+        month_direct, ["y", "m"]
+    )
+    year_direct = agg_state(ev, ["y"], "value")
+    assert canon(
+        rollup_state(rollup_state(day, ["y", "m"]), ["y"]), ["y"]
+    ) == canon(year_direct, ["y"])
