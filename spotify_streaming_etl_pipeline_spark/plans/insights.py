@@ -595,3 +595,125 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log10(1.0 + 1.0 / F.col("digit")) * 100, 2
         ).alias("benford_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue-concentration Gini coefficient (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gini_customer_revenue",
+    """
+    WITH c AS (
+      SELECT o_custkey,
+             sum(cast(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cents,
+             cast(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+                 AS i
+      FROM c),
+    s AS (SELECT cast(count(*) AS BIGINT) AS n,
+                 cast(sum(cents) AS BIGINT) AS total,
+                 cast(sum(i * cents) AS BIGINT) AS weighted
+          FROM r)
+    SELECT n AS n_customers, total AS total_cents,
+           round(2.0 * weighted / (n * 1.0 * total)
+                 - (n + 1.0) / n, 4) AS gini
+    FROM s
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    one-number answer to "how head-heavy is this customer base", via
+    the rank-weighted closed form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-sorted integer cents.  Every sum is exact integer
+    arithmetic (rank ties broken by custkey, so the rank assignment is
+    cross-engine deterministic even for equal revenues); only the
+    final closed-form division touches floats.  The global sort ranks
+    the CUSTOMER aggregate, not orders — at 100 TB that table is
+    shuffle-sized, and `approx_percentile`-based Lorenz binning is the
+    documented swap if even that sort ever hurts."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    r = c.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("i"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.round(
+            2.0 * F.col("weighted") / (F.col("n") * 1.0 * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (tokenizer / corpus naturalness check)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "zipf_slope",
+    """
+    WITH words AS (
+      SELECT word, cast(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY 1),
+    ranked AS (
+      SELECT freq,
+             cast(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+                 AS rnk
+      FROM words)
+    SELECT cast(count(*) AS BIGINT) AS n_words,
+           round(regr_slope(ln(freq), ln(rnk)), 3) AS slope,
+           round(regr_r2(ln(freq), ln(rnk)), 3) AS r2
+    FROM ranked
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of the log-log rank-frequency curve — a
+    natural-language corpus sits near −1 (Zipf's law); synthetic or
+    templated text drifts toward 0, making this a cheap corpus
+    naturalness screen.  Ranks order by (freq desc, word) so the
+    regression inputs are cross-engine deterministic; `regr_slope`/
+    `regr_r2` aggregate map-side over the vocabulary-sized table
+    (ln determinism precedent: `lm_quality_scores`)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = words.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.col("word")))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(
+            F.expr("regr_slope(ln(freq), ln(rnk))"), 3
+        ).alias("slope"),
+        F.round(F.expr("regr_r2(ln(freq), ln(rnk))"), 3).alias("r2"),
+    )

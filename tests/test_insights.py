@@ -181,3 +181,16 @@ def test_benford_digits_complete_and_shares_sum(spark, sf_dir):
     # the Benford expectation itself must be the textbook curve
     d1 = [r for r in rows if r.digit == 1][0]
     assert d1.benford_pct == 30.1
+
+
+def test_gini_bounds_and_concentration_direction(spark, sf_dir):
+    r = insights.gini_customer_revenue(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.n_customers > 0 and r.total_cents > 0
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    r = insights.zipf_slope(spark, sf_dir).collect()[0]
+    assert r.n_words > 10
+    assert r.slope < 0  # frequency falls with rank, always
+    assert 0.0 <= r.r2 <= 1.0
