@@ -1078,3 +1078,83 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY 1
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule lift over co-purchase pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "market_basket_lift",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT cast(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM op),
+    supp AS (SELECT l_partkey, cast(count(*) AS BIGINT) AS s FROM op
+             GROUP BY 1),
+    e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                 cast(count(*) AS BIGINT) AS both_cnt
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT})
+    SELECT pa, pb, both_cnt,
+           round(both_cnt * 1.0 * n_orders / (sa.s * 1.0 * sb.s), 4)
+               AS lift
+    FROM e JOIN supp sa ON sa.l_partkey = pa
+           JOIN supp sb ON sb.l_partkey = pb
+    CROSS JOIN n
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift for every supported co-purchase pair:
+    lift = P(a∧b) / (P(a)·P(b)) = both·N / (sᵃ·sᵇ) — the measure that
+    separates genuinely-associated parts from merely-popular ones
+    (the raw support the triangle census uses cannot).  All counts are
+    exact integers; one float division at the end.  The supports table
+    is part-cardinality-sized and joins the (already support-thinned)
+    edge list twice — at 100 TB it broadcasts."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    n = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    supp = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
+        .filter(F.col("both_cnt") >= _TRI_MIN_SUPPORT)
+    )
+    sa = F.broadcast(supp.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa")))
+    sb = F.broadcast(supp.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb")))
+    return (
+        e.join(sa, "pa")
+        .join(sb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "both_cnt",
+            F.round(
+                F.col("both_cnt")
+                * 1.0
+                * F.col("n_orders")
+                / (F.col("sa") * 1.0 * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -172,3 +172,20 @@ def test_copurchase_reach_bfs_semantics(spark, sf_dir):
     # BFS frontier property: some node sits at depth 1 if any edge
     # leaves the seed
     assert 1 in by_node.values()
+
+
+def test_market_basket_lift_agrees_with_raw_probabilities(spark, tmp_path):
+    # 4 orders: parts 1,2 always together (lift = N/(s1*s2) = 4/(2*2)=1? no:
+    # both=2, s1=s2=2, N=4 -> lift = 2*4/(2*2) = 2.0); part 3 rides along
+    rows = []
+    for ok, parts in [(1, [1, 2]), (2, [1, 2]), (3, [3]), (4, [3])]:
+        rows += [(ok, p) for p in parts]
+    _write(
+        spark.createDataFrame(rows, "l_orderkey long, l_partkey long"),
+        tmp_path / "lineitem.parquet",
+    )
+    out = {
+        (r.pa, r.pb): (r.both_cnt, r.lift)
+        for r in quality.market_basket_lift(spark, str(tmp_path)).collect()
+    }
+    assert out == {(1, 2): (2, 2.0)}
