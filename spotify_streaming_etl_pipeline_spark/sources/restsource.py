@@ -98,6 +98,9 @@ class RestEnrichmentDataSource(DataSource):
     def reader(self, schema) -> RestEnrichmentReader:
         return RestEnrichmentReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "RestEnrichmentStreamReader":
+        return RestEnrichmentStreamReader(self.options)
+
 
 # ---------------------------------------------------------------------------
 # Streaming form: poll the URI feed incrementally with replayable
@@ -145,10 +148,3 @@ class RestEnrichmentStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(list(self._rows(start["index"], end["index"])))
-
-
-def _streaming_reader(self, schema):
-    return RestEnrichmentStreamReader(self.options)
-
-
-RestEnrichmentDataSource.simpleStreamReader = _streaming_reader
