@@ -1736,3 +1736,60 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_pct")
         )
     )
+
+
+_I8_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+)
+
+@query(
+    "int8_ann_recall",
+    f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> cast(floor(x::DOUBLE * 127.0 / ma + 0.5) AS BIGINT))
+                 AS qv
+      FROM m),
+    q AS (SELECT vec_id AS q_id, qv AS q_vec FROM qz
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    p AS (
+      SELECT q.q_id, z.vec_id,
+             round({_I8_DOT.format(a="z.qv", b="q.q_vec")}
+                   / sqrt({_I8_DOT.format(a="z.qv", b="z.qv")}::DOUBLE
+                          * {_I8_DOT.format(a="q.q_vec", b="q.q_vec")}::DOUBLE),
+                   4) AS cosine
+      FROM qz z CROSS JOIN q WHERE z.vec_id <> q.q_id),
+    r AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM p),
+    approx AS (SELECT q_id, vec_id FROM r WHERE rn <= 5),
+    exact AS (SELECT q_id, vec_id FROM ({ORACLE["ann_topk"]})),
+    base AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact
+             GROUP BY 1),
+    hits AS (SELECT e.q_id, cast(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY 1)
+    SELECT base.q_id, k,
+           cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force ANN on symmetric-max-abs int8-quantized
+    vectors against the certified exact float path — the accuracy
+    audit that licenses serving quantized (4× less memory traffic per
+    vector).  Quantization uses ⌊x+½⌋ (round() flips between Spark's
+    half-up and DuckDB's half-even at exact halves), the per-vector
+    scale cancels inside cosine, and the quantized dot products are
+    exact integer arithmetic — so the whole evaluation is
+    cross-engine bit-deterministic.  The oracle embeds the registered
+    `ann_topk` SQL as its exact side."""
+    return similarity.int8_recall_at_k(_emb(spark, sf_dir), _QUERY_IDS, k=5)

@@ -49,3 +49,27 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     pcts = [r.coverage_pct for r in rows]
     assert pcts == sorted(pcts)  # bigger vocab never covers less
     assert 0 < pcts[0] <= pcts[-1] <= 100.0
+
+
+def test_int8_quantization_and_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.llm import similarity
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = emb.select(
+        similarity.quantize_int8(F.col("embedding")).alias("qv")
+    )
+    bounds = qz.select(
+        F.array_max("qv").alias("hi"), F.array_min("qv").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).collect()[0]
+    assert -127 <= bounds.lo and bounds.hi <= 127
+    assert bounds.hi == 127  # max-abs element always hits full scale
+
+    rows = similarity.int8_recall_at_k(emb, [0, 1, 2, 3, 4], k=5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.k == 5 and 0 <= r.n_overlap <= 5
+    # int8 at 64 dims barely moves cosine: recall should be high
+    assert sum(r.n_overlap for r in rows) >= 20  # ≥ 0.8 average recall
