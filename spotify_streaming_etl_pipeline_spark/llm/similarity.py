@@ -469,3 +469,82 @@ def int8_recall_at_k(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-bit (sign) quantization: 64-dim vector → one 64-bit word, hamming ANN
+# ---------------------------------------------------------------------------
+
+
+def sign_bits64(vec_col: str) -> Column:
+    """Pack the sign bits of a 64-dim vector into ONE long (bit i set
+    iff vᵢ ≥ 0) — 64× smaller than float32, and hamming distance
+    between two words approximates angular distance (the 1-bit
+    LSH/ITQ idea).  Exact integer arithmetic end to end.
+
+    SQL-lambda form because the Python ``F.shiftleft`` wrapper only
+    accepts a literal shift count — the SQL function shifts by an
+    expression (the lambda index) just fine."""
+    return F.expr(
+        f"aggregate(transform({vec_col}, (x, i) ->"
+        " IF(x >= CAST(0 AS DOUBLE),"
+        " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (acc, b) -> acc | b)"
+    )
+
+
+def hamming_topk_1bit(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by ascending hamming distance over sign-bit words —
+    the cheapest possible first-stage retriever (one xor + popcount
+    per candidate); ties broken by vec_id.  Returns (q_id, vec_id,
+    hamming, rn)."""
+    from pyspark.sql import Window
+
+    b = emb.select("vec_id", sign_bits64(vec_col).alias("bits"))
+    q = b.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("bits").alias("q_bits")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.bit_count(
+                F.col("bits").bitwiseXOR(F.col("q_bits"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "hamming", "rn")
+    )
+
+
+def sign_bit_recall_at_k(
+    emb: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Per query: |exact top-k ∩ 1-bit hamming top-k| — how much of
+    the exact neighborhood the 64×-compressed retriever keeps (use it
+    as stage one with a float or int8 re-rank, never alone)."""
+    exact = cosine_topk(emb, query_ids, k).select("q_id", "vec_id")
+    approx = hamming_topk_1bit(emb, query_ids, k).select("q_id", "vec_id")
+    hits = exact.join(approx, ["q_id", "vec_id"])
+    base = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    n = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return base.join(n, "q_id", "left").select(
+        "q_id",
+        "k",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+    )

@@ -1793,3 +1793,59 @@ def int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine bit-deterministic.  The oracle embeds the registered
     `ann_topk` SQL as its exact side."""
     return similarity.int8_recall_at_k(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+# sign-bit packing: bit 63 cannot be built with 1<<63 in DuckDB (left-
+# shift overflow check); its two's-complement weight is BIGINT MIN, and
+# summing DISJOINT bit weights equals OR — so the pack is a list_sum of
+# per-bit weights with the i=64 term spelled as (-max-1).
+_SIGN_PACK = """
+    list_sum(list_transform(range(1, 65), i ->
+      CASE WHEN {v}[i] >= 0 THEN
+        CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+             ELSE 1::BIGINT << (i - 1) END
+      ELSE 0::BIGINT END))::BIGINT
+"""
+
+
+@query(
+    "sign_bit_ann_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {_SIGN_PACK.format(v="embedding")} AS bits
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, bits AS q_bits FROM b
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    p AS (
+      SELECT q.q_id, b.vec_id,
+             cast(bit_count(xor(b.bits, q.q_bits)) AS BIGINT) AS hamming
+      FROM b CROSS JOIN q WHERE b.vec_id <> q.q_id),
+    r AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM p),
+    approx AS (SELECT q_id, vec_id FROM r WHERE rn <= 5),
+    exact AS (SELECT q_id, vec_id FROM ({ORACLE["ann_topk"]})),
+    base AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact
+             GROUP BY 1),
+    hits AS (SELECT e.q_id, cast(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY 1)
+    SELECT base.q_id, k,
+           cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def sign_bit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 1-bit (sign) hamming retriever against the
+    certified exact path — the 64×-compression extreme of the
+    quantization ladder (`int8_ann_recall` is the 4× rung).  The
+    sign-bit pack, xor, and popcount are exact integer arithmetic in
+    both engines, so the whole audit is bit-deterministic; production
+    use is as stage one of retrieve-then-rerank, and this number is
+    the stage-one recall budget."""
+    return similarity.sign_bit_recall_at_k(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5
+    )

@@ -73,3 +73,29 @@ def test_int8_quantization_and_recall(spark, sf_dir):
         assert r.k == 5 and 0 <= r.n_overlap <= 5
     # int8 at 64 dims barely moves cosine: recall should be high
     assert sum(r.n_overlap for r in rows) >= 20  # ≥ 0.8 average recall
+
+
+def test_sign_bit_packing_and_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.llm import similarity
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    # constructed: all-positive → all 64 bits set (-1); all-negative → 0
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [-1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    bits = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", similarity.sign_bits64("embedding").alias("b")
+        ).collect()
+    }
+    assert bits == {1: -1, 2: 0}  # two's complement all-ones vs none
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.sign_bit_recall_at_k(emb, [0, 1, 2, 3, 4], k=5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.k == 5 and 0 <= r.n_overlap <= 5
