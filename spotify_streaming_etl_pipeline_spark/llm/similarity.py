@@ -548,3 +548,56 @@ def sign_bit_recall_at_k(
         "k",
         F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
     )
+
+
+def rerank_recall_at_k(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    stage1_k: int = 50,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Retrieve-then-rerank: 1-bit hamming stage pulls ``stage1_k``
+    candidates (xor+popcount over packed words — the cheap scan),
+    exact float cosine reranks just those, and recall@k is measured
+    against the full exact path.  This is the production ANN serving
+    shape: the expensive metric touches ``stage1_k`` vectors per
+    query instead of the corpus, and the recall lever is ``stage1_k``
+    (the unit test pins rerank ≥ raw 1-bit recall)."""
+    from pyspark.sql import Window
+
+    cands = hamming_topk_1bit(emb, query_ids, stage1_k, vec_col).select(
+        "q_id", "vec_id"
+    )
+    vecs = emb.select("vec_id", F.col(vec_col).alias("v"))
+    qvecs = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        cands.join(vecs, "vec_id")
+        .join(F.broadcast(qvecs), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("v"), F.col("q_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    reranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id")
+    )
+    exact = cosine_topk(emb, query_ids, k).select("q_id", "vec_id")
+    hits = exact.join(reranked, ["q_id", "vec_id"])
+    base = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    n = hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return base.join(n, "q_id", "left").select(
+        "q_id",
+        "k",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+    )

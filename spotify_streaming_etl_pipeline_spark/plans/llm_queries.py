@@ -1849,3 +1849,54 @@ def sign_bit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sign_bit_recall_at_k(
         _emb(spark, sf_dir), _QUERY_IDS, k=5
     )
+
+
+@query(
+    "rerank_ann_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {_SIGN_PACK.format(v="embedding")} AS bits
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, bits AS q_bits FROM b
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    h AS (
+      SELECT q.q_id, b.vec_id,
+             row_number() OVER (PARTITION BY q.q_id
+                ORDER BY bit_count(xor(b.bits, q.q_bits)), b.vec_id) AS rn
+      FROM b CROSS JOIN q WHERE b.vec_id <> q.q_id),
+    cands AS (SELECT q_id, vec_id FROM h WHERE rn <= 50),
+    qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             {_cos_sql('e.embedding', 'qv.q_vec')} AS cosine
+      FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id
+                   JOIN qv ON qv.q_id = c.q_id),
+    rr AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored),
+    approx AS (SELECT q_id, vec_id FROM rr WHERE rn <= 5),
+    exact AS (SELECT q_id, vec_id FROM ({ORACLE["ann_topk"]})),
+    base AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact
+             GROUP BY 1),
+    hits AS (SELECT e.q_id, cast(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY 1)
+    SELECT base.q_id, k,
+           cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def rerank_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of retrieve-then-rerank: 1-bit hamming stage-1 top-50,
+    exact-cosine rerank of just those candidates — the production ANN
+    serving shape, where the float metric touches 50 vectors per query
+    instead of the corpus.  Completes the quantization story: raw
+    1-bit recall (`sign_bit_ann_recall`) is the floor, this is what a
+    50-candidate rerank budget buys back."""
+    return similarity.rerank_recall_at_k(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, stage1_k=50
+    )

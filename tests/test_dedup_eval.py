@@ -99,3 +99,26 @@ def test_sign_bit_packing_and_recall(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r.k == 5 and 0 <= r.n_overlap <= 5
+
+
+def test_rerank_recall_dominates_raw_sign_bit(spark, sf_dir):
+    from spotify_streaming_etl_pipeline_spark.llm import similarity
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    raw = {
+        r.q_id: r.n_overlap
+        for r in similarity.sign_bit_recall_at_k(emb, qids, k=5).collect()
+    }
+    rer = {
+        r.q_id: r.n_overlap
+        for r in similarity.rerank_recall_at_k(
+            emb, qids, k=5, stage1_k=50
+        ).collect()
+    }
+    # a 50-candidate exact rerank can only add true neighbors the raw
+    # top-5 cut off — per-query recall never drops
+    for q in qids:
+        assert rer[q] >= raw[q], (q, raw[q], rer[q])
+    assert sum(rer.values()) >= sum(raw.values())
