@@ -1900,3 +1900,60 @@ def rerank_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rerank_recall_at_k(
         _emb(spark, sf_dir), _QUERY_IDS, k=5, stage1_k=50
     )
+
+
+@query(
+    "quantization_ladder_summary",
+    f"""
+    WITH i8 AS (SELECT 'int8' AS method, q_id, k, n_overlap
+                FROM ({ORACLE["int8_ann_recall"]})),
+    s1 AS (SELECT '1bit' AS method, q_id, k, n_overlap
+           FROM ({ORACLE["sign_bit_ann_recall"]})),
+    rr AS (SELECT '1bit+rerank50' AS method, q_id, k, n_overlap
+           FROM ({ORACLE["rerank_ann_recall"]})),
+    u AS (SELECT * FROM i8 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM rr)
+    SELECT method,
+           cast(count(*) AS BIGINT) AS n_queries,
+           cast(sum(n_overlap) AS BIGINT) AS total_overlap,
+           round(sum(n_overlap) * 1.0 / sum(k), 4) AS recall_at_5
+    FROM u GROUP BY 1
+    """,
+)
+def quantization_ladder_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole compression-accuracy trade in three rows: recall@5 of
+    int8 (4× compression), raw 1-bit (64×), and 1-bit with a
+    50-candidate exact rerank — each line a certified query whose SQL
+    the oracle embeds, aggregated to the number a serving-tier design
+    review actually reads."""
+    emb = _emb(spark, sf_dir)
+
+    def tag(df, name):
+        return df.select(
+            F.lit(name).alias("method"), "q_id", "k", "n_overlap"
+        )
+
+    u = (
+        tag(similarity.int8_recall_at_k(emb, _QUERY_IDS, k=5), "int8")
+        .unionAll(
+            tag(
+                similarity.sign_bit_recall_at_k(emb, _QUERY_IDS, k=5),
+                "1bit",
+            )
+        )
+        .unionAll(
+            tag(
+                similarity.rerank_recall_at_k(
+                    emb, _QUERY_IDS, k=5, stage1_k=50
+                ),
+                "1bit+rerank50",
+            )
+        )
+    )
+    return u.groupBy("method").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_overlap").cast("long").alias("total_overlap"),
+        F.round(
+            F.sum("n_overlap") * 1.0 / F.sum("k"), 4
+        ).alias("recall_at_5"),
+    )

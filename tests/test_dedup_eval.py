@@ -122,3 +122,17 @@ def test_rerank_recall_dominates_raw_sign_bit(spark, sf_dir):
     for q in qids:
         assert rer[q] >= raw[q], (q, raw[q], rer[q])
     assert sum(rer.values()) >= sum(raw.values())
+
+
+def test_quantization_ladder_ordering(spark, sf_dir):
+    rows = {
+        r.method: r.recall_at_5
+        for r in llm_queries.quantization_ladder_summary(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"int8", "1bit", "1bit+rerank50"}
+    # the rerank tier never loses to raw 1-bit (prefix containment),
+    # and int8 at 64 dims should beat raw 1-bit
+    assert rows["1bit+rerank50"] >= rows["1bit"]
+    assert rows["int8"] >= rows["1bit"]
