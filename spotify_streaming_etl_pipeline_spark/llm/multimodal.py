@@ -6,11 +6,13 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes stream through Python in columnar batches —
 never row-at-a-time, never through the driver.
 
-Decode status: PNG decode is REAL and dependency-free — ``decode_png``
-(zlib + struct, all five scanline filters) feeds the ``png_features``
-mapInPandas stage, tested on real PNG byte strings. Other formats
-(JPEG, audio, video) remain stubbed behind ``decode_image`` /
-``sample_frames`` because their codecs aren't in this container;
+Decode status: PNG and BMP decode are REAL and dependency-free —
+``decode_png`` (zlib + struct, all five scanline filters) and
+``decode_bmp`` (struct; BI_RGB 24-bit BGR + 8-bit paletted, row
+padding and bottom-up order handled) both feed the feature stages,
+tested on real byte strings. Other formats (JPEG, audio, video)
+remain stubbed behind ``decode_image`` / ``sample_frames`` because
+their codecs aren't in this container;
 ``extract_blob_features`` computes a deterministic byte-level feature
 set (length, first byte, md5) so the Spark-side plumbing — schema,
 batch shape, partitioning — is oracle-testable end to end regardless
@@ -219,6 +221,75 @@ def decode_png(blob: bytes) -> dict:
     return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
 
 
+def decode_bmp(blob: bytes) -> dict:
+    """REAL pure-stdlib BMP decode (struct only): parses the
+    BITMAPFILEHEADER + BITMAPINFOHEADER, supports uncompressed
+    (BI_RGB) 24-bit BGR and 8-bit paletted pixels, honors the 4-byte
+    row padding and the bottom-up row order (negative height = top-
+    down), and returns the same shape as ``decode_png``:
+    {"width", "height", "channels", "pixels"} with pixels row-major
+    top-down. 24-bit rows are emitted as RGB (BGR swapped); 8-bit
+    rows resolve through the palette to RGB unless the palette is
+    grayscale, in which case channels=1."""
+    import struct
+
+    if bytes(blob[:2]) != b"BM":
+        raise ValueError("not a BMP byte string (bad signature)")
+    if len(blob) < 54:
+        raise ValueError("BMP truncated before headers")
+    data_off = struct.unpack("<I", bytes(blob[10:14]))[0]
+    hdr_size = struct.unpack("<I", bytes(blob[14:18]))[0]
+    w, h_raw = struct.unpack("<ii", bytes(blob[18:26]))
+    _planes, bpp, compression = struct.unpack("<HHI", bytes(blob[26:34]))
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"decode_bmp requires BITMAPINFOHEADER (>=40 bytes); got {hdr_size}"
+        )
+    if compression != 0:
+        raise NotImplementedError(
+            f"decode_bmp supports only uncompressed BI_RGB; got compression={compression}"
+        )
+    if bpp not in (8, 24):
+        raise NotImplementedError(
+            f"decode_bmp supports 8-bit paletted and 24-bit pixels; got {bpp}"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP has degenerate dimensions {w}x{h_raw}")
+    palette: list[tuple[int, int, int]] = []
+    if bpp == 8:
+        n_colors = struct.unpack("<I", bytes(blob[46:50]))[0] or 256
+        pal_off = 14 + hdr_size
+        pal = bytes(blob[pal_off : pal_off + 4 * n_colors])
+        if len(pal) < 4 * n_colors:
+            raise ValueError("BMP palette truncated")
+        palette = [
+            (pal[4 * i + 2], pal[4 * i + 1], pal[4 * i])  # stored BGRX
+            for i in range(n_colors)
+        ]
+    gray = bpp == 8 and all(r == g == b for r, g, b in palette)
+    channels = 1 if gray else 3
+    row_bytes = (w * bpp) // 8
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if len(blob) < need:
+        raise ValueError("BMP pixel data has unexpected length")
+    out = bytearray()
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for r in rows:
+        row = bytes(blob[data_off + r * stride : data_off + r * stride + row_bytes])
+        if bpp == 24:
+            for x in range(0, row_bytes, 3):
+                out += bytes((row[x + 2], row[x + 1], row[x]))  # BGR -> RGB
+        elif gray:
+            out += bytes(palette[v][0] for v in row)
+        else:
+            for v in row:
+                out += bytes(palette[v])
+    return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
+
+
 PNG_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -260,11 +331,12 @@ def png_features(media: DataFrame) -> DataFrame:
 
 def decode_image(blob: bytes) -> object:
     """Image decode: Pillow when importable (any format), else the
-    pure-stdlib ``decode_png`` for PNG bytes. Other formats raise
-    NotImplementedError pointing at the pluggable batch function —
-    swap the inner function of ``extract_blob_features`` /
-    ``png_features`` (mapInPandas) for your decoder; the Spark-side
-    schema, batching, and partitioning don't change."""
+    pure-stdlib ``decode_png`` for PNG bytes / ``decode_bmp`` for BMP
+    bytes. Other formats raise NotImplementedError pointing at the
+    pluggable batch function — swap the inner function of
+    ``extract_blob_features`` / ``png_features`` (mapInPandas) for
+    your decoder; the Spark-side schema, batching, and partitioning
+    don't change."""
     try:
         from PIL import Image  # noqa: F401
         import io
@@ -273,10 +345,12 @@ def decode_image(blob: bytes) -> object:
     except ImportError:
         if bytes(blob[:8]) == _PNG_SIG:
             return decode_png(blob)
+        if bytes(blob[:2]) == b"BM":
+            return decode_bmp(blob)
         raise NotImplementedError(
             "decode for this format requires an image library (e.g. Pillow); "
-            "only PNG decodes via the built-in pure-python path. Plug a real "
-            "decoder into the mapInPandas batch function "
+            "only PNG and BMP decode via the built-in pure-python paths. Plug "
+            "a real decoder into the mapInPandas batch function "
             "(extract_blob_features / png_features) — the Spark plumbing "
             "(schema, Arrow batching, partitioning) is decoder-agnostic."
         ) from None

@@ -392,7 +392,15 @@ def quantize_int8(vec: Column) -> Column:
     half-up in Spark, half-even in DuckDB).  The per-vector scale
     cancels inside cosine, so int8 cosine needs no dequantization and
     its dot products are EXACT integer arithmetic."""
-    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    # greatest(·, tiny) guards the all-zero vector: without it the
+    # scale is 0, x*127/0 is NULL (non-ANSI), and the whole qv goes
+    # NULL — silently dropping the row from the int8 ranking while
+    # the exact path keeps it. With the guard, zero vectors quantize
+    # to the all-zero qv (the faithful image of a zero embedding).
+    maxabs = F.greatest(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
     return F.transform(
         vec,
         lambda x: F.floor(

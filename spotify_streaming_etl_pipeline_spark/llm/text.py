@@ -297,12 +297,21 @@ def bigram_pmi_table(
             "w1",
             "w2",
             "n_pair",
-            F.round(
-                F.log(
-                    (F.col("n_pair") / F.col("n_bi"))
-                    / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
-                ),
-                4,
+            # `+ 0.0` after the round: a tiny negative PMI rounds to
+            # -0.0, and IEEE `-0.0 + 0.0 = +0.0` normalizes the sign
+            # bit so the value hash matches engines that emit +0.0.
+            (
+                F.round(
+                    F.log(
+                        (F.col("n_pair") / F.col("n_bi"))
+                        / (
+                            (F.col("n_a") / F.col("n_uni"))
+                            * (F.col("n_b") / F.col("n_uni"))
+                        )
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("pmi"),
         )
     )

@@ -302,6 +302,47 @@ def top_parts_param(
 
 
 @query(
+    "album_stats",
+    """
+    SELECT p_name AS track_title,
+           round(sum(l_extendedprice) / 60.0, 1) AS min_listened,
+           round(sum(l_extendedprice * (1 - l_discount) / 100.0) / 100.0, 0)
+               AS estimated_streams
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#5' AND p_type = 'ECONOMY'
+    GROUP BY 1
+    """,
+)
+def album_stats_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 drill-down mart gated by oracle: the REAL ``marts.album_stats``
+    (reference dm.album_stats, docs/sql/dm_ddl.sql:144-162) run through a
+    TPC-H adapter — lineitem plays the fact (l_extendedprice as
+    sec_played; the discounted price in percent units as percent_played;
+    both continuous, so no dyadic 0.25-tie can split the engines'
+    round()), part plays dim_track with (p_brand, p_type) as the
+    (album, artist) drill-down key.  Ordering in the mart is cosmetic
+    (no LIMIT), so the hash compare is order-insensitive."""
+    from .marts import album_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    fact = li.select(
+        F.col("l_partkey").alias("track_fk"),
+        F.col("l_extendedprice").alias("sec_played"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) / 100.0).alias(
+            "percent_played"
+        ),
+    )
+    dim = p.select(
+        F.col("p_partkey").alias("track_id"),
+        F.col("p_name").alias("track_title"),
+        F.col("p_brand").alias("album_name"),
+        F.col("p_type").alias("artist_name"),
+    )
+    return album_stats(fact, dim, "Brand#5", "ECONOMY")
+
+
+@query(
     "top_customers_1996",
     """
     SELECT c_name, n_name,

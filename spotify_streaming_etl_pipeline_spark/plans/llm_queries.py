@@ -1193,7 +1193,7 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bc.w1, bc.w2, bc.n_pair,
            round(ln((bc.n_pair / tot.n_bi)
-                    / ((a.n / tot.n_uni) * (b.n / tot.n_uni))), 4) AS pmi
+                    / ((a.n / tot.n_uni) * (b.n / tot.n_uni))), 4) + 0.0 AS pmi
     FROM bc JOIN uc a ON a.word = bc.w1
             JOIN uc b ON b.word = bc.w2
             CROSS JOIN tot
@@ -1493,9 +1493,9 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cast(count(CASE WHEN in_e THEN 1 END) AS BIGINT) AS n_exact,
            cast(count(CASE WHEN in_m THEN 1 END) AS BIGINT) AS n_minhash,
            cast(count(CASE WHEN in_e AND in_m THEN 1 END) AS BIGINT) AS tp,
-           cast(count(CASE WHEN in_m AND in_e IS NULL THEN 1 END) AS BIGINT)
+           cast(count(CASE WHEN in_m AND NOT in_e THEN 1 END) AS BIGINT)
                AS fp,
-           cast(count(CASE WHEN in_e AND in_m IS NULL THEN 1 END) AS BIGINT)
+           cast(count(CASE WHEN in_e AND NOT in_m THEN 1 END) AS BIGINT)
                AS fn,
            round(count(CASE WHEN in_e AND in_m THEN 1 END)
                  / nullif(count(CASE WHEN in_m THEN 1 END), 0), 4)
@@ -1747,7 +1747,9 @@ _I8_DOT = (
     f"""
     WITH m AS (
       SELECT vec_id, embedding,
-             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS ma
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(x::DOUBLE))),
+                      1e-30) AS ma
       FROM embeddings),
     qz AS (
       SELECT vec_id,

@@ -5,8 +5,10 @@ day-grain maintenance the batch side proves, and the pattern behind
 "continuous aggregate" features (TimescaleDB caggs, Databricks
 incremental materialized views).
 
-State model: each microbatch writes a FULL merged snapshot under
-``{state_dir}/v={batch_id}`` (overwrite).  Replays of a batch after a
+State model: each microbatch writes a FULL merged snapshot to a temp
+dir and renames it to ``{state_dir}/v={batch_id}`` (atomic publish;
+readers additionally require the _SUCCESS marker, so a torn or
+in-flight write is never visible).  Replays of a batch after a
 crash rewrite the same version instead of double-merging — foreachBatch
 guarantees at-least-once with a stable batch_id, and idempotent
 overwrite-by-version upgrades that to exactly-once for the state.  The
@@ -25,6 +27,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame
 
@@ -32,16 +35,35 @@ from ..operators.incremental import agg_state, merge_states
 
 _VERSION_RE = re.compile(r"^v=(\d+)$")
 
+# Snapshots older than the newest KEEP_VERSIONS are pruned after each
+# successful commit — bounds state-dir growth at a few snapshots while
+# keeping enough history for a replayed batch to find its predecessor.
+KEEP_VERSIONS = 3
 
-def _latest_version_below(state_dir: str, batch_id: int) -> int | None:
+
+def _committed(state_dir: str, v: int) -> bool:
+    """A snapshot counts only once its _SUCCESS marker exists — a
+    crashed-mid-write or concurrently-writing version is invisible to
+    readers (no torn parquet directories)."""
+    return os.path.isfile(os.path.join(state_dir, f"v={v}", "_SUCCESS"))
+
+
+def _versions(state_dir: str) -> list[int]:
     if not os.path.isdir(state_dir):
-        return None
-    versions = [
+        return []
+    return [
         int(m.group(1))
         for name in os.listdir(state_dir)
         if (m := _VERSION_RE.match(name))
     ]
-    below = [v for v in versions if v < batch_id]
+
+
+def _latest_version_below(state_dir: str, batch_id: int) -> int | None:
+    below = [
+        v
+        for v in _versions(state_dir)
+        if v < batch_id and _committed(state_dir, v)
+    ]
     return max(below) if below else None
 
 
@@ -67,8 +89,25 @@ def incremental_state_sink(keys: list[str], value_col: str, state_dir: str):
         merged = (
             merge_states(prev, delta, keys) if prev is not None else delta
         )
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v={batch_id}")
-        )
+        # Write-temp-then-rename so a reader never observes a torn
+        # snapshot: the final v= directory appears atomically (POSIX
+        # dir rename) and only with its _SUCCESS marker already
+        # inside.  A replayed batch rewrites the same version from the
+        # same predecessor, keeping the state exactly-once.
+        final = os.path.join(state_dir, f"v={batch_id}")
+        tmp = os.path.join(state_dir, f"_tmp.v={batch_id}")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        # Prune: everything older than the newest KEEP_VERSIONS goes.
+        keep = sorted(_versions(state_dir))[-KEEP_VERSIONS:]
+        for v in _versions(state_dir):
+            if v not in keep:
+                shutil.rmtree(
+                    os.path.join(state_dir, f"v={v}"), ignore_errors=True
+                )
 
     return sink

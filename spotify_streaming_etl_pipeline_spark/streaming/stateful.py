@@ -126,8 +126,12 @@ def dedup_stream_tws(
     ListState / MapState) with NATIVE per-state TTL instead of a
     hand-managed timeout, timers as a first-class concept, and an
     evolvable-schema state store.  Kept alongside the legacy form so
-    both front ends are exercised; semantics are pinned identical by
-    ``test_tws_dedup_matches_legacy_dedup``.
+    both front ends are exercised.  ``test_tws_dedup_matches_legacy_dedup``
+    asserts the two forms match, but it auto-skips where
+    ``google.protobuf`` (a transformWithStateInPandas runtime
+    dependency) is absent — in such environments this path is
+    UNVERIFIED by execution; the legacy ``dedup_stream`` is the
+    certified form.
 
     State per key is one boolean ValueState with
     ``ttlDurationMs = ttl_minutes`` — expiry re-admits a later

@@ -40,6 +40,12 @@ def _canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
+        if v == 0.0 and math.copysign(1.0, v) < 0.0:
+            # Preserve the sign bit of zero: the driver's value hash
+            # distinguishes -0.0 from +0.0 (bigram_pmi went red in
+            # CORRECTNESS_r04 while this gate, which collapsed both
+            # to "0", stayed green). Canon must be >= driver-strict.
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)

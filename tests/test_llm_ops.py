@@ -481,6 +481,104 @@ def test_decode_png_rejects_garbage():
         multimodal.decode_png(b"not a png at all")
 
 
+# --- real BMP decode (pure stdlib) ------------------------------------------
+
+
+def _encode_bmp(width, height, rgb_pixels, bpp=24, top_down=False, palette=None):
+    """Minimal in-test BMP writer (struct) so decode_bmp is exercised
+    on REAL BMP byte strings: BI_RGB, 4-byte row padding, bottom-up
+    unless top_down, 24-bit BGR or 8-bit paletted."""
+    import struct
+
+    if bpp == 24:
+        row_bytes = width * 3
+        pal_bytes = b""
+    else:
+        row_bytes = width
+        pal_bytes = b"".join(
+            bytes((b, g, r, 0)) for r, g, b in palette
+        )
+    stride = (row_bytes + 3) & ~3
+    data = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for r in rows:
+        if bpp == 24:
+            row = bytearray()
+            for x in range(width):
+                off = (r * width + x) * 3
+                rr, gg, bb = rgb_pixels[off : off + 3]
+                row += bytes((bb, gg, rr))  # RGB -> stored BGR
+        else:
+            row = bytearray(rgb_pixels[r * width : (r + 1) * width])
+        data += row + b"\x00" * (stride - row_bytes)
+    data_off = 14 + 40 + len(pal_bytes)
+    h_field = height if top_down is False else -height
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, h_field, 1, bpp, 0,
+        len(data), 2835, 2835, len(palette or []), 0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", data_off + len(data), 0, 0, data_off)
+    return hdr + info + pal_bytes + bytes(data)
+
+
+def test_decode_bmp_24bit_roundtrip_with_padding():
+    # width 3 -> row_bytes 9 -> stride 12: padding path exercised
+    w, h = 3, 2
+    pixels = bytes((x * 29 + 5) % 256 for x in range(w * h * 3))
+    img = multimodal.decode_bmp(_encode_bmp(w, h, pixels))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == pixels
+
+
+def test_decode_bmp_top_down_matches_bottom_up():
+    w, h = 2, 3
+    pixels = bytes((x * 13 + 1) % 256 for x in range(w * h * 3))
+    up = multimodal.decode_bmp(_encode_bmp(w, h, pixels, top_down=False))
+    down = multimodal.decode_bmp(_encode_bmp(w, h, pixels, top_down=True))
+    assert up["pixels"] == down["pixels"] == pixels
+
+
+def test_decode_bmp_8bit_gray_palette():
+    w, h = 5, 2
+    idx = bytes((x * 17) % 256 for x in range(w * h))
+    pal = [(i, i, i) for i in range(256)]  # grayscale palette -> channels=1
+    img = multimodal.decode_bmp(_encode_bmp(w, h, idx, bpp=8, palette=pal))
+    assert img["channels"] == 1
+    assert img["pixels"] == idx  # identity gray palette preserves indices
+
+
+def test_decode_bmp_8bit_color_palette():
+    w, h = 2, 2
+    idx = bytes([0, 1, 2, 3])
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)] + [(0, 0, 0)] * 252
+    img = multimodal.decode_bmp(_encode_bmp(w, h, idx, bpp=8, palette=pal))
+    assert img["channels"] == 3
+    assert img["pixels"] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+
+
+def test_decode_bmp_rejects_garbage_and_compressed():
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_bmp(b"not a bmp")
+    import struct
+
+    blob = bytearray(_encode_bmp(2, 2, bytes(12)))
+    blob[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        multimodal.decode_bmp(bytes(blob))
+
+
+def test_decode_image_dispatches_bmp():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present: decode_image uses it, not the stdlib path")
+    except ImportError:
+        pass
+    pixels = bytes(range(12))
+    img = multimodal.decode_image(_encode_bmp(2, 2, pixels))
+    assert img["pixels"] == pixels
+
+
 def test_png_features_mapinpandas(spark):
     """Real decode through the Arrow-batched Spark plumbing: PNG blobs
     produce (w, h, channels, mean); a poison blob yields nulls, not a
