@@ -549,12 +549,26 @@ def dup_clusters(
     und = pairs.select(
         F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
     )
-    # Both nodes and edges derive from sym; persist it so the (possibly
-    # expensive) upstream pair-detection pipeline materializes exactly
-    # once — without this, label init and edge build each re-run it.
-    sym = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    # Symmetric expansion via explode(array(...)), NOT a self-union:
+    # a union's two branches each carry the whole upstream
+    # pair-detection plan, and only the exchanges below them get
+    # deduplicated (ReuseExchange) — the join/filter/agg chain above
+    # the last shuffle still executes twice per materialization. The
+    # explode form scans the pair pipeline exactly once and emits both
+    # edge directions per row. Persisted because nodes and edges both
+    # consume it.
+    sym = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .persist()
+    )
     if distributed is None:
         # The count materializes the persisted sym, so the driver-path
         # collect below reads cache — the expensive pair detection runs
