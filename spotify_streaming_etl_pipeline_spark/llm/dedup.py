@@ -182,6 +182,7 @@ def ngram_jaccard_pairs(
     n: int = NGRAM_N,
     text_col: str = "text",
     max_doc_freq: int | None = 1000,
+    _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (doc_a < doc_b, j >= t).
 
@@ -199,8 +200,14 @@ def ngram_jaccard_pairs(
     # The posting feeds three consumers (sizes + both join sides);
     # persist so tokenize/shingle/md5 runs once, not per consumer.
     # (~16 bytes/shingle — at lake scale this is a materialized
-    # intermediate table, same idea.)
-    posting = _posting(df, text_col, n).persist()
+    # intermediate table, same idea.) Callers composing several
+    # detectors over the same corpus pass an already-persisted posting
+    # via ``_posting_df`` so the build isn't repeated per detector.
+    posting = (
+        _posting_df
+        if _posting_df is not None
+        else _posting(df, text_col, n).persist()
+    )
     if max_doc_freq is not None:
         posting = cap_doc_freq(posting, max_doc_freq)
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -329,6 +336,7 @@ def minhash_near_dup(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
+    _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
     the production near-dup query. Pairwise verification touches ONLY
@@ -337,7 +345,11 @@ def minhash_near_dup(
     row-shaped 16-byte hashes in the shuffle, no per-doc gram arrays
     (the earlier collect_list/array_intersect form put one array per
     doc on every candidate row, degrading for book-length docs)."""
-    posting = _posting(df, text_col, NGRAM_N).persist()
+    posting = (
+        _posting_df
+        if _posting_df is not None
+        else _posting(df, text_col, NGRAM_N).persist()
+    )
     cands = minhash_lsh_candidates(df, text_col=text_col, _posting_df=posting)
     return pair_jaccard(posting, cands).filter(
         F.col("jaccard") >= threshold
@@ -407,7 +419,11 @@ def minhash_incremental(
 SIMHASH_BITS = 48
 
 
-def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    _posting_df: DataFrame | None = None,
+) -> DataFrame:
     """48-bit SimHash over word-3-gram features (unigram features would
     collide for any docs sharing a vocabulary; shingles encode order).
 
@@ -415,7 +431,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     (one per bit, map-side partial) -> fingerprint assembled from the
     sign columns. One shuffle, all codegen — no per-element lambda
     loops."""
-    posting = _posting(df, text_col, NGRAM_N)
+    posting = _posting_df if _posting_df is not None else _posting(df, text_col, NGRAM_N)
     votes = posting.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -438,6 +454,7 @@ def simhash_near_dup(
     df: DataFrame,
     max_distance: int = 3,
     text_col: str = "text",
+    _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_distance.
 
@@ -454,7 +471,7 @@ def simhash_near_dup(
     # table; one side broadcasts, so exchange reuse can't kick in and
     # without persist the posting->48-vote pipeline runs twice.
     # (doc_id, simhash) is 16 bytes/doc — cache-friendly at any scale.
-    fp = simhash_fingerprints(df, text_col).persist()
+    fp = simhash_fingerprints(df, text_col, _posting_df=_posting_df).persist()
     chunks = fp.select(
         "doc_id",
         "simhash",
