@@ -84,6 +84,61 @@ def test_replaying_a_batch_id_is_idempotent(spark, tmp_path):
     assert (d2.n_rows, d2.sum_v) == (2, 12.0)
 
 
+def test_uncommitted_snapshot_is_invisible(spark, tmp_path):
+    """A version directory without _SUCCESS (crashed mid-write, or a
+    concurrent writer) must be skipped by read_state — readers only
+    ever observe atomically-published snapshots."""
+    import os
+
+    rows = [(2024, 1, 1, 10.0)]
+    df = spark.createDataFrame(rows, "y int, m int, d int, value double")
+    state_dir = str(tmp_path / "state")
+    sink = incremental_state_sink(KEYS, "value", state_dir)
+    sink(df, 0)
+    committed = _canon(read_state(spark, state_dir))
+    # simulate a torn write: a bare v=1 directory with garbage, no _SUCCESS
+    torn = os.path.join(state_dir, "v=1")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert _canon(read_state(spark, state_dir)) == committed
+    # a later good batch publishes v=2 over the torn v=1 without issue
+    more = spark.createDataFrame(
+        [(2024, 1, 1, 5.0)], "y int, m int, d int, value double"
+    )
+    sink(more, 2)
+    d1 = [r for r in read_state(spark, state_dir).collect() if r.d == 1][0]
+    assert (d1.n_rows, d1.sum_v) == (2, 15.0)
+
+
+def test_old_versions_are_pruned(spark, tmp_path):
+    """State-dir growth is bounded: after each commit only the newest
+    KEEP_VERSIONS snapshots remain on disk, and the latest state is
+    still the full merge of every batch."""
+    import os
+
+    from spotify_streaming_etl_pipeline_spark.streaming.aggregates import (
+        KEEP_VERSIONS,
+    )
+
+    state_dir = str(tmp_path / "state")
+    sink = incremental_state_sink(KEYS, "value", state_dir)
+    n_batches = KEEP_VERSIONS + 3
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(2024, 1, 1, 1.0)], "y int, m int, d int, value double"
+        )
+        sink(df, b)
+    versions = sorted(
+        int(n.split("=")[1])
+        for n in os.listdir(state_dir)
+        if n.startswith("v=")
+    )
+    assert versions == list(range(n_batches - KEEP_VERSIONS, n_batches))
+    d1 = read_state(spark, state_dir).collect()[0]
+    assert (d1.n_rows, d1.sum_v) == (n_batches, float(n_batches))
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
