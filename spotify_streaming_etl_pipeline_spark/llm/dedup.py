@@ -235,6 +235,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n: int = NGRAM_N,
+    text_col: str = "text",
+    _posting_df: DataFrame | None = None,
+) -> DataFrame:
+    """Containment (overlap-coefficient) near-dup pairs:
+    c = |A∩B| / min(|A|, |B|), doc_a < doc_b, c >= threshold.
+
+    The asymmetric companion to Jaccard: a short document fully quoted
+    inside a long one (prefix/suffix dups, boilerplate-wrapped
+    articles, chunk-of-a-book) has containment ~1 while its Jaccard is
+    ~|A|/|B| — far below any symmetric threshold. Training-data dedup
+    runs BOTH: Jaccard for same-size near-copies, containment for
+    subset copies.
+
+    Identical plan shape to ``ngram_jaccard_pairs`` (same inverted
+    index, same equi-join on the shingle hash, same partial-aggregated
+    co-occurrence count); only the final scalar formula differs, so
+    every scale property (16-byte shuffle rows, df-cap compatibility,
+    O(Σ df²) bound) carries over. ``c >= t > 0`` implies >= 1 shared
+    shingle, so the inner join loses no qualifying pair."""
+    posting = (
+        _posting_df
+        if _posting_df is not None
+        else _posting(df, text_col, n).persist()
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
+    b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
+    shared = (
+        a.join(b, "h1")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 MINHASH_K = 16  # signature length

@@ -137,6 +137,29 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+@query(
+    "containment_pairs",
+    f"""
+    WITH {_NG_CTE},
+    cont AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.ng, b.ng))::DOUBLE
+                     / least(len(a.ng), len(b.ng)), 4) AS containment
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, containment FROM cont WHERE containment >= 0.6
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection (llm/dedup.py:containment_pairs):
+    overlap coefficient |A∩B|/min(|A|,|B|) over the same shingle
+    space as the Jaccard gate — catches the short-doc-quoted-in-long
+    dup class a symmetric threshold misses. 0.6 keeps the gate
+    non-vacuous at sf0.01 (strictly more pairs than jaccard >= 0.6
+    would admit, because min() <= the union size)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
 # Hash-keyed posting-table form of the capped Jaccard: df computed on
 # the same 48-bit md5-prefix key Spark uses, so hot-shingle membership
 # is bit-identical across engines even under (vanishing) collisions.

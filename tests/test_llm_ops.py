@@ -65,6 +65,24 @@ def test_ngram_jaccard_finds_near_dup_pair(spark, docs):
     assert all(a < b for a, b in got)
 
 
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short document fully quoted inside a long one: containment 1.0
+    while Jaccard ~ |A|/|B| — the dup class the overlap coefficient
+    exists for."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, short), (1, filler + " " + short)], "doc_id: long, text: string"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.9).collect()
+    }
+    assert cont[(0, 1)] == 1.0  # every shingle of 0 appears in 1
+    jacc = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jacc == []  # symmetric similarity never sees the pair
+
+
 def test_minhash_candidates_superset_of_verified(spark, docs):
     cands = {
         (r["doc_a"], r["doc_b"])
