@@ -404,3 +404,38 @@ def test_scd2_collapse_matches_list_model(spark, rows):
         key=key,
     )
     assert got == sorted(expect, key=key)
+
+
+@PROPS
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),
+              st.integers(min_value=0, max_value=30)),
+    min_size=1, max_size=60,
+))
+def test_dup_clusters_matches_python_union_find(spark, edges):
+    """Connected components over arbitrary small pair graphs (self
+    loops, parallel edges, arbitrary direction) must equal an
+    independent Python union-find with min-id labels — the invariant
+    every keeper-selection query builds on."""
+    from spotify_streaming_etl_pipeline_spark.llm.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = {(r["doc_id"], r["cluster_id"]) for r in dup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    want = {(n, find(n)) for n in parent}
+    assert got == want
