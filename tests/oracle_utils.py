@@ -40,6 +40,9 @@ def _canon_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
+        if math.isinf(v):
+            # int(inf) raises; canon must be total over IEEE doubles.
+            return repr(v)
         if v == 0.0 and math.copysign(1.0, v) < 0.0:
             # Preserve the sign bit of zero: the driver's value hash
             # distinguishes -0.0 from +0.0 (bigram_pmi went red in
