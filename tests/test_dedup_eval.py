@@ -75,6 +75,28 @@ def test_int8_quantization_and_recall(spark, sf_dir):
     assert sum(r.n_overlap for r in rows) >= 20  # ≥ 0.8 average recall
 
 
+def test_quantize_int8_zero_vector_stays_in_ranking(spark):
+    """An all-zero embedding must quantize to the all-zero qv (not a
+    NULL array from the 0/0 scale), so the row never silently drops
+    from the int8 path while the exact path still ranks it."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.llm import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r.qv
+        for r in df.select(
+            "vec_id", similarity.quantize_int8(F.col("embedding")).alias("qv")
+        ).collect()
+    }
+    assert out[1] == [0] * 64  # defined, not NULL-poisoned
+    assert out[2] == [127] * 64
+
+
 def test_sign_bit_packing_and_recall(spark, sf_dir):
     from pyspark.sql import functions as F
 
