@@ -439,3 +439,55 @@ def test_dup_clusters_matches_python_union_find(spark, edges):
             parent[hi] = lo
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+@PROPS
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=3, max_size=12),
+    min_size=2, max_size=12,
+))
+def test_jaccard_and_containment_match_python_set_model(spark, word_lists):
+    """The full inverted-index pipeline (tokenize → shingle → 48-bit
+    hash → self-join → counts) must reproduce plain Python set
+    arithmetic over word trigrams, for both the symmetric (Jaccard)
+    and asymmetric (containment) formulas, on arbitrary tiny corpora
+    (48-bit collisions are vanishing at this size)."""
+    from spotify_streaming_etl_pipeline_spark.llm.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in word_lists]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+
+    def shingles(ws):
+        return {"|".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(ws) for i, ws in enumerate(word_lists)}
+    want_j, want_c = {}, {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue  # inner join: zero-overlap pairs never appear
+            j = round(inter / len(sets[a] | sets[b]), 4)
+            c = round(inter / min(len(sets[a]), len(sets[b])), 4)
+            if j >= 0.05:
+                want_j[(a, b)] = j
+            if c >= 0.05:
+                want_c[(a, b)] = c
+
+    got_j = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.05).collect()
+    }
+    got_c = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.05).collect()
+    }
+    assert got_j == want_j
+    assert got_c == want_c
