@@ -6,13 +6,14 @@ metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes stream through Python in columnar batches —
 never row-at-a-time, never through the driver.
 
-Decode status: PNG and BMP decode are REAL and dependency-free —
-``decode_png`` (zlib + struct, all five scanline filters) and
+Decode status: PNG, BMP, and GIF decode are REAL and dependency-free —
+``decode_png`` (zlib + struct, all five scanline filters),
 ``decode_bmp`` (struct; BI_RGB 24-bit BGR + 8-bit paletted, row
-padding and bottom-up order handled) both feed the feature stages,
-tested on real byte strings. Other formats (JPEG, audio, video)
-remain stubbed behind ``decode_image`` / ``sample_frames`` because
-their codecs aren't in this container;
+padding and bottom-up order handled), and ``decode_gif`` (full
+variable-width LZW, global/local palettes, four-pass de-interlace)
+all feed the feature stages, tested on real byte strings. Other
+formats (JPEG, audio, video) remain stubbed behind ``decode_image``
+/ ``sample_frames`` because their codecs aren't in this container;
 ``extract_blob_features`` computes a deterministic byte-level feature
 set (length, first byte, md5) so the Spark-side plumbing — schema,
 batch shape, partitioning — is oracle-testable end to end regardless
@@ -290,6 +291,133 @@ def decode_bmp(blob: bytes) -> dict:
     return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (min+1 .. 12 bits) packed
+    LSB-first; CLEAR resets the dictionary, END terminates."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes((i,)) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing END: tolerate truncation
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes((i,)) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes) -> dict:
+    """REAL pure-stdlib GIF decode (struct only): GIF87a/89a header,
+    logical screen descriptor, global/local color tables, extension
+    blocks skipped, full variable-width LZW decompression of the FIRST
+    image frame, and four-pass de-interlacing. Returns the same shape
+    as ``decode_png`` / ``decode_bmp``: {"width", "height",
+    "channels", "pixels"}, pixels row-major top-down — RGB through the
+    palette, or channels=1 when the palette is grayscale. Later frames
+    of an animation are ignored (the thumbnail/feature-extraction
+    contract wants frame 0; ``sample_frames`` is the video-shaped
+    path)."""
+    import struct
+
+    if bytes(blob[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF byte string (bad signature)")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", bytes(blob[6:13]))
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        raw = bytes(blob[pos : pos + 3 * n])
+        pos += 3 * n
+        gct = [(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)]
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(blob) and blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", bytes(blob[pos : pos + 9]))
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            raw = bytes(blob[pos : pos + 3 * n])
+            pos += 3 * n
+            pal = [(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)]
+        if not pal:
+            raise ValueError("GIF image has no color table")
+        min_code = blob[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(blob) and blob[pos] != 0:
+            ln = blob[pos]
+            data += bytes(blob[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data has unexpected length")
+        idx = idx[: w * h]
+        if ipacked & 0x40:  # interlaced: reorder the four passes
+            rows: list[bytes | None] = [None] * h
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for r in range(start, h, step):
+                    rows[r] = idx[src * w : (src + 1) * w]
+                    src += 1
+            idx = b"".join(rows)  # type: ignore[arg-type]
+        gray = all(r == g == b for r, g, b in pal)
+        if gray:
+            pixels = bytes(pal[v][0] for v in idx)
+            channels = 1
+        else:
+            px = bytearray()
+            for v in idx:
+                px += bytes(pal[v])
+            pixels = bytes(px)
+            channels = 3
+        return {"width": w, "height": h, "channels": channels, "pixels": pixels}
+    raise ValueError("GIF contains no image descriptor")
+
+
 PNG_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -347,10 +475,12 @@ def decode_image(blob: bytes) -> object:
             return decode_png(blob)
         if bytes(blob[:2]) == b"BM":
             return decode_bmp(blob)
+        if bytes(blob[:6]) in (b"GIF87a", b"GIF89a"):
+            return decode_gif(blob)
         raise NotImplementedError(
             "decode for this format requires an image library (e.g. Pillow); "
-            "only PNG and BMP decode via the built-in pure-python paths. Plug "
-            "a real decoder into the mapInPandas batch function "
+            "only PNG, BMP, and GIF decode via the built-in pure-python "
+            "paths. Plug a real decoder into the mapInPandas batch function "
             "(extract_blob_features / png_features) — the Spark plumbing "
             "(schema, Arrow batching, partitioning) is decoder-agnostic."
         ) from None

@@ -585,6 +585,127 @@ def test_decode_bmp_rejects_garbage_and_compressed():
         multimodal.decode_bmp(bytes(blob))
 
 
+# --- real GIF decode (pure stdlib) ------------------------------------------
+
+
+def _encode_gif(width, height, indices, palette, interlaced=False, local=False):
+    """Minimal in-test GIF writer: literal-code LZW (no dictionary
+    reuse, but width growth and CLEAR emission follow the standard in
+    lockstep with any conforming decoder), LSB-first bit packing,
+    255-byte sub-blocks, optional interlace row order and local
+    palette placement."""
+    import struct
+
+    n_colors = len(palette)
+    min_code = max(2, (n_colors - 1).bit_length())
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    rows = [indices[r * width : (r + 1) * width] for r in range(height)]
+    if interlaced:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order += list(range(start, height, step))
+        rows = [rows[r] for r in order]
+    stream = b"".join(rows)
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def emit(code, w):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            bits.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    width_bits = min_code + 1
+    table_size = clear + 2
+    emit(clear, width_bits)
+    first = True
+    for v in stream:
+        emit(v, width_bits)
+        if first:
+            first = False
+        else:
+            table_size += 1
+            if table_size == (1 << width_bits):
+                if width_bits < 12:
+                    width_bits += 1
+                else:
+                    emit(clear, width_bits)
+                    width_bits = min_code + 1
+                    table_size = clear + 2
+                    first = True
+    emit(end, width_bits)
+    if nbits:
+        bits.append(acc & 255)
+
+    pal_bytes = b"".join(bytes(c) for c in palette)
+    pal_bytes += b"\x00" * (3 * ((1 << min_code) - n_colors))
+    pal_field = (min_code - 1) & 7
+
+    out = bytearray(b"GIF89a")
+    if local:
+        out += struct.pack("<HHBBB", width, height, 0x00, 0, 0)
+    else:
+        out += struct.pack("<HHBBB", width, height, 0x80 | pal_field, 0, 0)
+        out += pal_bytes
+    # a comment extension, to exercise the skip path
+    out += b"\x21\xfe\x05hello\x00"
+    ipacked = (0x80 | pal_field if local else 0) | (0x40 if interlaced else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+    if local:
+        out += pal_bytes
+    out += bytes((min_code,))
+    data = bytes(bits)
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_GIF_PAL4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+
+
+def test_decode_gif_color_roundtrip():
+    w, h = 5, 4
+    idx = bytes((x * 7) % 4 for x in range(w * h))
+    img = multimodal.decode_gif(_encode_gif(w, h, idx, _GIF_PAL4))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    want = b"".join(bytes(_GIF_PAL4[v]) for v in idx)
+    assert img["pixels"] == want
+
+
+def test_decode_gif_gray_interlaced_and_local_palette():
+    w, h = 4, 9  # 9 rows exercises all four interlace passes
+    pal = [(i * 16, i * 16, i * 16) for i in range(16)]
+    idx = bytes((x * 5) % 16 for x in range(w * h))
+    for local in (False, True):
+        blob = _encode_gif(w, h, idx, pal, interlaced=True, local=local)
+        img = multimodal.decode_gif(blob)
+        assert img["channels"] == 1
+        assert img["pixels"] == bytes(pal[v][0] for v in idx)
+
+
+def test_decode_gif_wide_codes():
+    # 200-color palette -> min_code 8, 9-bit codes; enough pixels to
+    # cross a width-growth boundary inside the LZW stream
+    pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(200)]
+    w, h = 40, 20
+    idx = bytes((x * 13) % 200 for x in range(w * h))
+    img = multimodal.decode_gif(_encode_gif(w, h, idx, pal))
+    assert img["channels"] == 3
+    assert img["pixels"] == b"".join(bytes(pal[v]) for v in idx)
+
+
+def test_decode_gif_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_gif(b"definitely not a gif")
+
+
 def test_decode_image_dispatches_bmp():
     try:
         import PIL  # noqa: F401
