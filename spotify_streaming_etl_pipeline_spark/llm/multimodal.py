@@ -11,9 +11,12 @@ Decode status: PNG, BMP, and GIF decode are REAL and dependency-free —
 ``decode_bmp`` (struct; BI_RGB 24-bit BGR + 8-bit paletted, row
 padding and bottom-up order handled), and ``decode_gif`` (full
 variable-width LZW, global/local palettes, four-pass de-interlace)
-all feed the feature stages, tested on real byte strings. Other
-formats (JPEG, audio, video) remain stubbed behind ``decode_image``
-/ ``sample_frames`` because their codecs aren't in this container;
+all feed the feature stages, tested on real byte strings, and
+``decode_wav`` (struct; RIFF chunk walk, 8/16-bit integer PCM, any
+channel count) feeds ``wav_features`` the same way. The remaining
+formats (JPEG, compressed audio, video) stay stubbed behind
+``decode_image`` / ``sample_frames`` because their codecs aren't in
+this container;
 ``extract_blob_features`` computes a deterministic byte-level feature
 set (length, first byte, md5) so the Spark-side plumbing — schema,
 batch shape, partitioning — is oracle-testable end to end regardless
@@ -454,6 +457,119 @@ def png_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "blob").mapInPandas(
         _png_batch, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+def decode_wav(blob: bytes) -> dict:
+    """REAL pure-stdlib RIFF/WAVE decode (struct only): walks the
+    chunk list (word-aligned), parses the ``fmt `` chunk, and returns
+    integer PCM — 8-bit unsigned (offset-128 centered on return) and
+    16-bit signed little-endian, any channel count. Returns
+    {"sample_rate", "channels", "bits", "n_samples", "samples"} with
+    samples as a flat channel-interleaved list of centered ints and
+    n_samples = frames per channel. Compressed WAVs (a-law, mp3-in-
+    RIFF, ...) raise NotImplementedError — they need a real codec."""
+    import struct
+
+    if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE byte string (bad signature)")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = bytes(blob[pos : pos + 4])
+        size = struct.unpack("<I", bytes(blob[pos + 4 : pos + 8]))[0]
+        body = bytes(blob[pos + 8 : pos + 8 + size])
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAVE has no fmt/data chunk")
+    audio_format, channels, rate, _br, block_align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"decode_wav supports integer PCM (format 1); got {audio_format}"
+        )
+    if bits not in (8, 16):
+        raise NotImplementedError(f"decode_wav supports 8/16-bit PCM; got {bits}")
+    n_samples = len(data) // block_align
+    data = data[: n_samples * block_align]
+    if bits == 8:
+        samples = [b - 128 for b in data]  # 8-bit WAV is unsigned
+    else:
+        samples = list(
+            struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2])
+        )
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "samples": samples,
+    }
+
+
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", LongType()),
+    ]
+)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Real audio decode in the standard multimodal plumbing:
+    Arrow-batched mapInPandas over the binary column, PCM blobs
+    decoded with ``decode_wav`` into (sample_rate, channels,
+    n_samples, duration_ms, integer RMS over all channels); non-WAV
+    or compressed blobs yield null features instead of failing the
+    batch — poison media dead-letters, it never kills a task."""
+    import math
+
+    def _wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    w = decode_wav(blob)
+                    s = w["samples"]
+                    rms = (
+                        int(math.sqrt(sum(x * x for x in s) / len(s)))
+                        if s
+                        else 0
+                    )
+                    rows.append(
+                        (
+                            doc_id,
+                            w["sample_rate"],
+                            w["channels"],
+                            w["n_samples"],
+                            w["n_samples"] * 1000 // max(1, w["sample_rate"]),
+                            rms,
+                        )
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                ],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _wav_batch, schema=WAV_FEATURE_SCHEMA
     )
 
 

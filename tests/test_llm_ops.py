@@ -706,6 +706,72 @@ def test_decode_gif_rejects_garbage():
         multimodal.decode_gif(b"definitely not a gif")
 
 
+# --- real WAV decode (pure stdlib) ------------------------------------------
+
+
+def _encode_wav(samples, rate=8000, channels=1, bits=16, pad_chunk=False):
+    """Minimal in-test RIFF/WAVE writer (struct): fmt + data chunks,
+    optional odd-sized extra chunk to exercise word-aligned walking."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes(s + 128 for s in samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if pad_chunk:  # 5-byte LIST chunk: pads to 6, must not desync
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_16bit_stereo_roundtrip():
+    samples = [100, -100, 2000, -2000, 32767, -32768]  # 3 stereo frames
+    w = multimodal.decode_wav(
+        _encode_wav(samples, rate=44100, channels=2, pad_chunk=True)
+    )
+    assert (w["sample_rate"], w["channels"], w["bits"]) == (44100, 2, 16)
+    assert w["n_samples"] == 3
+    assert w["samples"] == samples
+
+
+def test_decode_wav_8bit_mono_is_centered():
+    samples = [0, 10, -10, 127, -128]
+    w = multimodal.decode_wav(_encode_wav(samples, bits=8))
+    assert (w["channels"], w["bits"], w["n_samples"]) == (1, 8, 5)
+    assert w["samples"] == samples  # offset-128 removed on decode
+
+
+def test_decode_wav_rejects_garbage_and_compressed():
+    import struct
+
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.decode_wav(b"not audio at all")
+    blob = bytearray(_encode_wav([0, 0]))
+    blob[20:22] = struct.pack("<H", 85)  # mp3-in-RIFF format tag
+    with pytest.raises(NotImplementedError, match="PCM"):
+        multimodal.decode_wav(bytes(blob))
+
+
+def test_wav_features_mapinpandas(spark):
+    """Real audio decode through the Arrow-batched Spark plumbing:
+    exact integer RMS for a constant-amplitude square wave, and a
+    poison blob yields nulls, not a task failure."""
+    square = [300, -300] * 400  # RMS exactly 300, one second at 800 Hz
+    rows = [
+        (1, bytearray(_encode_wav(square, rate=800))),
+        (2, bytearray(b"poison bytes")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = {r["doc_id"]: r for r in multimodal.wav_features(media).collect()}
+    assert out[1]["rms"] == 300
+    assert out[1]["duration_ms"] == 1000
+    assert out[1]["sample_rate"] == 800 and out[1]["n_samples"] == 800
+    assert out[2]["rms"] is None and out[2]["sample_rate"] is None
+
+
 def test_decode_image_dispatches_bmp():
     try:
         import PIL  # noqa: F401
