@@ -13,8 +13,10 @@ padding and bottom-up order handled), and ``decode_gif`` (full
 variable-width LZW, global/local palettes, four-pass de-interlace)
 all feed the feature stages, tested on real byte strings, and
 ``decode_wav`` (struct; RIFF chunk walk, 8/16-bit integer PCM, any
-channel count) feeds ``wav_features`` the same way. The remaining
-formats (JPEG, compressed audio, video) stay stubbed behind
+channel count) feeds ``wav_features`` the same way, and
+``avi_frames`` walks the RIFF/AVI chunk tree to sample real video
+frame payloads without decoding them. The remaining surfaces (JPEG,
+compressed audio, mp4/mkv demux) stay stubbed behind
 ``decode_image`` / ``sample_frames`` because their codecs aren't in
 this container;
 ``extract_blob_features`` computes a deterministic byte-level feature
@@ -602,8 +604,49 @@ def decode_image(blob: bytes) -> object:
         ) from None
 
 
+def avi_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
+    """REAL pure-stdlib AVI frame sampling (struct only): walks the
+    RIFF chunk tree to the ``LIST movi`` payload and returns every
+    ``every``-th video frame chunk (ids ``##dc`` compressed /
+    ``##db`` uncompressed), up to ``max_frames``. Frame PAYLOADS are
+    returned as stored — sampling a video for feature extraction
+    never needs to decode the frames it skips, and the kept payloads
+    feed whatever image decoder applies (``decode_image`` for the
+    formats built in here, a real codec in production)."""
+    import struct
+
+    if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"AVI ":
+        raise ValueError("not a RIFF/AVI byte string (bad signature)")
+
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int, in_movi: bool) -> None:
+        pos = start
+        while pos + 8 <= end and len(frames) < max_frames * every:
+            cid = bytes(blob[pos : pos + 4])
+            size = struct.unpack("<I", bytes(blob[pos + 4 : pos + 8]))[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                subtype = bytes(blob[body_start : body_start + 4])
+                walk(
+                    body_start + 4,
+                    min(end, body_start + size),
+                    in_movi or subtype == b"movi",
+                )
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frames.append(bytes(blob[body_start : body_start + size]))
+            pos = body_start + size + (size & 1)  # word-aligned chunks
+
+    walk(12, len(blob), False)
+    return frames[::every][:max_frames]
+
+
 def sample_frames(blob: bytes, stride: int = 1024, max_frames: int = 8) -> list[bytes]:
-    """Deterministic 'video frame sampling' stand-in: fixed-stride byte
-    slices. A real implementation would seek keyframes via pyav; the
-    call shape (bytes -> list of frame payloads) is what matters."""
+    """Frame sampling for opaque video payloads: REAL container walk
+    for AVI (``avi_frames``); for unknown containers (mp4/mkv need a
+    demuxer this sandbox lacks), a deterministic fixed-stride byte
+    slicing stand-in so the call shape (bytes -> list of frame
+    payloads) stays exercised end to end."""
+    if bytes(blob[:4]) == b"RIFF" and bytes(blob[8:12]) == b"AVI ":
+        return avi_frames(blob, max_frames=max_frames)
     return [blob[off : off + stride] for off in range(0, min(len(blob), stride * max_frames), stride)]

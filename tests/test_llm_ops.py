@@ -772,6 +772,52 @@ def test_wav_features_mapinpandas(spark):
     assert out[2]["rms"] is None and out[2]["sample_rate"] is None
 
 
+# --- real AVI frame sampling (pure stdlib) ----------------------------------
+
+
+def _encode_avi(frames, rec_group=False):
+    """Minimal in-test AVI writer: RIFF/AVI with a dummy hdrl LIST and
+    a movi LIST of 00dc frame chunks (odd sizes pad to word
+    boundaries); rec_group nests frames one level deeper inside a
+    'rec ' LIST, which real muxers emit for interleaved streams."""
+    import struct
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def list_chunk(subtype, body):
+        return chunk(b"LIST", subtype + body)
+
+    movi_body = b"".join(chunk(b"00dc", f) for f in frames)
+    if rec_group:
+        movi_body = list_chunk(b"rec ", movi_body)
+    payload = (
+        list_chunk(b"hdrl", chunk(b"avih", b"\x00" * 56))
+        + list_chunk(b"movi", movi_body)
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"AVI " + payload
+
+
+def test_avi_frames_roundtrip_with_odd_sizes():
+    frames = [b"frame-one", b"f2", b"an-odd-length-frame!!", b"xyz"]
+    got = multimodal.avi_frames(_encode_avi(frames))
+    assert got == frames
+
+
+def test_avi_frames_sampling_and_rec_lists():
+    frames = [bytes([i]) * (i + 1) for i in range(10)]
+    blob = _encode_avi(frames, rec_group=True)
+    assert multimodal.avi_frames(blob, every=3, max_frames=3) == frames[::3][:3]
+    # sample_frames dispatches the real container walk for AVI bytes
+    assert multimodal.sample_frames(blob, max_frames=4) == frames[:4]
+
+
+def test_avi_frames_rejects_garbage():
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.avi_frames(b"RIFFxxxxWAVE")  # a WAV is not an AVI
+
+
 def test_decode_image_dispatches_bmp():
     try:
         import PIL  # noqa: F401
