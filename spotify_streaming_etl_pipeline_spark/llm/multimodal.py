@@ -575,6 +575,46 @@ def wav_features(media: DataFrame) -> DataFrame:
     )
 
 
+def jpeg_dimensions(blob: bytes) -> dict:
+    """REAL pure-stdlib JPEG header parse: walks the marker stream to
+    the first SOF frame header (baseline SOF0 through progressive
+    SOF15, excluding DHT/DAC/RST markers) and returns {"width",
+    "height", "channels", "progressive"}. Pixel decode needs a real
+    codec (huffman + IDCT) — but corpus-scale image QA (aspect
+    filters, resolution floors, thumbnail routing) only needs the
+    dimensions, and this reads just the header bytes of each blob."""
+    import struct
+
+    if bytes(blob[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG byte string (bad SOI marker)")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if pos + 2 > len(blob):
+            break
+        size = struct.unpack(">H", bytes(blob[pos : pos + 2]))[0]
+        # SOF0-SOF15 minus DHT (C4), DAC (CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _prec, h, w, ncomp = struct.unpack(
+                ">BHHB", bytes(blob[pos + 2 : pos + 8])
+            )
+            return {
+                "width": w,
+                "height": h,
+                "channels": ncomp,
+                "progressive": marker == 0xC2,
+            }
+        if marker == 0xD9 or marker == 0xDA:
+            break  # EOI / start-of-scan without SOF: give up
+        pos += size
+    raise ValueError("JPEG has no SOF frame header")
+
+
 def decode_image(blob: bytes) -> object:
     """Image decode: Pillow when importable (any format), else the
     pure-stdlib ``decode_png`` for PNG bytes / ``decode_bmp`` for BMP

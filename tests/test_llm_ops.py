@@ -772,6 +772,44 @@ def test_wav_features_mapinpandas(spark):
     assert out[2]["rms"] is None and out[2]["sample_rate"] is None
 
 
+# --- real JPEG header parse (pure stdlib) -----------------------------------
+
+
+def _encode_jpeg_header(w, h, ncomp=3, progressive=False, restarts=False):
+    """Minimal in-test JPEG marker stream: SOI, APP0, an optional DRI +
+    RST marker (standalone, no length), then SOF0/SOF2 — enough of a
+    real header for dimension parsing (no scan data)."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    if restarts:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 8)  # DRI
+        out += b"\xff\xd0"  # standalone RST0
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    body = struct.pack(">BHHB", 8, h, w, ncomp) + b"\x01\x11\x00" * ncomp
+    return out + sof + struct.pack(">H", 2 + len(body)) + body
+
+
+def test_jpeg_dimensions_baseline_and_progressive():
+    d = multimodal.jpeg_dimensions(_encode_jpeg_header(640, 480))
+    assert (d["width"], d["height"], d["channels"]) == (640, 480, 3)
+    assert d["progressive"] is False
+    d = multimodal.jpeg_dimensions(
+        _encode_jpeg_header(31, 17, ncomp=1, progressive=True, restarts=True)
+    )
+    assert (d["width"], d["height"], d["channels"]) == (31, 17, 1)
+    assert d["progressive"] is True
+
+
+def test_jpeg_dimensions_rejects_garbage():
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.jpeg_dimensions(b"GIF89a nope")
+    with pytest.raises(ValueError, match="no SOF"):
+        multimodal.jpeg_dimensions(b"\xff\xd8\xff\xd9")  # SOI then EOI
+
+
 # --- real AVI frame sampling (pure stdlib) ----------------------------------
 
 
