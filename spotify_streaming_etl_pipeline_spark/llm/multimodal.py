@@ -325,11 +325,14 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
         if code == end:
             return bytes(out)
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"corrupt GIF LZW stream (code {code})")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            if len(table) < 4096:  # deferred-clear: table caps at 2^12
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -487,9 +490,16 @@ def decode_wav(blob: bytes) -> dict:
             data = body
     if fmt is None or data is None:
         raise ValueError("WAVE has no fmt/data chunk")
+    # Poison-blob contract: a malformed-but-RIFF blob must raise
+    # ValueError (dead-letter), never struct.error / ZeroDivisionError
+    # (task-killing) — validate the fmt chunk before unpacking it.
+    if len(fmt) < 16:
+        raise ValueError(f"WAVE fmt chunk truncated ({len(fmt)} bytes)")
     audio_format, channels, rate, _br, block_align, bits = struct.unpack(
         "<HHIIHH", fmt[:16]
     )
+    if block_align == 0:
+        raise ValueError("WAVE fmt chunk declares block_align=0")
     if audio_format != 1:
         raise NotImplementedError(
             f"decode_wav supports integer PCM (format 1); got {audio_format}"
@@ -533,6 +543,7 @@ def wav_features(media: DataFrame) -> DataFrame:
     or compressed blobs yield null features instead of failing the
     batch — poison media dead-letters, it never kills a task."""
     import math
+    import struct
 
     def _wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -556,7 +567,10 @@ def wav_features(media: DataFrame) -> DataFrame:
                             rms,
                         )
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
+                    # struct.error belt-and-braces: decode_wav validates
+                    # the fmt chunk, but any residual short-buffer unpack
+                    # must still dead-letter, not kill the task.
                     rows.append((doc_id, None, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -591,6 +605,12 @@ def jpeg_dimensions(blob: bytes) -> dict:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # The spec allows any number of 0xFF fill bytes before a
+        # marker byte — skip them so padded streams don't desync.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(blob):
+            break  # trailing fill bytes, no marker follows
         marker = blob[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

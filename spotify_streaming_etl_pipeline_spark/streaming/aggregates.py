@@ -102,12 +102,25 @@ def incremental_state_sink(keys: list[str], value_col: str, state_dir: str):
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
-        # Prune: everything older than the newest KEEP_VERSIONS goes.
-        keep = sorted(_versions(state_dir))[-KEEP_VERSIONS:]
+        # Prune.  The keep-set counts only COMMITTED snapshots — a
+        # torn/uncommitted v= dir must never occupy a KEEP_VERSIONS
+        # slot and displace a committed predecessor (worst case the
+        # only committed snapshot gets pruned and a replayed batch
+        # silently resets state from prev=None).  Uncommitted v= dirs
+        # are garbage by definition (the tmp-then-rename publish means
+        # a real snapshot appears with _SUCCESS already inside), as are
+        # _tmp.v=* dirs left by crashes of other batch ids.
+        committed = [v for v in _versions(state_dir) if _committed(state_dir, v)]
+        keep = set(sorted(committed)[-KEEP_VERSIONS:])
         for v in _versions(state_dir):
             if v not in keep:
                 shutil.rmtree(
                     os.path.join(state_dir, f"v={v}"), ignore_errors=True
+                )
+        for name in os.listdir(state_dir):
+            if name.startswith("_tmp.v="):
+                shutil.rmtree(
+                    os.path.join(state_dir, name), ignore_errors=True
                 )
 
     return sink

@@ -1072,3 +1072,117 @@ def test_multiprobe_recall_at_least_single_bucket(spark, sf_dir):
         r_single = len(exact[q] & single.get(q, set()))
         r_multi = len(exact[q] & multi.get(q, set()))
         assert r_multi >= r_single, (q, r_single, r_multi)
+
+
+def test_decode_wav_poison_fmt_dead_letters_not_crashes(spark):
+    """ADVICE r5: a RIFF/WAVE blob with block_align=0 or a short fmt
+    chunk must raise ValueError (dead-letter), never ZeroDivisionError
+    or struct.error — and wav_features must null it out, not fail."""
+    import struct
+
+    good = _encode_wav([0, 0])
+    zero_align = bytearray(good)
+    zero_align[32:34] = struct.pack("<H", 0)  # block_align := 0
+    with pytest.raises(ValueError, match="block_align"):
+        multimodal.decode_wav(bytes(zero_align))
+
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 4) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(short_fmt)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(zero_align)), (2, bytearray(short_fmt)),
+         (3, bytearray(good))],
+        "doc_id long, blob binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.wav_features(media).collect()}
+    assert out[1]["rms"] is None and out[2]["rms"] is None
+    assert out[3]["n_samples"] == 2
+
+
+def test_jpeg_dimensions_tolerates_fill_bytes():
+    """0xFF fill bytes before a marker are legal; the walk must not
+    treat the padding as a length-bearing segment."""
+    import struct
+
+    blob = _encode_jpeg_header(640, 480)
+    # inject 3 fill bytes before the SOF marker (last segment)
+    sof_at = blob.rindex(b"\xff\xc0")
+    padded = blob[:sof_at] + b"\xff\xff\xff" + blob[sof_at:]
+    d = multimodal.jpeg_dimensions(padded)
+    assert (d["width"], d["height"]) == (640, 480)
+    # trailing fill bytes with no SOF: clean ValueError, not a desync
+    with pytest.raises(ValueError, match="no SOF"):
+        multimodal.jpeg_dimensions(b"\xff\xd8" + b"\xff" * 8)
+
+
+def _pack_lzw_codes(codes, width):
+    acc = nbits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def _pack_lzw_growing(n_codes, tail_code=None, min_code=8):
+    """Emit `n_codes` repetitions of code 5 at the decoder's CURRENT
+    width (mirroring its table growth, capped at 4096), then optionally
+    one tail code."""
+    clear = 1 << min_code
+    table_len = clear + 2
+    width = min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(c):
+        nonlocal acc, nbits
+        acc |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    for i in range(n_codes):
+        emit(5)
+        if i > 0 and table_len < 4096:  # decoder appends after 2nd code
+            table_len += 1
+        if table_len == (1 << width) and width < 12:
+            width += 1
+    if tail_code is not None:
+        emit(tail_code)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out), table_len
+
+
+def test_gif_lzw_table_caps_at_4096_and_bounds_checks():
+    """ADVICE r5: the LZW code table must stop growing at 2^12
+    (deferred-clear), and an out-of-range code — including as the
+    FIRST code — must raise ValueError, not IndexError."""
+    # first code out of range: prev is None path
+    with pytest.raises(ValueError, match="corrupt"):
+        multimodal._gif_lzw_decode(_pack_lzw_codes([300], 9), 8)
+    # out-of-range code with prev set (beyond KwKwK): ValueError
+    with pytest.raises(ValueError, match="corrupt"):
+        multimodal._gif_lzw_decode(_pack_lzw_codes([5, 300], 9), 8)
+    # drive the table to the 4096 cap (min_code 8 -> 258 initial
+    # entries + 3838 appends) and well past it: decoding must stay
+    # correct with the table frozen (codes are 12-bit, so entries
+    # >=4096 are unreachable anyway — growing the table past the cap
+    # is pure memory waste on hostile CLEAR-free streams).
+    data, table_len = _pack_lzw_growing(4000)
+    assert table_len == 4096
+    out = multimodal._gif_lzw_decode(data, 8)
+    assert out == bytes([5]) * 4000

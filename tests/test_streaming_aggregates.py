@@ -280,3 +280,36 @@ def test_coarser_grains_derive_from_the_day_state(spark, sf_dir):
     assert canon(
         rollup_state(rollup_state(day, ["y", "m"]), ["y"]), ["y"]
     ) == canon(year_direct, ["y"])
+
+def test_prune_counts_only_committed_and_cleans_tmp(spark, tmp_path):
+    """Torn (uncommitted) v= directories must not occupy KEEP_VERSIONS
+    slots — otherwise the only committed predecessor can be pruned and
+    a replayed batch silently resets state — and stale _tmp.v= dirs
+    from crashed batches are swept during prune."""
+    import os
+
+    from spotify_streaming_etl_pipeline_spark.streaming.aggregates import (
+        KEEP_VERSIONS,
+    )
+
+    state_dir = str(tmp_path / "state")
+    sink = incremental_state_sink(KEYS, "value", state_dir)
+    df = spark.createDataFrame(
+        [(2024, 1, 1, 1.0)], "y int, m int, d int, value double"
+    )
+    sink(df, 0)  # the only committed snapshot
+    # KEEP_VERSIONS torn dirs with HIGHER versions than the next batch
+    # will commit, plus a stale tmp dir from a crashed batch.
+    for v in range(10, 10 + KEEP_VERSIONS):
+        os.makedirs(os.path.join(state_dir, f"v={v}"))
+    os.makedirs(os.path.join(state_dir, "_tmp.v=99"))
+    sink(df, 1)  # commit v=1; prune runs
+    names = set(os.listdir(state_dir))
+    # committed snapshots survive; torn dirs and stale tmp are gone
+    assert "v=0" in names and "v=1" in names
+    assert not any(n.startswith("_tmp.") for n in names)
+    assert not any(n == f"v={v}" for v in range(10, 10 + KEEP_VERSIONS)
+                   for n in names)
+    # state is the merge of both batches, not a reset
+    d1 = read_state(spark, state_dir).collect()[0]
+    assert (d1.n_rows, d1.sum_v) == (2, 2.0)
