@@ -51,3 +51,10 @@ def test_all_failures_exit_nonzero(monkeypatch, capsys, spark):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     parsed = json.loads(out)
     assert parsed["errors"]["boom"].startswith("ValueError")
+
+
+def test_median_of_n_runs_reported(monkeypatch, capsys, spark):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "3")
+    result = _run_bench(monkeypatch, capsys, {"ok": _ok})
+    assert result["runs"] == 3
+    assert "ok" in result["queries"]
