@@ -14,11 +14,13 @@ variable-width LZW, global/local palettes, four-pass de-interlace)
 all feed the feature stages, tested on real byte strings, and
 ``decode_wav`` (struct; RIFF chunk walk, 8/16-bit integer PCM, any
 channel count) feeds ``wav_features`` the same way, and
-``avi_frames`` walks the RIFF/AVI chunk tree to sample real video
-frame payloads without decoding them. The remaining surfaces (JPEG,
-compressed audio, mp4/mkv demux) stay stubbed behind
-``decode_image`` / ``sample_frames`` because their codecs aren't in
-this container;
+``avi_frames`` / ``mp4_frames`` walk the RIFF/AVI chunk tree and the
+ISO-BMFF sample tables (stsz/stsc/stco/co64/stss) to sample real
+video frame payloads without decoding them. The remaining surfaces
+(JPEG pixel decode, compressed audio, mkv/webm demux) raise
+NotImplementedError from ``decode_image`` / ``sample_frames``
+because their codecs aren't in this container — nothing fabricates
+pseudo-frames;
 ``extract_blob_features`` computes a deterministic byte-level feature
 set (length, first byte, md5) so the Spark-side plumbing — schema,
 batch shape, partitioning — is oracle-testable end to end regardless
@@ -701,12 +703,173 @@ def avi_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
     return frames[::every][:max_frames]
 
 
-def sample_frames(blob: bytes, stride: int = 1024, max_frames: int = 8) -> list[bytes]:
-    """Frame sampling for opaque video payloads: REAL container walk
-    for AVI (``avi_frames``); for unknown containers (mp4/mkv need a
-    demuxer this sandbox lacks), a deterministic fixed-stride byte
-    slicing stand-in so the call shape (bytes -> list of frame
-    payloads) stays exercised end to end."""
+def _mp4_boxes(blob: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each ISO-BMFF box in
+    [start, end): 32-bit size, size==1 -> 64-bit largesize follows,
+    size==0 -> box extends to the end of the enclosing container."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", bytes(blob[pos : pos + 8]))
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("mp4 box truncated before largesize")
+            size = struct.unpack(">Q", bytes(blob[body : body + 8]))[0]
+            body += 8
+            box_end = pos + size
+        elif size == 0:
+            box_end = end
+        else:
+            box_end = pos + size
+        if box_end < body or box_end > end:
+            raise ValueError(f"mp4 box {btype!r} overruns its container")
+        yield btype, body, box_end
+        pos = box_end
+
+
+def _mp4_find(blob: bytes, start: int, end: int, *path: bytes):
+    """Descend a box path (e.g. moov/trak) returning (body_start,
+    body_end) of the FIRST match, or None."""
+    for btype, body, box_end in _mp4_boxes(blob, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return body, box_end
+            return _mp4_find(blob, body, box_end, *path[1:])
+    return None
+
+
+def mp4_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
+    """REAL pure-stdlib ISO-BMFF (mp4/mov) keyframe sampling (struct
+    only): walks the box tree to the first VIDEO track's sample tables
+    — ``stsz`` (sample sizes), ``stsc`` (sample-to-chunk runs),
+    ``stco``/``co64`` (chunk offsets), ``stss`` (sync samples; absent
+    means every sample is a keyframe) — computes each sync sample's
+    absolute file offset, and returns every ``every``-th keyframe
+    PAYLOAD up to ``max_frames``.  Payloads are returned as stored
+    (typically compressed video samples): sampling for feature
+    extraction never decodes the frames it skips, and pixel decode of
+    the kept payloads is the codec boundary, not the demux."""
+    import struct
+
+    if len(blob) < 12 or bytes(blob[4:8]) != b"ftyp":
+        raise ValueError("not an ISO-BMFF byte string (no ftyp box)")
+
+    moov = _mp4_find(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise ValueError("mp4 has no moov box")
+
+    # First trak whose hdlr declares a video handler.
+    tables: dict[bytes, tuple[int, int]] | None = None
+    for btype, body, box_end in _mp4_boxes(blob, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _mp4_find(blob, body, box_end, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_find(blob, *mdia, b"hdlr")
+        if hdlr is None or bytes(blob[hdlr[0] + 8 : hdlr[0] + 12]) != b"vide":
+            continue
+        stbl = _mp4_find(blob, *mdia, b"minf", b"stbl")
+        if stbl is None:
+            continue
+        tables = {
+            t: (b, e)
+            for t, b, e in _mp4_boxes(blob, *stbl)
+            if t in (b"stsz", b"stsc", b"stco", b"co64", b"stss")
+        }
+        break
+    if tables is None:
+        raise ValueError("mp4 has no video track")
+    if b"stsz" not in tables or b"stsc" not in tables or not (
+        b"stco" in tables or b"co64" in tables
+    ):
+        raise ValueError("mp4 video track is missing sample tables")
+
+    def u32s(body: tuple[int, int], skip: int, n: int) -> list[int]:
+        b = body[0] + skip
+        return list(struct.unpack(f">{n}I", bytes(blob[b : b + 4 * n])))
+
+    # stsz: fullbox(4) + sample_size(4) + sample_count(4) [+ sizes]
+    sz_body = tables[b"stsz"]
+    fixed_size, n_samples = struct.unpack(
+        ">II", bytes(blob[sz_body[0] + 4 : sz_body[0] + 12])
+    )
+    sizes = (
+        [fixed_size] * n_samples if fixed_size else u32s(sz_body, 12, n_samples)
+    )
+    # stsc: fullbox(4) + entry_count(4) + (first_chunk, per_chunk, desc)*
+    sc_body = tables[b"stsc"]
+    n_sc = struct.unpack(">I", bytes(blob[sc_body[0] + 4 : sc_body[0] + 8]))[0]
+    sc = u32s(sc_body, 8, 3 * n_sc)
+    runs = [(sc[3 * i], sc[3 * i + 1]) for i in range(n_sc)]
+    # stco/co64 chunk offsets
+    if b"stco" in tables:
+        co_body = tables[b"stco"]
+        n_chunks = struct.unpack(
+            ">I", bytes(blob[co_body[0] + 4 : co_body[0] + 8])
+        )[0]
+        chunk_offs = u32s(co_body, 8, n_chunks)
+    else:
+        co_body = tables[b"co64"]
+        n_chunks = struct.unpack(
+            ">I", bytes(blob[co_body[0] + 4 : co_body[0] + 8])
+        )[0]
+        b0 = co_body[0] + 8
+        chunk_offs = list(
+            struct.unpack(f">{n_chunks}Q", bytes(blob[b0 : b0 + 8 * n_chunks]))
+        )
+    # stss sync samples (1-based); absent -> every sample is a keyframe
+    if b"stss" in tables:
+        ss_body = tables[b"stss"]
+        n_ss = struct.unpack(
+            ">I", bytes(blob[ss_body[0] + 4 : ss_body[0] + 8])
+        )[0]
+        sync = u32s(ss_body, 8, n_ss)
+    else:
+        sync = list(range(1, n_samples + 1))
+
+    # Per-sample absolute offsets: expand the stsc runs across chunks.
+    offsets = [0] * n_samples
+    sample = 0
+    for i, (first_chunk, per_chunk) in enumerate(runs):
+        last_chunk = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk - 1 >= len(chunk_offs) or sample >= n_samples:
+                break
+            off = chunk_offs[chunk - 1]
+            for _ in range(per_chunk):
+                if sample >= n_samples:
+                    break
+                offsets[sample] = off
+                off += sizes[sample]
+                sample += 1
+
+    frames: list[bytes] = []
+    for s in sync[::every]:
+        if len(frames) >= max_frames:
+            break
+        if not 1 <= s <= n_samples:
+            raise ValueError(f"mp4 stss references sample {s} of {n_samples}")
+        start = offsets[s - 1]
+        frames.append(bytes(blob[start : start + sizes[s - 1]]))
+    return frames
+
+
+def sample_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
+    """Frame sampling for opaque video payloads: REAL container walks
+    for AVI (``avi_frames``, RIFF chunk tree) and mp4/mov
+    (``mp4_frames``, ISO-BMFF sample tables).  Unknown containers
+    (mkv/webm need an EBML demuxer) raise NotImplementedError — a
+    sampler must never fabricate pseudo-frames from byte slices."""
     if bytes(blob[:4]) == b"RIFF" and bytes(blob[8:12]) == b"AVI ":
-        return avi_frames(blob, max_frames=max_frames)
-    return [blob[off : off + stride] for off in range(0, min(len(blob), stride * max_frames), stride)]
+        return avi_frames(blob, every=every, max_frames=max_frames)
+    if len(blob) >= 12 and bytes(blob[4:8]) == b"ftyp":
+        return mp4_frames(blob, every=every, max_frames=max_frames)
+    raise NotImplementedError(
+        "sample_frames demuxes AVI (RIFF) and mp4/mov (ISO-BMFF); other "
+        "containers need a real demuxer (mkv/webm: EBML). Plug one into "
+        "the mapInPandas batch function — the Spark plumbing is "
+        "container-agnostic."
+    )

@@ -158,12 +158,11 @@ def test_multimodal_feature_extraction_batch_shape(spark, docs):
     assert rows[0]["content_md5"] != rows[2]["content_md5"]
 
 
-def test_sample_frames_stride():
-    blob = bytes(range(256)) * 40  # 10240 bytes
-    frames = multimodal.sample_frames(blob, stride=1024, max_frames=8)
-    assert len(frames) == 8
-    assert frames[0] == blob[:1024]
-    assert frames[7] == blob[7 * 1024 : 8 * 1024]
+def test_sample_frames_unknown_container_refuses():
+    """A sampler must never fabricate pseudo-frames from byte slices:
+    unknown containers raise instead of returning fake frames."""
+    with pytest.raises(NotImplementedError, match="demux"):
+        multimodal.sample_frames(bytes(range(256)) * 40)
 
 
 def test_lang_id_prefers_lexicon_overlap(spark):
@@ -1186,3 +1185,106 @@ def test_gif_lzw_table_caps_at_4096_and_bounds_checks():
     assert table_len == 4096
     out = multimodal._gif_lzw_decode(data, 8)
     assert out == bytes([5]) * 4000
+
+
+# --- real mp4 (ISO-BMFF) keyframe sampling (pure stdlib) ---------------------
+
+
+def _encode_mp4(frames, chunk_sizes=None, sync=None, co64=False,
+                audio_distractor=True):
+    """Minimal in-test ISO-BMFF writer: ftyp + mdat of concatenated
+    sample payloads + moov/trak/mdia/{hdlr,minf/stbl} with real
+    stsz/stsc/stco(co64)/stss tables pointing at absolute offsets."""
+    import struct
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    def full(t, body):
+        return box(t, b"\x00" * 4 + body)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    payload = b"".join(frames)
+    mdat = box(b"mdat", payload)
+    mdat_body_off = len(ftyp) + 8
+
+    n = len(frames)
+    chunk_sizes = chunk_sizes or [1] * n
+    assert sum(chunk_sizes) == n
+    # absolute chunk offsets: cumulative sample sizes
+    sizes = [len(f) for f in frames]
+    chunk_offs, s = [], 0
+    for c in chunk_sizes:
+        chunk_offs.append(mdat_body_off + sum(sizes[:s]))
+        s += c
+    # compress chunk_sizes into stsc runs
+    runs = []
+    for i, c in enumerate(chunk_sizes):
+        if not runs or runs[-1][1] != c:
+            runs.append((i + 1, c))
+
+    stsz = full(b"stsz", struct.pack(">II", 0, n)
+                + struct.pack(f">{n}I", *sizes))
+    stsc = full(b"stsc", struct.pack(">I", len(runs))
+                + b"".join(struct.pack(">III", fc, pc, 1) for fc, pc in runs))
+    if co64:
+        stco = full(b"co64", struct.pack(">I", len(chunk_offs))
+                    + struct.pack(f">{len(chunk_offs)}Q", *chunk_offs))
+    else:
+        stco = full(b"stco", struct.pack(">I", len(chunk_offs))
+                    + struct.pack(f">{len(chunk_offs)}I", *chunk_offs))
+    stbl_children = stsz + stsc + stco
+    if sync is not None:
+        stbl_children += full(b"stss", struct.pack(">I", len(sync))
+                              + struct.pack(f">{len(sync)}I", *sync))
+
+    def trak(handler, stbl_body):
+        hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00")
+        minf = box(b"minf", box(b"stbl", stbl_body))
+        return box(b"trak", box(b"mdia", hdlr + minf))
+
+    traks = b""
+    if audio_distractor:  # a non-video track the walker must skip
+        traks += trak(b"soun", full(b"stsz", struct.pack(">II", 4, 0)))
+    traks += trak(b"vide", stbl_children)
+    moov = box(b"moov", traks)
+    return ftyp + mdat + moov
+
+
+_MP4_FRAMES = [bytes([i]) * (20 + 7 * i) for i in range(6)]
+
+
+def test_mp4_frames_keyframes_via_stss():
+    blob = _encode_mp4(_MP4_FRAMES, chunk_sizes=[2, 2, 2], sync=[1, 3, 6])
+    got = multimodal.mp4_frames(blob)
+    assert got == [_MP4_FRAMES[0], _MP4_FRAMES[2], _MP4_FRAMES[5]]
+
+
+def test_mp4_frames_no_stss_means_all_sync_and_sampling():
+    # irregular chunking (2 then 1-per-chunk) exercises stsc run expansion
+    blob = _encode_mp4(_MP4_FRAMES, chunk_sizes=[2, 1, 1, 1, 1])
+    assert multimodal.mp4_frames(blob) == _MP4_FRAMES
+    assert multimodal.mp4_frames(blob, every=2) == _MP4_FRAMES[::2]
+    assert multimodal.mp4_frames(blob, max_frames=2) == _MP4_FRAMES[:2]
+    # sample_frames dispatches ISO-BMFF bytes to the mp4 walk
+    assert multimodal.sample_frames(blob, max_frames=3) == _MP4_FRAMES[:3]
+
+
+def test_mp4_frames_co64_offsets():
+    blob = _encode_mp4(_MP4_FRAMES, sync=[2, 4], co64=True)
+    assert multimodal.mp4_frames(blob) == [_MP4_FRAMES[1], _MP4_FRAMES[3]]
+
+
+def test_mp4_frames_rejects_garbage():
+    with pytest.raises(ValueError, match="ftyp"):
+        multimodal.mp4_frames(b"RIFF1234AVI blah")
+    # ftyp but no moov
+    import struct
+
+    lone = struct.pack(">I", 16) + b"ftyp" + b"isomisom"
+    with pytest.raises(ValueError, match="moov"):
+        multimodal.mp4_frames(lone)
+    # stss referencing a sample beyond stsz: corrupt, not IndexError
+    blob = _encode_mp4(_MP4_FRAMES, sync=[99])
+    with pytest.raises(ValueError, match="stss"):
+        multimodal.mp4_frames(blob)
