@@ -591,6 +591,124 @@ def wav_features(media: DataFrame) -> DataFrame:
     )
 
 
+BMP_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_pixel", LongType()),
+    ]
+)
+
+
+def bmp_features(media: DataFrame) -> DataFrame:
+    """``png_features``'s BMP sibling: Arrow-batched mapInPandas over
+    the binary column, BMP blobs decoded with ``decode_bmp`` into
+    (width, height, channels, mean pixel value); poison blobs yield
+    null features, never a task failure."""
+
+    def _bmp_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    img = decode_bmp(blob)
+                    mean = sum(img["pixels"]) // max(1, len(img["pixels"]))
+                    rows.append(
+                        (doc_id, img["width"], img["height"], img["channels"], mean)
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_pixel"]
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _bmp_batch, schema=BMP_FEATURE_SCHEMA
+    )
+
+
+def synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic RIFF/WAVE media corpus from doc ids: every blob is
+    a REAL wav file (struct-encoded PCM square wave) whose parameters —
+    sample rate, channel count, bit depth, amplitude, frame count — are
+    integer functions of doc_id, so the features ``wav_features``
+    decodes back out are exactly SQL-predictable (square-wave RMS ==
+    amplitude).  This is what lets the real decode path sit behind an
+    oracle gate instead of unit-only coverage."""
+    import struct
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = 8000 * (1 + i % 3)
+                channels = 1 + i % 2
+                bits = 8 if i % 4 < 2 else 16
+                amp = 50 + i % 70  # <= 119: fits 8-bit PCM
+                frames = 100 + (i % 5) * 30
+                n = frames * channels
+                samples = [amp if s % 2 == 0 else -amp for s in range(n)]
+                if bits == 8:
+                    data = bytes(s + 128 for s in samples)
+                else:
+                    data = struct.pack(f"<{n}h", *samples)
+                block = channels * bits // 8
+                fmt = struct.pack(
+                    "<HHIIHH", 1, channels, rate, rate * block, block, bits
+                )
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                blobs.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def synth_bmp_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic BMP media corpus from doc ids: every blob is a
+    REAL 8-bit paletted grayscale BMP (struct-encoded, 4-byte row
+    padding, full 256-entry palette) of constant pixel value, so
+    ``bmp_features`` decodes width/height/channels/mean back out as
+    exact integer functions of doc_id."""
+    import struct
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        palette = b"".join(
+            struct.pack("<BBBB", i, i, i, 0) for i in range(256)
+        )
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 8
+                h = 3 + i % 5
+                v = (i * 7) % 256
+                stride = (w + 3) & ~3
+                pixels = (bytes([v]) * w + b"\x00" * (stride - w)) * h
+                data_off = 14 + 40 + len(palette)
+                filehdr = b"BM" + struct.pack(
+                    "<IHHI", data_off + len(pixels), 0, 0, data_off
+                )
+                infohdr = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixels), 0, 0, 256, 0
+                )
+                blobs.append(filehdr + infohdr + palette + pixels)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def jpeg_dimensions(blob: bytes) -> dict:
     """REAL pure-stdlib JPEG header parse: walks the marker stream to
     the first SOF frame header (baseline SOF0 through progressive

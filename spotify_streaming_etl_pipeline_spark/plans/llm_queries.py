@@ -966,6 +966,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wav_audio_features",
+    """
+    SELECT doc_id,
+           cast(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           cast(1 + doc_id % 2 AS BIGINT) AS channels,
+           cast(100 + (doc_id % 5) * 30 AS BIGINT) AS n_samples,
+           cast((100 + (doc_id % 5) * 30) * 1000
+                // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+           cast(50 + doc_id % 70 AS BIGINT) AS rms
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode behind an oracle gate: synthesize a
+    deterministic PCM square-wave wav per doc (8/16-bit, 1-2 channels,
+    three sample rates — llm/multimodal.py:synth_wav_corpus), push the
+    bytes through the Arrow-batched ``wav_features`` decode
+    (RIFF chunk walk + integer RMS), and let DuckDB predict every
+    feature arithmetically (square-wave RMS == amplitude, exact in
+    integers). A decode regression in the chunk walk, PCM parse,
+    channel interleave, or RMS math breaks the hash."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.wav_features(multimodal.synth_wav_corpus(d))
+
+
+@query(
+    "bmp_image_features",
+    """
+    SELECT doc_id,
+           cast(4 + doc_id % 8 AS BIGINT) AS width,
+           cast(3 + doc_id % 5 AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           cast((doc_id * 7) % 256 AS BIGINT) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode behind an oracle gate: synthesize a
+    deterministic 8-bit paletted grayscale BMP per doc
+    (llm/multimodal.py:synth_bmp_corpus — real headers, palette, row
+    padding), decode it back with the Arrow-batched ``bmp_features``
+    (struct parse + palette resolution + mean pixel), and have DuckDB
+    predict width/height/channels/mean as integer functions of
+    doc_id. Constant-value pixels make the mean exact."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.bmp_features(multimodal.synth_bmp_corpus(d))
+
+
 # --- layout: sequence packing / sharding -------------------------------------
 
 from ..llm import packing  # noqa: E402  (grouped with its query family)

@@ -133,6 +133,18 @@ def dedup_stream_tws(
     UNVERIFIED by execution; the legacy ``dedup_stream`` is the
     certified form.
 
+    Dependency investigation (round 6): in the build sandbox the
+    protobuf runtime is confirmed unobtainable — no wheel or package
+    anywhere on disk (only typeshed stubs), no network (pip index
+    unreachable), and installs are disallowed.  A local shim is not
+    viable either: the generated ``StateMessage_pb2`` needs the full
+    descriptor-pool/builder runtime (it rebuilds message classes from
+    an embedded serialized FileDescriptorProto), so a "minimal"
+    google.protobuf would mean reimplementing the protobuf wire and
+    descriptor runtime.  The parity test therefore remains the gate:
+    it runs (and must pass) automatically in any environment that has
+    protobuf; here it skips with this reason.
+
     State per key is one boolean ValueState with
     ``ttlDurationMs = ttl_minutes`` — expiry re-admits a later
     duplicate exactly like the legacy form's timeout."""

@@ -37,11 +37,13 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir, queries):
 def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
     """BatchEvalPython = row-at-a-time Python UDF (the slow path the
     package bans). Arrow-batched plans (mapInPandas) are allowed only
-    in the multimodal queries."""
+    in the media queries, where Python IS the decoder."""
+    media_queries = {"multimodal_features", "wav_audio_features",
+                     "bmp_image_features"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
-        if "multimodal" not in name:
+        if name not in media_queries:
             assert "ArrowEvalPython" not in plan, f"{name} leaves the JVM"
             assert "MapInPandas" not in plan, f"{name} leaves the JVM"
 
