@@ -709,6 +709,249 @@ def synth_bmp_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def gif_features(media: DataFrame) -> DataFrame:
+    """``png_features``'s GIF sibling: Arrow-batched mapInPandas,
+    GIF blobs decoded with ``decode_gif`` (full LZW) into (width,
+    height, channels, mean pixel); poison blobs null out."""
+
+    def _gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    img = decode_gif(blob)
+                    mean = sum(img["pixels"]) // max(1, len(img["pixels"]))
+                    rows.append(
+                        (doc_id, img["width"], img["height"], img["channels"], mean)
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "mean_pixel"]
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _gif_batch, schema=BMP_FEATURE_SCHEMA
+    )
+
+
+def synth_png_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG media corpus from doc ids: real zlib-deflated
+    8-bit grayscale PNGs (filter 0 scanlines, valid CRCs) of constant
+    pixel value — ``png_features`` decodes width/height/channels/mean
+    back out as exact integer functions of doc_id."""
+    import struct
+    import zlib
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 4 + i % 6
+                h = 2 + i % 4
+                v = (i * 11) % 256
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                raw = (b"\x00" + bytes([v]) * w) * h
+                blobs.append(
+                    _PNG_SIG
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", zlib.compress(raw))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Minimal GIF-variant LZW encoder: literal codes only, mirroring
+    the decoder's table growth (one append per code after the first)
+    so the emitted code WIDTH tracks the decoder's, with CLEAR resets
+    before the width would exceed 12.  Valid for any decoder."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    acc = nbits = 0
+    out = bytearray()
+    width = min_code_size + 1
+    table_len = clear + 2
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 255)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    first = True
+    for v in indices:
+        emit(v)
+        if first:
+            first = False
+        else:
+            table_len += 1
+        if table_len == (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(clear)
+                width = min_code_size + 1
+                table_len = clear + 2
+                first = True
+    emit(end)
+    if nbits:
+        out.append(acc & 255)
+    return bytes(out)
+
+
+def synth_gif_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic GIF media corpus from doc ids: real GIF89a blobs
+    (global 256-entry grayscale palette, genuine variable-width LZW
+    pixel streams) of constant index value — ``gif_features`` decodes
+    width/height/channels/mean back out exactly."""
+    import struct
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        palette = b"".join(bytes((i, i, i)) for i in range(256))
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 3 + i % 7
+                h = 2 + i % 3
+                v = (i * 13) % 256
+                out = bytearray(b"GIF89a")
+                out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)  # 256-color GCT
+                out += palette
+                out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                out += bytes((8,))  # min LZW code size
+                data = _gif_lzw_encode(bytes([v]) * (w * h), 8)
+                for off in range(0, len(data), 255):
+                    chunk = data[off : off + 255]
+                    out += bytes((len(chunk),)) + chunk
+                out += b"\x00\x3b"
+                blobs.append(bytes(out))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+FRAME_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("total_frame_bytes", LongType()),
+        StructField("first_frame_byte", LongType()),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling summary through the standard multimodal plumbing:
+    ``sample_frames`` demuxes each blob (RIFF/AVI chunk walk or
+    ISO-BMFF sample tables) and the stage reports frame count, total
+    payload bytes, and the first frame's first byte; undemuxable blobs
+    null out (dead-letter contract)."""
+
+    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    frames = sample_frames(bytes(blob), max_frames=max_frames)
+                    rows.append(
+                        (
+                            doc_id,
+                            len(frames),
+                            sum(len(f) for f in frames),
+                            frames[0][0] if frames and frames[0] else None,
+                        )
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append((doc_id, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "total_frame_bytes", "first_frame_byte",
+                ],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _frames_batch, schema=FRAME_FEATURE_SCHEMA
+    )
+
+
+def synth_video_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic video-container corpus from doc ids: even ids get
+    a real RIFF/AVI (LIST movi of 00dc chunks), odd ids a real ISO-BMFF
+    mp4 (ftyp + mdat + moov with stsz/stsc/stco tables; no stss, so
+    every sample is sync) — SAME frame payload formula for both, so one
+    oracle covers both container walks.  Frame j of doc i is
+    bytes([(i + j) % 256]) * (10 + j), frame count 3 + i % 6."""
+    import struct
+
+    def _avi(frames: list[bytes]) -> bytes:
+        movi = b"movi"
+        for f in frames:
+            movi += b"00dc" + struct.pack("<I", len(f)) + f + (b"\x00" if len(f) & 1 else b"")
+        hdrl = b"hdrl"
+        body = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        body += b"LIST" + struct.pack("<I", len(movi)) + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def _mp4(frames: list[bytes]) -> bytes:
+        def box(t: bytes, b: bytes) -> bytes:
+            return struct.pack(">I", 8 + len(b)) + t + b
+
+        def full(t: bytes, b: bytes) -> bytes:
+            return box(t, b"\x00" * 4 + b)
+
+        ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        payload = b"".join(frames)
+        mdat = box(b"mdat", payload)
+        off = len(ftyp) + 8
+        n = len(frames)
+        sizes = [len(f) for f in frames]
+        offs = [off + sum(sizes[:j]) for j in range(n)]
+        stsz = full(b"stsz", struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes))
+        stsc = full(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 1, 1))
+        stco = full(b"stco", struct.pack(">I", n) + struct.pack(f">{n}I", *offs))
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+        minf = box(b"minf", box(b"stbl", stsz + stsc + stco))
+        moov = box(b"moov", box(b"trak", box(b"mdia", hdlr + minf)))
+        return ftyp + mdat + moov
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
+                ]
+                blobs.append(_avi(frames) if i % 2 == 0 else _mp4(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def jpeg_dimensions(blob: bytes) -> dict:
     """REAL pure-stdlib JPEG header parse: walks the marker stream to
     the first SOF frame header (baseline SOF0 through progressive

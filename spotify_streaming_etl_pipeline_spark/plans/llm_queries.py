@@ -1015,6 +1015,74 @@ def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.bmp_features(multimodal.synth_bmp_corpus(d))
 
 
+@query(
+    "png_image_features",
+    """
+    SELECT doc_id,
+           cast(4 + doc_id % 6 AS BIGINT) AS width,
+           cast(2 + doc_id % 4 AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           cast((doc_id * 11) % 256 AS BIGINT) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode behind an oracle gate: synthesize a zlib-
+    deflated 8-bit grayscale PNG per doc (llm/multimodal.py:
+    synth_png_corpus), decode through the Arrow-batched
+    ``png_features`` (inflate + unfilter + mean), DuckDB predicts the
+    features arithmetically (constant pixels -> exact mean)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.png_features(multimodal.synth_png_corpus(d))
+
+
+@query(
+    "gif_image_features",
+    """
+    SELECT doc_id,
+           cast(3 + doc_id % 7 AS BIGINT) AS width,
+           cast(2 + doc_id % 3 AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           cast((doc_id * 13) % 256 AS BIGINT) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode behind an oracle gate: synthesize a genuine
+    GIF89a (real variable-width LZW stream, 256-entry grayscale
+    palette — llm/multimodal.py:synth_gif_corpus + _gif_lzw_encode),
+    decode through ``gif_features`` (full LZW + palette resolution),
+    DuckDB predicts width/height/channels/mean exactly."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.gif_features(multimodal.synth_gif_corpus(d))
+
+
+@query(
+    "video_frame_summary",
+    """
+    SELECT doc_id,
+           cast(3 + doc_id % 6 AS BIGINT) AS n_frames,
+           cast(10 * (3 + doc_id % 6)
+                + (3 + doc_id % 6) * (3 + doc_id % 6 - 1) / 2 AS BIGINT)
+               AS total_frame_bytes,
+           cast(doc_id % 256 AS BIGINT) AS first_frame_byte
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def video_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH real container demuxes behind one oracle gate: even docs
+    synthesize a RIFF/AVI, odd docs an ISO-BMFF mp4, with the SAME
+    frame-payload formula (llm/multimodal.py:synth_video_corpus);
+    ``video_frame_features`` routes each blob through
+    ``sample_frames`` (AVI chunk walk / mp4 sample tables) and DuckDB
+    predicts frame count, total payload bytes (frame j has 10+j
+    bytes: 10n + n(n-1)/2), and the first frame's first byte.  A
+    regression in either walk — or in the dispatch — breaks the hash
+    on half the rows."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.video_frame_features(multimodal.synth_video_corpus(d))
+
+
 # --- layout: sequence packing / sharding -------------------------------------
 
 from ..llm import packing  # noqa: E402  (grouped with its query family)

@@ -1288,3 +1288,29 @@ def test_mp4_frames_rejects_garbage():
     blob = _encode_mp4(_MP4_FRAMES, sync=[99])
     with pytest.raises(ValueError, match="stss"):
         multimodal.mp4_frames(blob)
+
+
+def test_gif_lzw_encode_decode_roundtrip_across_clear_reset():
+    """The synth-corpus LZW encoder must mirror the decoder's width
+    tracking exactly — including the CLEAR reset at the 12-bit cap,
+    which the tiny oracle images never reach. 5000 varied pixels grow
+    the table past 4096 and force at least one mid-stream CLEAR."""
+    idx = bytes((i * 31) % 256 for i in range(5000))
+    data = multimodal._gif_lzw_encode(idx, 8)
+    assert multimodal._gif_lzw_decode(data, 8) == idx
+
+
+def test_synth_video_corpus_both_containers(spark):
+    """Even docs produce real AVIs, odd docs real mp4s; both demux to
+    the same deterministic frame payloads."""
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    blobs = {
+        r["doc_id"]: bytes(r["blob"])
+        for r in multimodal.synth_video_corpus(docs).collect()
+    }
+    assert blobs[2][:4] == b"RIFF" and blobs[3][4:8] == b"ftyp"
+    for i in (2, 3):
+        frames = multimodal.sample_frames(blobs[i])
+        assert frames == [
+            bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
+        ]

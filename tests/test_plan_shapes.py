@@ -39,7 +39,8 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
     package bans). Arrow-batched plans (mapInPandas) are allowed only
     in the media queries, where Python IS the decoder."""
     media_queries = {"multimodal_features", "wav_audio_features",
-                     "bmp_image_features"}
+                     "bmp_image_features", "png_image_features",
+                     "gif_image_features", "video_frame_summary"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
