@@ -1083,6 +1083,53 @@ def video_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.video_frame_features(multimodal.synth_video_corpus(d))
 
 
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled DuckDB replica of the ENTIRE iterative BPE training
+    loop (llm/bpe.py:bpe_train): k rounds of (pair count -> argmax ->
+    greedy list_reduce merge), MATERIALIZED per round so the chain
+    stays linear.  Generated, deterministic, and embedded verbatim in
+    the registry — the oracle hashes the whole loop, not one round."""
+    sql = """WITH w AS MATERIALIZED (
+  SELECT word, cast(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+v0 AS MATERIALIZED (SELECT cnt, split(word, '') AS syms FROM w)"""
+    for r in range(k):
+        sql += f""",
+b{r} AS MATERIALIZED (
+  SELECT s.l AS l, s.r AS r, sum(cnt)::BIGINT AS n
+  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+          i -> struct_pack(l := syms[i], r := syms[i+1]))) AS s FROM v{r})
+  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                THEN list_concat(acc[1:len(acc)-1], [b.l || b.r])
+                ELSE list_concat(acc, x) END) AS syms
+  FROM v{r} CROSS JOIN b{r} b)"""
+    sql += "\nSELECT * FROM (" + " UNION ALL ".join(
+        f"SELECT cast({r} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, n AS pair_count FROM b{r}"
+        for r in range(k)
+    ) + ")"
+    return sql
+
+
+@query("bpe_train_merges", _bpe_oracle_sql(4))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (llm/bpe.py:bpe_train): the
+    corpus collapses to a word-frequency table once, then each of the
+    4 registered rounds is a pair-count aggregation + 1-row driver
+    argmax + native greedy fold, with per-round lineage truncation.
+    The oracle unrolls the SAME loop in DuckDB (list_reduce), so the
+    hash certifies the full iterative computation — deterministic
+    ties (count desc, then pair) on both engines."""
+    from ..llm.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
 # --- layout: sequence packing / sharding -------------------------------------
 
 from ..llm import packing  # noqa: E402  (grouped with its query family)
