@@ -132,3 +132,72 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "label_a", "label_b", F.round(dist, 4).alias("centroid_dist")
     )
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH comp AS (
+      SELECT vec_id, i,
+             cast(round(embedding[i]::DOUBLE * 1000000, 0) AS BIGINT) AS e6
+      FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS i)),
+    p AS (
+      SELECT a.i AS i, b.i AS j,
+             count(*) AS n,
+             sum(a.e6 * b.e6) AS sxy,
+             sum(a.e6) AS sx,
+             sum(b.e6) AS sy
+      FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2)
+    SELECT cast(i AS BIGINT) AS i, cast(j AS BIGINT) AS j,
+           round(sxy / n / 1e12 - (sx / n / 1e6) * (sy / n / 1e6), 6)
+               AS cov
+    FROM p
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the first 8 embedding dimensions —
+    the whitening/PCA-prep statistic (and the anisotropy check run
+    before trusting cosine geometry).  Components quantize to 1e-6
+    integer units first, so every grouped sum is exact integer
+    arithmetic and the final doubles match DuckDB bit-for-bit (module
+    discipline).  The i<=j self-join is the oracle-reproducible form;
+    at corpus scale the same statistic folds as ONE pass of per-vector
+    outer products (dim²-sized aggregate state, no join) — the
+    relational form is kept because the oracle must replay it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+        ).alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("i"),
+        F.round(F.col("x") * 1e6, 0).cast("long").alias("e6"),
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.i") <= F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("a.e6") * F.col("b.e6")).alias("sxy"),
+            F.sum(F.col("a.e6")).alias("sx"),
+            F.sum(F.col("b.e6")).alias("sy"),
+        )
+    )
+    return p.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.round(
+            F.col("sxy") / F.col("n") / 1e12
+            - (F.col("sx") / F.col("n") / 1e6)
+            * (F.col("sy") / F.col("n") / 1e6),
+            6,
+        ).alias("cov"),
+    )
