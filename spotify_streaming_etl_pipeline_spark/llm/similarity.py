@@ -429,6 +429,41 @@ def cosine_topk_lsh(
     return _ranked(pairs, k)
 
 
+def ann_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Two-TABLE ANN join — the serving shape: a query table retrieves
+    top-k LSH-bucketed neighbors from a separate (frozen) corpus
+    table.  ``cosine_topk_lsh`` is the single-table special case; here
+    the corpus is bucketed once (the index build) and the query table
+    buckets independently and equi-joins on bucket id, so the corpus
+    is never re-scanned per query batch.  Returns (q_id, vec_id,
+    cosine, rn).
+
+    Scale: both sides shuffle on bucket only (or the query side
+    broadcasts when batch-sized — left to AQE, since the true serving
+    shape has an arbitrarily large query table); pairwise scoring
+    touches same-bucket pairs only."""
+    cb = corpus.select(
+        "vec_id",
+        F.col(vec_col).alias("vec"),
+        bucket_col(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_col(F.col(vec_col), n_planes).alias("bucket"),
+    )
+    pairs = cb.join(qb, "bucket").select(
+        "q_id", "vec_id", cosine(F.col("vec"), F.col("q_vec")).alias("cosine")
+    )
+    return _ranked(pairs, k)
+
+
 def cosine_topk_lsh_multiprobe(
     emb: DataFrame,
     query_ids: list[int],

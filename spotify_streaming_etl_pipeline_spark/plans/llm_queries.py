@@ -482,6 +482,45 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(_emb(spark, sf_dir), _QUERY_IDS, k=5)
 
 
+@query(
+    "ann_join_topk",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+        WHERE vec_id % 40 = 0
+    ),
+    c AS (SELECT * FROM b WHERE vec_id % 40 <> 0),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_cos_sql('c.embedding', 'q.q_vec')} AS cosine
+        FROM c JOIN q ON c.bucket = q.bucket
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table ANN retrieval (llm/similarity.py:ann_join): the query
+    TABLE (vec_id % 40 == 0) joins a disjoint corpus table through the
+    LSH bucket index — the batch-serving shape where both sides are
+    DataFrames, not an id list.  The oracle replays the same split,
+    buckets, and tie rules."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ann_join(
+        emb.filter(F.col("vec_id") % 40 == 0),
+        emb.filter(F.col("vec_id") % 40 != 0),
+        k=5,
+    )
+
+
 _IVF_CELLS = 8
 _IVF_PROBE = 2
 

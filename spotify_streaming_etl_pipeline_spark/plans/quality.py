@@ -1158,3 +1158,111 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based importance scoring: PageRank over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000_000_000  # ranks as 1e-12 integer units
+
+
+def _pagerank_oracle_sql(k: int) -> str:
+    """Unrolled DuckDB replica of the full k-iteration PageRank loop.
+    All rank arithmetic is INTEGER (1e-12 units, floor division for
+    the contribution split and the 0.85 damping), so every iteration
+    is exact on both engines and the final hash gates the whole
+    iterative computation — same discipline as the BPE loop oracle."""
+    sql = f"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}),
+ed AS MATERIALIZED (
+  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS MATERIALIZED (SELECT u, count(*)::BIGINT AS d FROM ed GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT deg.u, ({_PR_SCALE} // nn.n)::BIGINT AS rk FROM deg, nn)"""
+    for i in range(k):
+        sql += f""",
+r{i + 1} AS MATERIALIZED (
+  SELECT ed.v AS u,
+         ((15 * {_PR_SCALE}) // (100 * nn.n)
+          + (85 * sum(r.rk // d.d)) // 100)::BIGINT AS rk
+  FROM ed JOIN r{i} r ON r.u = ed.u JOIN deg d ON d.u = ed.u, nn
+  GROUP BY ed.v, nn.n)"""
+    sql += f"""
+SELECT cast(u AS BIGINT) AS part, rk AS rank_e12
+FROM r{k} ORDER BY rk DESC, u LIMIT 20"""
+    return sql
+
+
+@query("copurchase_pagerank", _pagerank_oracle_sql(_PR_ITERS))
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the support-thinned part co-purchase graph — the
+    graph-based importance signal curation pipelines use for quality
+    weighting (web-graph centrality for pretraining corpora; here the
+    co-purchase graph stands in).  Iterative, Spark-first:
+
+    - the edge list reuses the triangle census's bounded within-order
+      self-join + support thinning;
+    - each of the 3 iterations is one join of the rank table against
+      the (symmetric) edge list + a map-side-combined sum per target,
+      ``localCheckpoint``-ed so the plan stays iteration-sized;
+    - ALL rank arithmetic is integer (1e-12 units, floor-divided
+      contribution split, integer 0.85 damping), so the result is
+      bit-identical across engines and the unrolled DuckDB oracle
+      hashes the ENTIRE loop, not one step.
+
+    Scale: the rank/degree/edge tables are graph-sized (nodes/edges),
+    never fact-sized; each iteration shuffles on the node key only.
+    No dangling-mass correction is needed (the symmetric edge set
+    gives every node out-degree >= 1)."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    ed = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = ed.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(nn)).selectExpr(
+        "u", f"cast({_PR_SCALE} div n as long) as rk"
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ed.join(ranks, "u")
+            .join(deg, "u")
+            .selectExpr("v", "rk div d as c")
+        )
+        ranks = (
+            contrib.groupBy(F.col("v").alias("u"))
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .selectExpr(
+                "u",
+                f"cast((15 * {_PR_SCALE}) div (100 * n)"
+                " + (85 * s) div 100 as long) as rk",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("rk"), "u")
+        .limit(20)
+        .select(F.col("u").cast("long").alias("part"), F.col("rk").alias("rank_e12"))
+    )
