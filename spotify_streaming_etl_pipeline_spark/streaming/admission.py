@@ -1,0 +1,115 @@
+"""Streaming near-dup ADMISSION: gate a document stream against the
+growing corpus, per microbatch — the ingest-time form of the batch
+``llm/dedup.py:minhash_incremental`` check (which documents may join a
+training set), wired as a ``foreachBatch`` sink over the same
+versioned-snapshot state machinery as the continuous aggregates.
+
+Semantics per microbatch (deterministic, replay-safe):
+
+1. in-batch id dedup (``dropDuplicates`` on doc_id);
+2. corpus check: any batch doc whose MinHash-verified Jaccard against
+   a CURRENT corpus doc clears the threshold is rejected — the band
+   join touches corpus index buckets, never the corpus pairwise;
+3. intra-batch near-dup: survivors cluster among themselves
+   (``minhash_near_dup`` + ``dup_clusters``) and only each cluster's
+   min-id keeper is admitted;
+4. the new corpus snapshot (previous ∪ admitted) publishes as
+   ``v={batch_id}`` with the same tmp-then-rename + _SUCCESS +
+   committed-only-prune discipline as ``streaming/aggregates.py`` —
+   a replayed batch re-reads the same predecessor and republishes the
+   same version, so admission is exactly-once.
+
+Scale: per batch the cost is batch-size × bucket-collision-rate band
+probes plus a batch-sized clustering; the corpus is touched through
+its (materialized) band index only.  In production the posting/band
+tables persist as tables beside the corpus instead of being derived
+from the snapshot per batch — same plan, one less recompute.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..llm import dedup
+from .aggregates import KEEP_VERSIONS, _committed, _versions, read_state
+
+
+def _publish(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Snapshot publish: write-temp-then-rename, committed-only prune
+    (shared discipline with aggregates.incremental_state_sink)."""
+    final = os.path.join(state_dir, f"v={batch_id}")
+    tmp = os.path.join(state_dir, f"_tmp.v={batch_id}")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    committed = [v for v in _versions(state_dir) if _committed(state_dir, v)]
+    keep = set(sorted(committed)[-KEEP_VERSIONS:])
+    for v in _versions(state_dir):
+        if v not in keep:
+            shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+    for name in os.listdir(state_dir):
+        if name.startswith("_tmp.v="):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
+def admit_batch(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The pure admission function (one microbatch against one corpus
+    state) — shared by the streaming sink and the batch/stream parity
+    test.  Returns the admitted rows of ``batch``."""
+    batch = batch.dropDuplicates(["doc_id"])
+    if corpus is not None:
+        rejected = (
+            dedup.minhash_incremental(
+                batch, corpus, threshold=threshold, text_col=text_col
+            )
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        batch = batch.join(rejected, "doc_id", "left_anti")
+    pairs = dedup.minhash_near_dup(batch, threshold=threshold, text_col=text_col)
+    clusters = dedup.dup_clusters(pairs)
+    non_keepers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return batch.join(non_keepers, "doc_id", "left_anti")
+
+
+def dedup_admission_sink(
+    state_dir: str,
+    threshold: float = 0.8,
+    text_col: str = "text",
+):
+    """foreachBatch sink maintaining the admitted-corpus snapshot; use
+    with ``stream.writeStream.foreachBatch(dedup_admission_sink(...))``
+    and read the admitted corpus with ``aggregates.read_state``."""
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        spark = bdf.sparkSession
+        corpus = read_state(spark, state_dir, below=batch_id)
+        admitted = admit_batch(
+            bdf.select("doc_id", text_col),
+            corpus,
+            threshold=threshold,
+            text_col=text_col,
+        )
+        new_corpus = (
+            corpus.unionByName(admitted) if corpus is not None else admitted
+        )
+        # Materialize THROUGH the write: new_corpus references the
+        # previous snapshot's files, which prune may delete later —
+        # the parquet write is the materialization barrier.
+        _publish(new_corpus, state_dir, batch_id)
+
+    return sink

@@ -1,0 +1,107 @@
+"""Streaming near-dup admission: batch/stream parity and the
+rejection semantics (corpus dups, intra-batch dups, novel docs)."""
+
+from __future__ import annotations
+
+from spotify_streaming_etl_pipeline_spark.streaming.admission import (
+    admit_batch,
+    dedup_admission_sink,
+)
+from spotify_streaming_etl_pipeline_spark.streaming.aggregates import read_state
+
+# Long texts: a one-word edit keeps Jaccard ~0.78, which the 4x4
+# MinHash band config deterministically catches (short docs can land
+# a high-Jaccard pair in disjoint bands — that recall gap is the
+# sketch trade-off the recall evals measure, not an admission bug).
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen sleepy"
+    " cats watch quietly from the old wooden fence near the river bank"
+    " at dusk"
+)
+_OTHER = (
+    "completely different words appear in this sentence because the"
+    " narrator switched topics to submarine maintenance schedules and"
+    " galley inventory rotations for the long voyage south"
+)
+B1 = [
+    (1, _BASE),
+    (2, _OTHER),
+    # intra-batch near-dup of 1 -> only min id admitted
+    (3, _BASE.replace("dusk", "dawn")),
+]
+B2 = [
+    # near-dup of admitted doc 1 -> rejected at the corpus check
+    (10, _BASE.replace("seventeen", "eighteen")),
+    # novel -> admitted
+    (11, "an entirely novel document about streaming state machine"
+         " admission checks and versioned snapshot publication order"),
+    # exact text of doc 2 under a new id -> rejected
+    (12, _OTHER),
+]
+SCHEMA = "doc_id long, text string"
+
+
+def test_admit_batch_semantics(spark):
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    a1 = admit_batch(b1, None, threshold=0.5)
+    assert sorted(r.doc_id for r in a1.collect()) == [1, 2]
+    b2 = spark.createDataFrame(B2, SCHEMA)
+    a2 = admit_batch(b2, a1, threshold=0.5)
+    assert sorted(r.doc_id for r in a2.collect()) == [11]
+
+
+def test_stream_matches_sequential_batches(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(B1, SCHEMA).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(B2, SCHEMA).coalesce(1).write.parquet(src + "/b2")
+    # file-source streams list files in one directory; re-write flat
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, b in enumerate((B1, B2)):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+            f"{flat}/batch={i}"
+        )
+
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(flat)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_admission_sink(state_dir, threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    streamed = sorted(
+        r.doc_id for r in read_state(spark, state_dir).collect()
+    )
+    # sequential reference: same admission function, batch at a time
+    ref = admit_batch(spark.createDataFrame(B1, SCHEMA), None, threshold=0.5)
+    ref = ref.unionByName(
+        admit_batch(spark.createDataFrame(B2, SCHEMA), ref, threshold=0.5)
+    )
+    assert streamed == sorted(r.doc_id for r in ref.collect())
+    assert streamed == [1, 2, 11]
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    sink = dedup_admission_sink(state_dir, threshold=0.5)
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    b2 = spark.createDataFrame(B2, SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+    once = sorted(r.doc_id for r in read_state(spark, state_dir).collect())
+    sink(b2, 1)  # crash-replay of batch 1
+    again = sorted(r.doc_id for r in read_state(spark, state_dir).collect())
+    assert once == again == [1, 2, 11]
