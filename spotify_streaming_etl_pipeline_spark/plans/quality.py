@@ -1239,12 +1239,26 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     ).localCheckpoint(eager=True)
+    ranks = pagerank_integer(ed, _PR_ITERS)
+    return (
+        ranks.orderBy(F.desc("rk"), "u")
+        .limit(20)
+        .select(F.col("u").cast("long").alias("part"), F.col("rk").alias("rank_e12"))
+    )
+
+
+def pagerank_integer(ed: DataFrame, iters: int) -> DataFrame:
+    """The integer-arithmetic power-iteration core over a DIRECTED
+    edge list (u -> v): ranks in 1e-12 units, floor-divided
+    contribution split, integer 0.85/0.15 damping — bit-identical on
+    any engine.  Returns (u, rk).  Callers must ensure every node has
+    out-degree >= 1 (symmetric edge sets do)."""
     deg = ed.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).selectExpr(
         "u", f"cast({_PR_SCALE} div n as long) as rk"
     ).localCheckpoint(eager=True)
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         contrib = (
             ed.join(ranks, "u")
             .join(deg, "u")
@@ -1261,8 +1275,4 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return (
-        ranks.orderBy(F.desc("rk"), "u")
-        .limit(20)
-        .select(F.col("u").cast("long").alias("part"), F.col("rk").alias("rank_e12"))
-    )
+    return ranks

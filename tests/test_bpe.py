@@ -88,3 +88,28 @@ def test_encode_roundtrip_preserves_text(spark):
         assert "".join(enc[i]) == t.replace(" ", "")
         # at least one multi-char token appears somewhere after 4 merges
     assert any(len(tok) > 1 for toks in enc.values() for tok in toks)
+
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(_WORDS.map(" ".join), min_size=1, max_size=4),
+       n=st.integers(min_value=1, max_value=5))
+def test_bpe_train_property_vs_python_model(spark, texts, n):
+    """Random tiny-alphabet corpora maximize merge collisions and
+    tie-break pressure; the Spark loop must equal the Python model on
+    every one of them."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in bpe_train(docs, n_merges=n).orderBy("merge_rank").collect()
+    ]
+    assert got == _py_bpe(texts, n)

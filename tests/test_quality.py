@@ -189,3 +189,51 @@ def test_market_basket_lift_agrees_with_raw_probabilities(spark, tmp_path):
         for r in quality.market_basket_lift(spark, str(tmp_path)).collect()
     }
     assert out == {(1, 2): (2, 2.0)}
+
+
+# --- PageRank integer core vs a Python model --------------------------------
+
+from hypothesis import given, settings as hsettings, strategies as st
+
+
+def _py_pagerank(edges, iters, scale=1_000_000_000_000):
+    """Python model of plans/quality.py:pagerank_integer — same integer
+    arithmetic (floor divisions, 85/15 damping), symmetric edges."""
+    ed = edges + [(v, u) for u, v in edges]
+    deg = {}
+    for u, _ in ed:
+        deg[u] = deg.get(u, 0) + 1
+    n = len(deg)
+    rk = {u: scale // n for u in deg}
+    for _ in range(iters):
+        s = {u: 0 for u in deg}
+        for u, v in ed:
+            s[v] += rk[u] // deg[u]
+        rk = {u: (15 * scale) // (100 * n) + (85 * s[u]) // 100 for u in deg}
+    return rk
+
+
+@hsettings(max_examples=5, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    iters=st.integers(1, 4),
+)
+def test_pagerank_integer_matches_python_model(spark, edges, iters):
+    from spotify_streaming_etl_pipeline_spark.plans.quality import (
+        pagerank_integer,
+    )
+
+    ed = spark.createDataFrame(
+        edges + [(v, u) for u, v in edges], "u long, v long"
+    )
+    got = {
+        r["u"]: r["rk"] for r in pagerank_integer(ed, iters).collect()
+    }
+    assert got == _py_pagerank(edges, iters)
