@@ -119,3 +119,48 @@ def test_incremental_merge_with_empty_delta(spark):
     delta = agg_state(spark.createDataFrame([], "k long, v double"), ["k"], "v")
     got = merge_states(prev, delta, ["k"]).collect()
     assert [(r["k"], r["n_rows"], r["sum_v"]) for r in got] == [(1, 1, 5.0)]
+
+
+def test_bpe_train_on_empty_and_single_char_corpus(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.bpe import bpe_train
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, n_merges=3).count() == 0
+    # single-char words have no adjacent pairs -> zero merges, no crash
+    chars = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    assert bpe_train(chars, n_merges=3).count() == 0
+
+
+def test_pagerank_on_empty_edges(spark):
+    from spotify_streaming_etl_pipeline_spark.plans.quality import (
+        pagerank_integer,
+    )
+
+    ed = spark.createDataFrame([], "u long, v long")
+    assert pagerank_integer(ed, 2).count() == 0
+
+
+def test_ann_join_with_empty_query_table(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.similarity import ann_join
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    empty_q = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ann_join(empty_q, corpus, k=3).count() == 0
+    # and an empty corpus yields no neighbors rather than an error
+    assert ann_join(corpus, empty_q, k=3).count() == 0
+
+
+def test_admission_with_empty_batch(spark):
+    from spotify_streaming_etl_pipeline_spark.streaming.admission import (
+        admit_batch,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert admit_batch(empty, None).count() == 0
+    corpus = spark.createDataFrame(
+        [(1, "some corpus document with enough words to shingle")],
+        "doc_id long, text string",
+    )
+    assert admit_batch(empty, corpus).count() == 0
