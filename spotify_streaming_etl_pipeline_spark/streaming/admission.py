@@ -67,23 +67,51 @@ def admit_batch(
 ) -> DataFrame:
     """The pure admission function (one microbatch against one corpus
     state) — shared by the streaming sink and the batch/stream parity
-    test.  Returns the admitted rows of ``batch``."""
+    test.  Returns the admitted rows of ``batch``.
+
+    Cache hygiene: the posting tables are built HERE (once per side),
+    threaded through both detectors, and unpersisted before returning
+    — a long-running stream must not accumulate per-batch postings in
+    executor storage (the r5 ADVICE leak class).  The admitted result
+    is localCheckpoint-ed first so unpersisting cannot force a
+    recompute-without-cache of the whole pipeline."""
     batch = batch.dropDuplicates(["doc_id"])
+    batch_posting = dedup._posting(batch, text_col).persist()
+    cleanup = [batch_posting]
     if corpus is not None:
+        corpus_posting = dedup._posting(corpus, text_col).persist()
+        cleanup.append(corpus_posting)
         rejected = (
             dedup.minhash_incremental(
-                batch, corpus, threshold=threshold, text_col=text_col
+                batch,
+                corpus,
+                threshold=threshold,
+                text_col=text_col,
+                _corpus_posting_df=corpus_posting,
+                _new_posting_df=batch_posting,
             )
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
         batch = batch.join(rejected, "doc_id", "left_anti")
-    pairs = dedup.minhash_near_dup(batch, threshold=threshold, text_col=text_col)
+    # survivors-only posting: a superset posting would cluster rejected
+    # docs too and could steal keeper slots from admitted ones.
+    surv_posting = batch_posting.join(
+        batch.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = dedup.minhash_near_dup(
+        batch, threshold=threshold, text_col=text_col, _posting_df=surv_posting
+    )
     clusters = dedup.dup_clusters(pairs)
     non_keepers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    return batch.join(non_keepers, "doc_id", "left_anti")
+    admitted = batch.join(non_keepers, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    for df in cleanup:
+        df.unpersist()
+    return admitted
 
 
 def dedup_admission_sink(
