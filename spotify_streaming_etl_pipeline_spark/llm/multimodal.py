@@ -176,8 +176,10 @@ def decode_png(blob: bytes) -> dict:
         data = bytes(blob[pos : pos + length])
         pos += length + 4  # payload + CRC (CRC not re-verified)
         if ctype == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("PNG IHDR chunk truncated")
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
         elif ctype == b"IDAT":
             idat += data
@@ -191,7 +193,10 @@ def decode_png(blob: bytes) -> dict:
             f"got depth={depth} color_type={color} interlace={interlace}"
         )
     channels = _PNG_CHANNELS[color]
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
     stride = w * channels
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG scanline data has unexpected length")
@@ -363,12 +368,16 @@ def decode_gif(blob: bytes) -> dict:
 
     if bytes(blob[:6]) not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF byte string (bad signature)")
+    if len(blob) < 13:
+        raise ValueError("GIF truncated before logical screen descriptor")
     _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", bytes(blob[6:13]))
     pos = 13
     gct: list[tuple[int, int, int]] = []
     if packed & 0x80:
         n = 2 << (packed & 7)
         raw = bytes(blob[pos : pos + 3 * n])
+        if len(raw) < 3 * n:
+            raise ValueError("GIF global color table truncated")
         pos += 3 * n
         gct = [(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)]
     while pos < len(blob):
@@ -384,12 +393,16 @@ def decode_gif(blob: bytes) -> dict:
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 9 > len(blob):
+            raise ValueError("GIF truncated inside image descriptor")
         _l, _t, w, h, ipacked = struct.unpack("<HHHHB", bytes(blob[pos : pos + 9]))
         pos += 9
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 7)
             raw = bytes(blob[pos : pos + 3 * n])
+            if len(raw) < 3 * n:
+                raise ValueError("GIF local color table truncated")
             pos += 3 * n
             pal = [(raw[3 * i], raw[3 * i + 1], raw[3 * i + 2]) for i in range(n)]
         if not pal:
@@ -414,6 +427,10 @@ def decode_gif(blob: bytes) -> dict:
                     rows[r] = idx[src * w : (src + 1) * w]
                     src += 1
             idx = b"".join(rows)  # type: ignore[arg-type]
+        if idx and max(idx) >= len(pal):
+            raise ValueError(
+                f"GIF pixel index {max(idx)} exceeds palette size {len(pal)}"
+            )
         gray = all(r == g == b for r, g, b in pal)
         if gray:
             pixels = bytes(pal[v][0] for v in idx)
@@ -447,6 +464,9 @@ def png_features(media: DataFrame) -> DataFrame:
     at corpus scale a poison blob must dead-letter, not kill a task."""
 
     def _png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -456,7 +476,11 @@ def png_features(media: DataFrame) -> DataFrame:
                     rows.append(
                         (doc_id, img["width"], img["height"], img["channels"], mean)
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error,
+                        zlib.error):
+                    # dead-letter contract: corrupt IDAT (zlib.error) and
+                    # lying chunk lengths (struct.error) null out too —
+                    # a poison blob must never kill the task.
                     rows.append((doc_id, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "mean_pixel"]
@@ -715,6 +739,8 @@ def gif_features(media: DataFrame) -> DataFrame:
     height, channels, mean pixel); poison blobs null out."""
 
     def _gif_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -724,7 +750,11 @@ def gif_features(media: DataFrame) -> DataFrame:
                     rows.append(
                         (doc_id, img["width"], img["height"], img["channels"], mean)
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error,
+                        IndexError):
+                    # dead-letter contract: truncated headers
+                    # (struct.error) and palette-out-of-range LZW output
+                    # (IndexError) null out, never kill the task.
                     rows.append((doc_id, None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "mean_pixel"]
@@ -869,6 +899,8 @@ def video_frame_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
     null out (dead-letter contract)."""
 
     def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -882,7 +914,7 @@ def video_frame_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
                             frames[0][0] if frames and frames[0] else None,
                         )
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, struct.error):
                     rows.append((doc_id, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -983,6 +1015,8 @@ def jpeg_dimensions(blob: bytes) -> dict:
         size = struct.unpack(">H", bytes(blob[pos : pos + 2]))[0]
         # SOF0-SOF15 minus DHT (C4), DAC (CC)
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 8 > len(blob):
+                raise ValueError("JPEG SOF segment truncated")
             _prec, h, w, ncomp = struct.unpack(
                 ">BHHB", bytes(blob[pos + 2 : pos + 8])
             )
@@ -1148,46 +1182,57 @@ def mp4_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
     ):
         raise ValueError("mp4 video track is missing sample tables")
 
+    # Hostile-input bounds: every table length is validated against the
+    # bytes actually present BEFORE any unpack or list allocation — a
+    # 32-byte blob declaring n_samples=0xFFFFFFFF must raise ValueError
+    # (dead-letter), not allocate gigabytes or throw struct.error.
     def u32s(body: tuple[int, int], skip: int, n: int) -> list[int]:
         b = body[0] + skip
+        if b + 4 * n > body[1]:
+            raise ValueError("mp4 sample table shorter than its entry count")
         return list(struct.unpack(f">{n}I", bytes(blob[b : b + 4 * n])))
+
+    def u32_at(body: tuple[int, int], skip: int) -> int:
+        if body[0] + skip + 4 > body[1]:
+            raise ValueError("mp4 sample table header truncated")
+        return struct.unpack(
+            ">I", bytes(blob[body[0] + skip : body[0] + skip + 4])
+        )[0]
 
     # stsz: fullbox(4) + sample_size(4) + sample_count(4) [+ sizes]
     sz_body = tables[b"stsz"]
-    fixed_size, n_samples = struct.unpack(
-        ">II", bytes(blob[sz_body[0] + 4 : sz_body[0] + 12])
-    )
+    fixed_size = u32_at(sz_body, 4)
+    n_samples = u32_at(sz_body, 8)
+    if n_samples > len(blob):
+        raise ValueError(
+            f"mp4 stsz declares {n_samples} samples in a {len(blob)}-byte blob"
+        )
     sizes = (
         [fixed_size] * n_samples if fixed_size else u32s(sz_body, 12, n_samples)
     )
     # stsc: fullbox(4) + entry_count(4) + (first_chunk, per_chunk, desc)*
     sc_body = tables[b"stsc"]
-    n_sc = struct.unpack(">I", bytes(blob[sc_body[0] + 4 : sc_body[0] + 8]))[0]
+    n_sc = u32_at(sc_body, 4)
     sc = u32s(sc_body, 8, 3 * n_sc)
     runs = [(sc[3 * i], sc[3 * i + 1]) for i in range(n_sc)]
     # stco/co64 chunk offsets
     if b"stco" in tables:
         co_body = tables[b"stco"]
-        n_chunks = struct.unpack(
-            ">I", bytes(blob[co_body[0] + 4 : co_body[0] + 8])
-        )[0]
+        n_chunks = u32_at(co_body, 4)
         chunk_offs = u32s(co_body, 8, n_chunks)
     else:
         co_body = tables[b"co64"]
-        n_chunks = struct.unpack(
-            ">I", bytes(blob[co_body[0] + 4 : co_body[0] + 8])
-        )[0]
+        n_chunks = u32_at(co_body, 4)
         b0 = co_body[0] + 8
+        if b0 + 8 * n_chunks > co_body[1]:
+            raise ValueError("mp4 co64 table shorter than its entry count")
         chunk_offs = list(
             struct.unpack(f">{n_chunks}Q", bytes(blob[b0 : b0 + 8 * n_chunks]))
         )
     # stss sync samples (1-based); absent -> every sample is a keyframe
     if b"stss" in tables:
         ss_body = tables[b"stss"]
-        n_ss = struct.unpack(
-            ">I", bytes(blob[ss_body[0] + 4 : ss_body[0] + 8])
-        )[0]
-        sync = u32s(ss_body, 8, n_ss)
+        sync = u32s(ss_body, 8, u32_at(ss_body, 4))
     else:
         sync = list(range(1, n_samples + 1))
 

@@ -265,9 +265,15 @@ def assign_cells_arrow(
     call — no row inflation, no shuffle (assignment is a map).
 
     Tie/rounding discipline mirrors the relational form so both paths
-    agree cell-for-cell: d² rounds to 4dp before comparison and ties
-    break toward the lowest cell id (np.argmin keeps the first
-    maximum, matching ``orderBy(d2, cell)``)."""
+    agree cell-for-cell: d² rounds HALF-UP to 4dp before comparison
+    (``floor(x·10⁴ + ½)`` — np.round is half-EVEN and disagrees with
+    Spark's HALF_UP at exact .00005 boundaries) and ties break toward
+    the lowest cell id (np.argmin keeps the first minimum, matching
+    ``orderBy(d2, cell)``).  Caveat shared with the relational gate
+    itself: the matmul expansion and the per-dim difference sum differ
+    in the last ulps, so a d² landing WITHIN an ulp of a 4dp rounding
+    boundary could still split the paths — the same sub-ulp-vs-boundary
+    coincidence the Spark↔DuckDB oracle comparison already tolerates."""
     import numpy as np
     import pandas as pd
 
@@ -282,7 +288,8 @@ def assign_cells_arrow(
                 pdf[vec_col].map(lambda a: np.asarray(a, dtype=np.float64))
             )
             d2 = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
-            cell = np.round(d2, 4).argmin(axis=1)
+            # HALF_UP to 4dp (d2 >= 0 up to cancellation ulps)
+            cell = (np.floor(d2 * 10000.0 + 0.5) / 10000.0).argmin(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cell": cell.astype("int32")}
             )
@@ -319,15 +326,20 @@ def ivf_topk_arrow(
     probe_pairs = []
     for r in q_rows:
         qv = np.asarray(r[vec_col], dtype=np.float64)
-        d2 = np.round(((C - qv) ** 2).sum(axis=1), 4)
+        # HALF_UP to 4dp, matching assign_cells_arrow / the relational form
+        d2 = np.floor(((C - qv) ** 2).sum(axis=1) * 10000.0 + 0.5) / 10000.0
         order = sorted(range(len(C)), key=lambda c: (d2[c], c))
         for cell in order[:n_probe]:
             probe_pairs.append((r["vec_id"], int(cell)))
     probes = emb.sparkSession.createDataFrame(
         probe_pairs, "q_id: long, cell: int"
     )
-    q_vecs = emb.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("q_id"), F.col(vec_col).alias("q_vec")
+    # q_rows already holds the query vectors — build the (tiny) q_vecs
+    # frame from them instead of re-filtering the corpus table (which
+    # would re-scan it once more per action).
+    q_vecs = emb.sparkSession.createDataFrame(
+        [(r["vec_id"], list(r[vec_col])) for r in q_rows],
+        "q_id: long, q_vec: array<float>",
     )
     pairs = (
         assigned.join(F.broadcast(probes), "cell")

@@ -28,35 +28,11 @@ from the snapshot per batch — same plan, one less recompute.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..llm import dedup
-from .aggregates import KEEP_VERSIONS, _committed, _versions, read_state
-
-
-def _publish(df: DataFrame, state_dir: str, batch_id: int) -> None:
-    """Snapshot publish: write-temp-then-rename, committed-only prune
-    (shared discipline with aggregates.incremental_state_sink)."""
-    final = os.path.join(state_dir, f"v={batch_id}")
-    tmp = os.path.join(state_dir, f"_tmp.v={batch_id}")
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(final):
-        shutil.rmtree(final)
-    os.rename(tmp, final)
-    committed = [v for v in _versions(state_dir) if _committed(state_dir, v)]
-    keep = set(sorted(committed)[-KEEP_VERSIONS:])
-    for v in _versions(state_dir):
-        if v not in keep:
-            shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
-    for name in os.listdir(state_dir):
-        if name.startswith("_tmp.v="):
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+from .aggregates import publish_snapshot, read_state
 
 
 def admit_batch(
@@ -76,6 +52,13 @@ def admit_batch(
     is localCheckpoint-ed first so unpersisting cannot force a
     recompute-without-cache of the whole pipeline."""
     batch = batch.dropDuplicates(["doc_id"])
+    if corpus is not None:
+        # At-least-once redelivery across DIFFERENT batch ids: a doc
+        # whose id is already in the corpus must not be re-admitted
+        # (its own identity pair is excluded from the near-dup check
+        # by design, so without this anti-join a redelivered unique
+        # doc would duplicate its corpus row on every redelivery).
+        batch = batch.join(corpus.select("doc_id"), "doc_id", "left_anti")
     batch_posting = dedup._posting(batch, text_col).persist()
     cleanup = [batch_posting]
     if corpus is not None:
@@ -138,6 +121,6 @@ def dedup_admission_sink(
         # Materialize THROUGH the write: new_corpus references the
         # previous snapshot's files, which prune may delete later —
         # the parquet write is the materialization barrier.
-        _publish(new_corpus, state_dir, batch_id)
+        publish_snapshot(new_corpus, state_dir, batch_id)
 
     return sink

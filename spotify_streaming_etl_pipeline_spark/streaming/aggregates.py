@@ -77,6 +77,39 @@ def read_state(spark, state_dir: str, below: int | None = None) -> DataFrame | N
     return spark.read.parquet(os.path.join(state_dir, f"v={v}"))
 
 
+def publish_snapshot(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    """Shared snapshot-publish discipline for every versioned-state
+    sink (continuous aggregates, streaming admission): write-temp-
+    then-rename so a reader never observes a torn snapshot (the final
+    v= directory appears atomically with its _SUCCESS already inside),
+    then prune.
+
+    The prune keep-set counts only COMMITTED snapshots — a torn/
+    uncommitted v= dir must never occupy a KEEP_VERSIONS slot and
+    displace a committed predecessor (worst case the only committed
+    snapshot gets pruned and a replayed batch silently resets state
+    from prev=None).  Uncommitted v= dirs are garbage by definition,
+    as are stale _tmp.v=* dirs left by crashes of other batch ids."""
+    final = os.path.join(state_dir, f"v={batch_id}")
+    tmp = os.path.join(state_dir, f"_tmp.v={batch_id}")
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    committed = [v for v in _versions(state_dir) if _committed(state_dir, v)]
+    keep = set(sorted(committed)[-KEEP_VERSIONS:])
+    for v in _versions(state_dir):
+        if v not in keep:
+            shutil.rmtree(
+                os.path.join(state_dir, f"v={v}"), ignore_errors=True
+            )
+    for name in os.listdir(state_dir):
+        if name.startswith("_tmp.v="):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
 def incremental_state_sink(keys: list[str], value_col: str, state_dir: str):
     """foreachBatch sink maintaining the merged (count, sum, min, max)
     state table for ``keys`` over ``value_col``.  Use with
@@ -89,38 +122,8 @@ def incremental_state_sink(keys: list[str], value_col: str, state_dir: str):
         merged = (
             merge_states(prev, delta, keys) if prev is not None else delta
         )
-        # Write-temp-then-rename so a reader never observes a torn
-        # snapshot: the final v= directory appears atomically (POSIX
-        # dir rename) and only with its _SUCCESS marker already
-        # inside.  A replayed batch rewrites the same version from the
-        # same predecessor, keeping the state exactly-once.
-        final = os.path.join(state_dir, f"v={batch_id}")
-        tmp = os.path.join(state_dir, f"_tmp.v={batch_id}")
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
-        # Prune.  The keep-set counts only COMMITTED snapshots — a
-        # torn/uncommitted v= dir must never occupy a KEEP_VERSIONS
-        # slot and displace a committed predecessor (worst case the
-        # only committed snapshot gets pruned and a replayed batch
-        # silently resets state from prev=None).  Uncommitted v= dirs
-        # are garbage by definition (the tmp-then-rename publish means
-        # a real snapshot appears with _SUCCESS already inside), as are
-        # _tmp.v=* dirs left by crashes of other batch ids.
-        committed = [v for v in _versions(state_dir) if _committed(state_dir, v)]
-        keep = set(sorted(committed)[-KEEP_VERSIONS:])
-        for v in _versions(state_dir):
-            if v not in keep:
-                shutil.rmtree(
-                    os.path.join(state_dir, f"v={v}"), ignore_errors=True
-                )
-        for name in os.listdir(state_dir):
-            if name.startswith("_tmp.v="):
-                shutil.rmtree(
-                    os.path.join(state_dir, name), ignore_errors=True
-                )
+        # A replayed batch rewrites the same version from the same
+        # predecessor, keeping the state exactly-once.
+        publish_snapshot(merged, state_dir, batch_id)
 
     return sink

@@ -1314,3 +1314,83 @@ def test_synth_video_corpus_both_containers(spark):
         assert frames == [
             bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
         ]
+
+
+def test_poison_blobs_dead_letter_across_all_feature_stages(spark):
+    """Review findings r6: corrupt-but-signature-valid blobs must null
+    out in EVERY feature stage, never kill the task — corrupt IDAT
+    (zlib.error), truncated GIF headers (struct.error), palette-out-
+    of-range LZW output (IndexError), hostile mp4 sample tables
+    (giant n_samples / short stsz), truncated JPEG SOF."""
+    import struct as st
+
+    # PNG: valid signature + IHDR, garbage IDAT
+    import zlib as zl
+
+    def chunk(t, d):
+        return st.pack(">I", len(d)) + t + d + st.pack(">I", zl.crc32(t + d))
+
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", b"not deflate data")
+        + chunk(b"IEND", b"")
+    )
+    short_ihdr = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00\x00")
+    media = spark.createDataFrame(
+        [(1, bytearray(bad_png)), (2, bytearray(short_ihdr))],
+        "doc_id long, blob binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.png_features(media).collect()}
+    assert out[1]["width"] is None and out[2]["width"] is None
+
+    # GIF: truncated header and a blob cut off mid-color-table
+    import pytest as _pytest
+
+    bad_gif1 = b"GIF89a\x01\x00"
+    pal4 = _encode_gif(2, 1, bytes([0, 1]), _GIF_PAL4[:4])
+    cut_gct = bytes(_encode_gif(2, 1, bytes([0, 1]), _GIF_PAL4[:4])[:14])
+    media = spark.createDataFrame(
+        [(1, bytearray(bad_gif1)), (2, bytearray(pal4)),
+         (3, bytearray(cut_gct))],
+        "doc_id long, blob binary",
+    )
+    out = {r["doc_id"]: r for r in multimodal.gif_features(media).collect()}
+    assert out[1]["width"] is None  # truncated header dead-letters
+    assert out[2]["width"] == 2  # the valid one still decodes
+    assert out[3]["width"] is None  # cut color table dead-letters
+    with _pytest.raises(ValueError, match="color table"):
+        multimodal.decode_gif(cut_gct)
+
+    # mp4: hostile n_samples and short stsz -> ValueError, bounded alloc
+    def box(t, b):
+        return st.pack(">I", 8 + len(b)) + t + b
+
+    def full(t, b):
+        return box(t, b"\x00" * 4 + b)
+
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00")
+    stsz_giant = full(b"stsz", st.pack(">II", 4, 0xFFFFFFFF))
+    stsz_short = full(b"stsz", st.pack(">II", 0, 100))  # declares 100, has 0
+    stsc = full(b"stsc", st.pack(">I", 1) + st.pack(">III", 1, 1, 1))
+    stco = full(b"stco", st.pack(">I", 0))
+    for stsz in (stsz_giant, stsz_short):
+        moov = box(
+            b"moov",
+            box(b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsz + stsc + stco)))),
+        )
+        blob = box(b"ftyp", b"isomisom") + moov
+        with _pytest.raises(ValueError):
+            multimodal.mp4_frames(blob)
+    # ...and through the feature stage they null out
+    media = spark.createDataFrame(
+        [(1, bytearray(box(b"ftyp", b"isomisom") + moov))],
+        "doc_id long, blob binary",
+    )
+    out = multimodal.video_frame_features(media).collect()[0]
+    assert out["n_frames"] is None
+
+    # JPEG: truncated SOF segment -> ValueError, not struct.error
+    trunc_sof = b"\xff\xd8\xff\xc0" + st.pack(">H", 8) + b"\x08\x00"
+    with _pytest.raises(ValueError, match="truncated"):
+        multimodal.jpeg_dimensions(trunc_sof)

@@ -105,3 +105,20 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     sink(b2, 1)  # crash-replay of batch 1
     again = sorted(r.doc_id for r in read_state(spark, state_dir).collect())
     assert once == again == [1, 2, 11]
+
+
+def test_redelivered_doc_id_not_duplicated_in_corpus(spark, tmp_path):
+    """Review finding r6: at-least-once sources can redeliver a doc in
+    a LATER batch (different batch_id, so version idempotence does not
+    apply); its identity pair is excluded from the near-dup check, so
+    without the corpus-id anti-join a unique doc would duplicate its
+    own corpus row on every redelivery."""
+    state_dir = str(tmp_path / "state")
+    sink = dedup_admission_sink(state_dir, threshold=0.5)
+    sink(spark.createDataFrame(B1, SCHEMA), 0)
+    # batch 1 redelivers doc 2 verbatim alongside a novel doc
+    redelivery = [B1[1], (20, "a brand new document about nothing seen before now")]
+    sink(spark.createDataFrame(redelivery, SCHEMA), 1)
+    rows = read_state(spark, state_dir).collect()
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == [1, 2, 20]  # doc 2 present exactly ONCE
