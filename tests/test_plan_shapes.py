@@ -101,7 +101,8 @@ def test_doc_freq_cap_is_broadcast_anti_join(spark, sf_dir, queries):
 
 def test_dedup_queries_have_no_cartesian(spark, sf_dir, queries):
     for name in ("ngram_jaccard_dedup", "minhash_lsh_dedup", "simhash_dedup",
-                 "embedding_near_dup", "ann_topk_lsh"):
+                 "embedding_near_dup", "ann_topk_lsh", "ann_join_topk",
+                 "copurchase_pagerank", "embedding_covariance"):
         plan = _plan(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} degenerates to cartesian"
 
