@@ -113,3 +113,45 @@ def test_bpe_train_property_vs_python_model(spark, texts, n):
         for r in bpe_train(docs, n_merges=n).orderBy("merge_rank").collect()
     ]
     assert got == _py_bpe(texts, n)
+
+
+def _py_encode(texts, merges):
+    out = {}
+    for i, t in enumerate(texts):
+        toks = []
+        for w in t.split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for l, r in merges:
+                merged, j = [], 0
+                while j < len(syms):
+                    if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                        merged.append(l + r)
+                        j += 2
+                    else:
+                        merged.append(syms[j])
+                        j += 1
+                syms = merged
+            toks.extend(syms)
+        out[i] = toks
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=st.lists(_WORDS.map(" ".join), min_size=1, max_size=3),
+       n=st.integers(min_value=1, max_value=4))
+def test_encode_with_merges_matches_python_model(spark, texts, n):
+    """The serving half must apply learned merges rank-by-rank exactly
+    as the reference Python encoder does — token identity AND order."""
+    texts = [t for t in texts if t.strip()] or ["ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [(m[1], m[2]) for m in _py_bpe(texts, n)]
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in encode_with_merges(docs, merges).collect()
+    }
+    want = {i: toks for i, toks in _py_encode(texts, merges).items() if toks}
+    assert got == want
