@@ -56,26 +56,47 @@ def asof_join(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    reserved = {"asof_ts", "_asof_t", "_side", "_r", "_c"}
+    bad = reserved & (set(left.columns) | set(right.columns))
+    if bad:
+        # Chained as-of joins re-feed asof_ts as a left column; the
+        # reserved-name clash must fail HERE with a clear message, not
+        # three operators later with an ambiguous-column error.
+        raise ValueError(
+            f"columns {sorted(bad)} collide with asof_join's reserved "
+            "names — rename them (e.g. alias a prior join's asof_ts) "
+            "before chaining"
+        )
 
-    # Tagged union: right rows sort before left rows at equal ts so the
-    # window's "rows so far" includes same-instant matches (inclusive
-    # bound) in backward mode; forward mode flips the sort, where
-    # left-before-right at equal ts would EXCLUDE same-instant matches,
-    # so the tag comparison flips with it.
+    from pyspark.sql.types import StructField, StructType
+
+    ts_type = right.schema[right_ts].dataType
+    r_struct = StructType(
+        [StructField("asof_ts", ts_type)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
+
+    # The right row travels as ONE struct, carried atomically by a
+    # single last(ignorenulls=True): per-column carries would mix
+    # payload fields from DIFFERENT right rows whenever the matched
+    # row holds a NULL in some payload column (the carry would skip
+    # back to an older row for just that column — chimera rows).
+    # NULL-ts right rows are dropped up front: a missing observation
+    # time matches nothing (DuckDB ASOF agrees).
     l_tagged = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("_asof_t"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("asof_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(r_struct).alias("_r"),
         *[F.col(c) for c in left.columns if c not in (*on,)],
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_asof_t"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias("asof_ts"),
-        *[F.col(c) for c in payload],
+        F.struct(
+            F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in payload]
+        ).alias("_r"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -84,25 +105,29 @@ def asof_join(
     )
     combined = l_tagged.unionByName(r_tagged)
 
+    # Ordering invariants (both directions): right(_side=0) sorts
+    # before left(_side=1) at EQUAL timestamps, so the inclusive
+    # rows-so-far window sees same-instant matches — the scan
+    # direction flips with the timestamp sort, and _side asc is the
+    # correct inclusion order in BOTH modes (do not "flip" it).
+    # NULL-ts left rows sort FIRST in both modes so no right row can
+    # precede them: they keep LEFT-join null payloads instead of
+    # absorbing whatever sorted nearby.
     if direction == "backward":
-        order = [F.col("_asof_t").asc(), F.col("_side").asc()]
+        order = [F.col("_asof_t").asc_nulls_first(), F.col("_side").asc()]
     else:
-        order = [F.col("_asof_t").desc(), F.col("_side").asc()]
+        order = [F.col("_asof_t").desc_nulls_first(), F.col("_side").asc()]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    carried = combined.select(
-        *combined.columns,
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in ("asof_ts", *payload)
-        ],
+    carried = combined.withColumn(
+        "_c", F.last("_r", ignorenulls=True).over(w)
     )
     return carried.filter(F.col("_side") == 1).select(
         *on,
         *[c for c in left.columns if c not in (*on,)],
-        *[F.col(f"_c_{c}").alias(c) for c in ("asof_ts", *payload)],
+        *[F.col(f"_c.{c}").alias(c) for c in ("asof_ts", *payload)],
     )

@@ -47,7 +47,17 @@ def interval_join(
     """
     if how not in ("inner", "left_missing"):
         raise ValueError(f"how must be 'inner' or 'left_missing', got {how!r}")
+    if bucket_width_ms <= 0:
+        # width 0 would divide to NULL buckets (silently empty/inverted
+        # results under non-ANSI), negative widths break monotonicity.
+        raise ValueError(f"bucket_width_ms must be positive, got {bucket_width_ms}")
     p = points.withColumn("_pb", _bucket(F.col(point_ms), bucket_width_ms))
+    # Empty/inverted intervals (end <= start) match nothing under the
+    # half-open predicate, but an inverted one would make sequence()
+    # count BACKWARD across the whole inversion (a corrupt epoch-0 end
+    # explodes ~1M spurious bucket rows) — drop them before exploding,
+    # same guard word_ngrams applies to its sequence().
+    intervals = intervals.filter(F.col(end_ms) > F.col(start_ms))
     i = intervals.withColumn(
         "_ib",
         F.explode(

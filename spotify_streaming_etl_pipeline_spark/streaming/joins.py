@@ -25,6 +25,7 @@ def attribution_join(
     watermark: str = "1 hour",
     key_col: str = "user_id",
     ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Purchases joined to every SAME-USER click in the preceding
     ``within`` interval (click.ts <= purchase.ts <= click.ts + within).
@@ -51,8 +52,8 @@ def attribution_join(
     )
     return p.join(c, cond, "inner").select(
         F.col(f"p.{key_col}").alias(key_col),
-        F.col("c.event_id").alias("click_id"),
-        F.col("p.event_id").alias("purchase_id"),
+        F.col(f"c.{id_col}").alias("click_id"),
+        F.col(f"p.{id_col}").alias("purchase_id"),
         F.col(f"c.{ts_col}").alias("click_ts"),
         F.col(f"p.{ts_col}").alias("purchase_ts"),
     )

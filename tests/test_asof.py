@@ -82,3 +82,60 @@ def test_bad_direction_raises(frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on=["user_id"], direction="nearest")
+
+
+def test_no_chimera_rows_when_matched_payload_is_null(spark):
+    """Review finding r6: the matched right row's payload must be
+    carried ATOMICALLY — a NULL in one payload column of the matched
+    row must not be backfilled from an older right row."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "p")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 08:00:00"), 8.0, "a"),
+            (1, _ts("2024-01-01 09:00:00"), None, "b"),  # the true match
+        ],
+        "user_id long, ts timestamp, price double, src string",
+    )
+    row = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert row.asof_ts == _ts("2024-01-01 09:00:00")
+    assert row.src == "b"
+    assert row.price is None  # NOT 8.0 leaked from the older row
+
+
+def test_null_timestamps_never_match(spark):
+    """NULL observation times compare to nothing: a NULL-ts left row
+    keeps null payload (both directions), and a NULL-ts right row is
+    never attached to anyone."""
+    left = spark.createDataFrame(
+        [(1, None, "lnull"), (1, _ts("2024-01-01 10:00:00"), "lreal")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666.0), (1, _ts("2024-01-01 09:00:00"), 9.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r.tag: r
+            for r in asof_join(
+                left, right, on=["user_id"], direction=direction
+            ).collect()
+        }
+        assert out["lnull"].price is None and out["lnull"].asof_ts is None
+        assert out["lreal"].price != 666.0
+
+
+def test_chained_asof_rejects_reserved_collision(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 09:00:00"))],
+        "user_id long, ts timestamp, asof_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 1.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on=["user_id"])

@@ -72,3 +72,29 @@ def test_no_nested_loop_in_plan(spark, sf_dir):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_interval_join_guards_degenerate_intervals(spark):
+    """Review finding r6: inverted intervals must not fan out a
+    backward-counting sequence (a corrupt epoch-0 end would explode
+    ~1M spurious bucket rows per bad row), and a non-positive bucket
+    width must raise instead of silently matching nothing."""
+    import pytest as _pytest
+
+    from spotify_streaming_etl_pipeline_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    points = spark.createDataFrame([(1, 5_000_000)], "pid long, t long")
+    ivals = spark.createDataFrame(
+        [
+            (10, 4_000_000, 6_000_000),   # valid: contains the point
+            (11, 6_000_000, 6_000_000),   # empty: matches nothing
+            (12, 9_000_000, 0),           # inverted: must not explode
+        ],
+        "iid long, s long, e long",
+    )
+    out = interval_join(points, ivals, "t", "s", "e", 1_800_000)
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 10)]
+    with _pytest.raises(ValueError, match="bucket_width_ms"):
+        interval_join(points, ivals, "t", "s", "e", 0)
