@@ -24,13 +24,15 @@ from .text import portable_hash48
 
 def quality_cutoff(
     scored: DataFrame, score_col: str = "quality_score", quantile: float = 0.25
-) -> float:
-    """Exact interpolated percentile of the score distribution.
+) -> float | None:
+    """Exact interpolated percentile of the score distribution, or
+    None when the distribution is empty (no rows, or all scores NULL)
+    — an empty partition/day must not crash the caller.
     (Scale path: F.approx_percentile — one pass, mergeable sketch.)"""
     row = scored.agg(
         F.percentile(F.col(score_col), F.lit(quantile)).alias("q")
     ).collect()[0]
-    return float(row["q"])
+    return float(row["q"]) if row["q"] is not None else None
 
 
 def quality_filter(
@@ -39,8 +41,12 @@ def quality_filter(
     quantile: float = 0.25,
 ) -> DataFrame:
     """Keep documents at or above the ``quantile`` cutoff of the score
-    distribution (ties at the cutoff are kept on both engines)."""
+    distribution (ties at the cutoff are kept on both engines).  An
+    empty/all-NULL score distribution certifies nothing: the result is
+    empty, not a crash."""
     cut = quality_cutoff(scored, score_col, quantile)
+    if cut is None:
+        return scored.filter(F.lit(False))
     return scored.filter(F.col(score_col) >= F.lit(cut))
 
 
@@ -138,21 +144,33 @@ def corpus_diff(
     the join moves 16-byte rows. Unchanged docs are dropped from the
     output (churn-sized, not corpus-sized). Output: (id, status in
     added|removed|changed, old_hash, new_hash)."""
+    # Presence is tracked by explicit flags, NOT by hash nullity: a doc
+    # whose text is NULL hashes to NULL, and inferring presence from
+    # the hash would misreport it as added/removed while it exists on
+    # both sides.  "changed" uses null-safe inequality for the same
+    # reason (NULL -> 'x' IS a change; NULL -> NULL is not).
     oh = old.select(
-        F.col(id_col), portable_hash48(F.col(text_col)).alias("old_hash")
+        F.col(id_col),
+        portable_hash48(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
     )
     nh = new.select(
-        F.col(id_col), portable_hash48(F.col(text_col)).alias("new_hash")
+        F.col(id_col),
+        portable_hash48(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
     )
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("changed")
+        )
     )
     return (
         oh.join(nh, id_col, "full_outer")
         .withColumn("status", status)
         .filter(F.col("status").isNotNull())
+        .drop("_in_old", "_in_new")
     )
 
 

@@ -3,51 +3,64 @@
 Two more curation stages a training-data pipeline runs at scale:
 
 - ``contamination_check``: flag corpus documents sharing >= ``min_hits``
-  word n-grams with ANY document of a benchmark/eval set. Same
-  inverted-index shape as the dedup family: both sides explode to
-  48-bit shingle postings, equi-join on the shingle hash, count hits
-  per (corpus doc, benchmark doc). The benchmark side is tiny, so its
-  posting list broadcasts — the corpus is never shuffled.
+  word n-grams with ANY document of a benchmark/eval set.  The corpus
+  TEXT never shuffles: grams assemble array-natively per row (narrow),
+  the tiny benchmark posting broadcasts, and the only corpus-sized
+  shuffle is the per-(doc, bench) reduction of MATCHED postings — rows
+  that survived the broadcast join, typically a sliver of the corpus.
 - ``repetition_stats``: Gopher-style intra-document repetition — the
   fraction of duplicated n-grams within each document
-  (1 - distinct/total). High values indicate boilerplate/spam; the
-  computation is one pass of window n-gram assembly + one groupBy.
+  (1 - distinct/total).  Entirely NARROW: grams, counts, and the ratio
+  are per-row array expressions, no explode, no shuffle, no window —
+  the shape you want for a 100 TB per-document quality column.
+
+Gram identity is shared with the dedup family: words joined by '|',
+hashed with the portable 48-bit md5 — the exact construction
+``dedup._posting`` uses, so contamination/dedup/repetition agree on
+what an n-gram is.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import portable_hash48
 
 
-def _all_gram_hashes(df: DataFrame, text_col: str, n: int) -> DataFrame:
-    """(doc_id, h) for EVERY n-gram occurrence (not distinct) —
-    repetition needs multiplicity; see dedup._posting for the distinct
-    variant and the plan rationale (window + codegen md5)."""
+def _gram_hash_array(text_col: str, n: int) -> Column:
+    """Per-row array of 48-bit n-gram hashes (every occurrence, not
+    distinct — repetition needs multiplicity).  Array-native: no
+    explode/window, so gram assembly is narrow.  Docs with fewer than
+    ``n`` tokens yield an empty array (sequence() would otherwise
+    count backward — the word_ngrams guard)."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    words = df.select("doc_id", F.posexplode(toks).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("word")] + [F.lead("word", j).over(w) for j in range(1, n)]
-    return words.select(
-        "doc_id",
-        F.when(
-            leads[-1].isNotNull(), portable_hash48(F.concat_ws("|", *leads))
-        ).alias("h"),
-    ).filter(F.col("h").isNotNull())
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: portable_hash48(F.concat_ws("|", F.slice(toks, i, n)))
+    )
 
 
 def repetition_stats(
     df: DataFrame, text_col: str = "text", n: int = 2
 ) -> DataFrame:
     """Per-doc (n_grams, n_distinct, dup_ratio rounded to 4): the
-    duplicated-n-gram fraction quality signal."""
-    grams = _all_gram_hashes(df, text_col, n)
-    return grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.countDistinct("h").alias("n_distinct"),
-        F.round(1 - F.countDistinct("h") / F.count(F.lit(1)), 4).alias("dup_ratio"),
+    duplicated-n-gram fraction quality signal.  EVERY input doc gets a
+    row — documents too short to have any n-gram report n_grams=0 with
+    a NULL ratio (undefined), instead of silently vanishing from the
+    stats (which would corrupt joins and coverage counts downstream)."""
+    grams = _gram_hash_array(text_col, n)
+    n_grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    return df.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.when(
+            n_grams > 0, F.round(1 - n_distinct / n_grams, 4)
+        ).alias("dup_ratio"),
     )
 
 
@@ -59,19 +72,26 @@ def contamination_check(
     min_hits: int = 10,
 ) -> DataFrame:
     """Corpus docs overlapping a benchmark set: (doc_id, bench_id,
-    n_hits) for pairs sharing >= min_hits distinct n-grams."""
-    c = (
-        _all_gram_hashes(corpus, text_col, n)
-        .dropDuplicates(["doc_id", "h"])
+    n_hits) for pairs sharing >= min_hits DISTINCT n-grams.
+
+    The corpus posting is NOT pre-deduplicated (that would shuffle the
+    whole corpus posting before the join); instead the broadcast join
+    runs on every occurrence and the per-pair aggregate counts
+    DISTINCT shared hashes — same result, and the only shuffle carries
+    matched rows."""
+    c = corpus.select(
+        "doc_id", F.explode(_gram_hash_array(text_col, n)).alias("h")
     )
     b = (
-        _all_gram_hashes(benchmark, text_col, n)
-        .dropDuplicates(["doc_id", "h"])
-        .select(F.col("doc_id").alias("bench_id"), "h")
+        benchmark.select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(_gram_hash_array(text_col, n)).alias("h"),
+        )
+        .dropDuplicates(["bench_id", "h"])
     )
     return (
         c.join(F.broadcast(b), "h")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.countDistinct("h").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )

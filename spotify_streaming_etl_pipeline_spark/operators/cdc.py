@@ -55,8 +55,28 @@ def apply_cdc(
 
     ``changes`` must carry every base column plus ``op_col`` and
     ``seq_col``. Payload columns are taken wholesale from the change
-    row (full-row images, the Debezium-style contract)."""
+    row (full-row images, the Debezium-style contract).
+
+    Ops outside {I, U, D} — lowercase 'd', 'delete', connector enums —
+    FAIL the job via a per-row assert instead of being silently
+    applied as upserts (a lowercase-'d' feed would otherwise
+    materialize every delete as an update and the snapshot would
+    diverge without any signal)."""
     payload = [c for c in base.columns if c not in key_cols]
+    # The guard is woven INTO the op column (a pruned side-channel
+    # assert column would be optimized away and never evaluate).
+    changes = changes.withColumn(
+        op_col,
+        F.when(F.col(op_col).isin(*OPS), F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"apply_cdc: invalid {op_col}="),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                    F.lit(" (expected one of I/U/D)"),
+                )
+            )
+        ),
+    )
     last = latest_changes(changes, key_cols, seq_col)
     joined = base.alias("b").join(
         last.alias("c"), on=key_cols, how="full_outer"

@@ -38,22 +38,33 @@ def salted_agg(
     keys: list[str],
     sums: list[str] | None = None,
     count_alias: str | None = "n",
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
     n_salts: int = DEFAULT_SALTS,
 ) -> DataFrame:
-    """Two-phase skew-safe aggregation: per-key counts and sums."""
-    sums = sums or []
+    """Two-phase skew-safe aggregation: per-key counts, sums, mins,
+    maxs (every algebraic aggregate decomposes as agg-of-partials:
+    sum-of-sums, min-of-mins, max-of-maxes)."""
+    sums, mins, maxs = sums or [], mins or [], maxs or []
+    if not (count_alias or sums or mins or maxs):
+        raise ValueError("salted_agg needs at least one aggregate "
+                         "(count_alias, sums, mins, or maxs)")
     phase1 = (
         df.withColumn("_salt", _salt(n_salts))
         .groupBy(*keys, "_salt")
         .agg(
             F.count(F.lit(1)).alias("_cnt"),
             *[F.sum(c).alias(f"_sum_{c}") for c in sums],
+            *[F.min(c).alias(f"_min_{c}") for c in mins],
+            *[F.max(c).alias(f"_max_{c}") for c in maxs],
         )
     )
     aggs = []
     if count_alias:
         aggs.append(F.sum("_cnt").alias(count_alias))
     aggs.extend(F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sums)
+    aggs.extend(F.min(f"_min_{c}").alias(f"min_{c}") for c in mins)
+    aggs.extend(F.max(f"_max_{c}").alias(f"max_{c}") for c in maxs)
     return phase1.groupBy(*keys).agg(*aggs)
 
 
@@ -65,7 +76,20 @@ def salted_join(
     n_salts: int = DEFAULT_SALTS,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
-    across all salts (small grows n_salts-fold — keep it dim-sized)."""
+    across all salts (small grows n_salts-fold — keep it dim-sized).
+
+    Only big-side-preserving joins are valid: the replicated small
+    side would emit its unmatched rows once PER SALT, so
+    'right'/'full' joins would return n_salts-fold duplicate
+    null-padded rows — rejected here rather than silently corrupt."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"(inner/left/left_semi/left_anti); got {how!r} — a "
+            f"small-side-preserving join over the replicated small side "
+            f"would duplicate its unmatched rows n_salts-fold"
+        )
     salts = small.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )

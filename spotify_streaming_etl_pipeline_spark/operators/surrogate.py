@@ -44,10 +44,16 @@ def with_surrogate_key_distributed(
     single-partition sort: range-partition on the key so partition i
     holds a contiguous key range, rank within each partition, then add
     per-partition offsets (cumulative counts — one tiny collect, one
-    broadcast join). Every stage is fully parallel; the only
-    whole-dataset pass is the range shuffle, which any global ordering
-    needs. Deterministic whenever ``order_by`` is a unique key — the
-    same precondition the global-sort form has.
+    broadcast join). Every stage is fully parallel and no stage sorts
+    more than one partition's rows. Honest shuffle accounting: TWO
+    whole-dataset exchanges — the range shuffle any global ordering
+    needs, plus a hash re-shuffle on the partition id for the windowed
+    numbering (range partitioning does not satisfy the window's
+    clustering requirement, and Spark cannot be told rows are already
+    grouped by their own partition id) — trading 2x-rows shuffle
+    volume for the removal of the one-reducer sort bottleneck.
+    Deterministic whenever ``order_by`` is a unique key — the same
+    precondition the global-sort form has.
 
     The ranged table is localCheckpoint-ed to pin partition identity:
     the counting pass and the numbering pass must see the same

@@ -687,12 +687,14 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
         SELECT doc_id,
                list_transform(range(1, len(w)), i -> w[i] || '|' || w[i+1]) AS gs
-        FROM toks WHERE len(w) >= 2
+        FROM toks
     )
     SELECT doc_id,
            cast(len(gs) AS BIGINT) AS n_grams,
            cast(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
-           round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4) AS dup_ratio
+           CASE WHEN len(gs) > 0
+                THEN round(1 - len(list_distinct(gs))::DOUBLE / len(gs), 4)
+           END AS dup_ratio
     FROM g
     """,
 )
@@ -908,12 +910,13 @@ def document_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 11 != 0
     )
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.old_hash IS NULL THEN 'added'
-                WHEN n.new_hash IS NULL THEN 'removed'
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
                 ELSE 'changed' END AS status,
            o.old_hash, n.new_hash
     FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
-    WHERE o.old_hash IS NULL OR n.new_hash IS NULL OR o.old_hash != n.new_hash
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.old_hash IS DISTINCT FROM n.new_hash
     """,
 )
 def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,3 +84,20 @@ def test_single_feed_shuffle_one_join(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan
     # one Window operator (WindowGroupLimit is its pushdown helper)
     assert plan.count("Window [") == 1, plan
+
+
+def test_apply_cdc_rejects_unknown_ops(spark):
+    """Review finding r6: a lowercase-'d' (Debezium-style) feed must
+    FAIL loudly, not silently materialize deletes as upserts."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from spotify_streaming_etl_pipeline_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    bad = spark.createDataFrame(
+        [(1, "d", 1, 2.0)], "k long, op string, seq long, v double"
+    )
+    with pytest.raises(Exception) as exc:
+        apply_cdc(base, bad, ["k"], "seq").collect()
+    assert "invalid op" in str(exc.value)

@@ -1394,3 +1394,53 @@ def test_poison_blobs_dead_letter_across_all_feature_stages(spark):
     trunc_sof = b"\xff\xd8\xff\xc0" + st.pack(">H", 8) + b"\x08\x00"
     with _pytest.raises(ValueError, match="truncated"):
         multimodal.jpeg_dimensions(trunc_sof)
+
+
+def test_corpus_diff_null_text_is_presence_not_status(spark):
+    """Review finding r6: NULL text must not masquerade as a missing
+    document — presence comes from the join side, not hash nullity."""
+    from spotify_streaming_etl_pipeline_spark.llm.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now present"), (2, None), (4, "added")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out[1] == "changed"   # NULL -> text IS a change
+    assert 2 not in out          # NULL -> NULL is unchanged
+    assert out[3] == "removed"
+    assert out[4] == "added"
+
+
+def test_quality_filter_empty_and_all_null_scores(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import (
+        quality_cutoff,
+        quality_filter,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, quality_score double")
+    assert quality_cutoff(empty) is None
+    assert quality_filter(empty).count() == 0
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, quality_score double"
+    )
+    assert quality_filter(nulls).count() == 0
+
+
+def test_repetition_stats_covers_short_docs(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.decontam import (
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "a a a a")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert set(out) == {1, 2, 3}  # every doc gets a row
+    assert out[1]["n_grams"] == 0 and out[1]["dup_ratio"] is None
+    assert out[2]["n_grams"] == 0
+    assert out[3]["n_grams"] == 3 and out[3]["n_distinct"] == 1
+    assert abs(out[3]["dup_ratio"] - 0.6667) < 1e-9

@@ -289,3 +289,40 @@ def test_arrow_assignment_agrees_with_relational(spark, sf_dir):
                                   n_probe=2).collect())
     )
     assert arr == rel
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """Review finding r6: a 'full'/'right' join over the replicated
+    small side would emit its unmatched rows once PER SALT — reject
+    instead of silently corrupting."""
+    import pytest
+
+    big = _skewed(spark)
+    small = spark.createDataFrame([("hot", "H")], "k: string, tag: string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="preserving"):
+            salted_join(big, small, ["k"], how=how)
+    # left join stays valid: big-side rows are never replicated
+    n_plain = big.join(small, ["k"], "left").count()
+    assert salted_join(big, small, ["k"], how="left").count() == n_plain
+
+
+def test_salted_agg_min_max_and_empty_aggs(spark):
+    import pytest
+
+    df = _skewed(spark)
+    plain = {
+        r["k"]: (r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["min_v"], r["max_v"])
+        for r in salted_agg(
+            df, ["k"], count_alias=None, mins=["v"], maxs=["v"]
+        ).collect()
+    }
+    assert salted == plain
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        salted_agg(df, ["k"], count_alias=None)
