@@ -47,7 +47,16 @@ def fuzzy_pairs(
     return (
         a.join(b, "blk")
         .filter(F.col("name_a") < F.col("name_b"))
-        .withColumn("distance", F.levenshtein("name_a", "name_b").cast("long"))
-        .filter(F.col("distance") <= max_distance)
+        # bounded levenshtein (Spark 3.5+): the DP early-terminates
+        # once the distance exceeds the threshold (returns -1), so
+        # in-block compares don't pay full O(len_a x len_b) on pairs
+        # that blow past the bound in the first rows.
+        .withColumn(
+            "distance",
+            F.levenshtein(
+                F.col("name_a"), F.col("name_b"), max_distance
+            ).cast("long"),
+        )
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= max_distance))
         .select("name_a", "name_b", "distance")
     )

@@ -38,6 +38,25 @@ def parquet_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
+def _recover_compaction_residue(parent: str, base: str, path: str) -> None:
+    """Crash recovery, run at the START of every compaction: the
+    two-rename swap can die (a) after the rewrite with ``.compact_tmp``
+    residue, (b) between the renames with the live dir ABSENT and the
+    data under ``.compact_old`` — reads would silently omit the
+    partition and a naive re-run would see 0 files and return early —
+    or (c) after promotion with stale ``.compact_old``.  Restore the
+    old dir when the live one is missing; otherwise clear residue."""
+    safe = base.replace("=", "-")
+    tmp = os.path.join(parent, f".compact_tmp_{safe}")
+    old = os.path.join(parent, f".compact_old_{safe}")
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)  # case (b): promote the retired copy back
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # case (c): swap completed, retire for real
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # case (a): unpromoted rewrite is garbage
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -64,12 +83,25 @@ def compact_parquet(
     removed — a crash between the renames leaves the data recoverable
     under ``.compact_old_*`` rather than half-deleted.
     """
+    parent, base = os.path.split(os.path.normpath(path))
+    _recover_compaction_residue(parent, base, path)
+    if any(
+        "=" in e and os.path.isdir(os.path.join(path, e))
+        for e in os.listdir(path)
+    ):
+        # Compacting a NON-leaf dir would flatten the nested partition
+        # layout (the rewrite reads partition columns as data and
+        # writes them as physical columns without dirs), after which
+        # the table root fails with conflicting directory structures.
+        raise ValueError(
+            f"{path} contains partition subdirectories — compact its "
+            "leaf partition dirs (compact_partitioned recurses to them)"
+        )
     n_files, total_bytes = parquet_file_stats(path)
     n_target = max(1, -(-total_bytes // target_file_bytes))  # ceil
     if n_files < min_files_to_compact or n_files <= n_target:
         return n_files
     df = spark.read.parquet(path)
-    parent, base = os.path.split(os.path.normpath(path))
     # Dot-prefixed AND '='-free: Spark keeps '_'-prefixed dirs whose
     # name contains '=' (that's how `_year=2021` partitions survive),
     # so a tmp name derived from a leaf dir must strip the '=' or it

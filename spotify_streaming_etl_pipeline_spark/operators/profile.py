@@ -42,24 +42,36 @@ def profile_table(
     # HashAggregate and the pair runs in ~1 s; the extra column-pruned
     # scan is bandwidth-cheap at any scale, a sort of expanded data is
     # not.
+    # Backtick-quoted resolution gets the EXACT column name — a bare
+    # string through F.count("a.b") parses the dot as a struct access.
+    def xc(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in cols:
         aggs += [
-            F.count(c).alias(f"_nn_{c}"),  # count(col) skips nulls
-            F.min(c).cast("string").alias(f"_mn_{c}"),
-            F.max(c).cast("string").alias(f"_mx_{c}"),
+            F.count(xc(c)).alias(f"_nn_{c}"),  # count(col) skips nulls
+            F.min(xc(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(xc(c)).cast("string").alias(f"_mx_{c}"),
         ]
-    dist = df.agg(*[distinct_of(c).alias(f"_nd_{c}") for c in cols])
+    dist = df.agg(*[distinct_of(xc(c)).alias(f"_nd_{c}") for c in cols])
     wide = df.agg(*aggs).crossJoin(F.broadcast(dist))
     # stack(n, lit(name), metrics..., ...) unpivots the 1-row frame.
+    # Generated identifiers are backtick-quoted (and the name literal
+    # quote-escaped): columns with spaces/dots/hyphens/quotes must
+    # profile, not crash the expr parser.
+    def bq(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     parts = []
     for c in cols:
+        lit_name = c.replace("\\", "\\\\").replace("'", "\\'")
         parts += [
-            f"'{c}'",
-            f"_nn_{c}",
-            f"_nd_{c}",
-            f"_mn_{c}",
-            f"_mx_{c}",
+            f"'{lit_name}'",
+            bq(f"_nn_{c}"),
+            bq(f"_nd_{c}"),
+            bq(f"_mn_{c}"),
+            bq(f"_mx_{c}"),
         ]
     stacked = wide.select(
         F.col("_rows"),
@@ -100,6 +112,18 @@ def equidepth_histogram(
     The naive ``ntile`` formulation globally sorts the table through
     ONE task; this shape never does.
     """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # NULLs are excluded: percentile ignores them for the cutoffs, so
+    # counting them in a bucket (they'd land in a spurious bucket=NULL
+    # row via three-valued comparisons) would break depth accounting.
+    df = df.filter(F.col(value_col).isNotNull())
+    if n_buckets == 1:
+        return df.groupBy(F.lit(0).cast("long").alias("bucket")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(value_col).alias("min_val"),
+            F.max(value_col).alias("max_val"),
+        )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     pfn = F.percentile if exact else F.approx_percentile
     cuts_row = df.agg(

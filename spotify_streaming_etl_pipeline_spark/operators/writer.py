@@ -91,5 +91,7 @@ def upsert(incoming: DataFrame, keys: list[str], target: DataFrame | None) -> Da
     incoming = incoming.dropDuplicates(keys)
     if target is None:
         return incoming
-    kept = target.join(incoming.select(*keys).distinct(), keys, "left_anti")
+    # incoming is already key-unique (dropDuplicates above); a further
+    # .distinct() would plan a second full aggregate for nothing.
+    kept = target.join(incoming.select(*keys), keys, "left_anti")
     return kept.unionByName(incoming, allowMissingColumns=False)

@@ -55,14 +55,28 @@ def _overwrite_parquet_safe(df: DataFrame, path: str) -> None:
     snapshot to a sibling temp dir first, then swap. A plain
     mode('overwrite') deletes the input files before the plan has read
     them -> FAILED_READ_FILE. With a table format (Delta/Iceberg) the
-    transaction log makes this dance unnecessary."""
+    transaction log makes this dance unnecessary.
+
+    The swap renames the current dir ASIDE before promoting the new one
+    (the compact_parquet shape) — rmtree-then-rename would leave NO
+    table at all on a crash between the two, and the next run would
+    silently treat the table as empty. Crash residue recovers on the
+    next call: a missing live dir restores from the retired copy."""
     import shutil
 
-    tmp = f"{path}__tmp_swap"
+    parent, base = os.path.split(os.path.normpath(path))
+    tmp = os.path.join(parent, f".swap_tmp_{base}")
+    old = os.path.join(parent, f".swap_old_{base}")
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.rename(old, path)  # crashed between the renames: restore
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     df.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     # Spark's shared FileStatusCache still holds the old listing for
     # this path; invalidate it or later reads hit deleted part files.
     df.sparkSession.catalog.refreshByPath(path)

@@ -82,3 +82,37 @@ def test_equidepth_histogram_no_global_sort(spark, sf_dir):
         .toString()
     )
     assert "Exchange rangepartitioning" not in plan, plan  # no ntile sort
+
+
+def test_profile_handles_awkward_column_names(spark):
+    """Review finding r6: columns with spaces/dots/quotes must profile
+    (generated stack() identifiers are backtick-quoted)."""
+    from spotify_streaming_etl_pipeline_spark.operators.profile import (
+        profile_table,
+    )
+
+    df = spark.range(3).selectExpr(
+        "id as `track name`", "id as `a.b`", "id as `it's`"
+    )
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"track name", "a.b", "it's"}
+    assert rows["a.b"]["n_distinct"] == 3
+
+
+def test_equidepth_guards_and_null_exclusion(spark):
+    import pytest
+
+    from spotify_streaming_etl_pipeline_spark.operators.profile import (
+        equidepth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(8)] + [(None,)] * 3, "v double"
+    )
+    out = equidepth_histogram(df, "v", n_buckets=2).collect()
+    assert sorted(r["bucket"] for r in out) == [0, 1]  # no NULL bucket
+    assert sum(r["n"] for r in out) == 8  # nulls excluded from depths
+    one = equidepth_histogram(df, "v", n_buckets=1).collect()
+    assert len(one) == 1 and one[0]["n"] == 8
+    with pytest.raises(ValueError, match="n_buckets"):
+        equidepth_histogram(df, "v", n_buckets=0)
