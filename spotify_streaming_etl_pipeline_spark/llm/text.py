@@ -37,7 +37,12 @@ def portable_hash48(c: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization as an array column (empty strings out)."""
+    """SINGLE-SPACE tokenization as an array column (empty strings
+    out) — the corpus contract this engine and every DuckDB oracle
+    share (``string_split(text, ' ')``).  Real-world text with tabs/
+    newlines wants a ``\\s+`` regex split; change it HERE and in every
+    oracle together, or token counts, shingles, postings, and vocab
+    tables silently disagree across the registry."""
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
@@ -209,7 +214,10 @@ def fingerprint_table(
         .groupBy("doc_id")
         .agg(F.min("h").alias("fingerprint"))
     )
-    short_docs = df.filter(F.length(c) < window).select(
+    # NULL text rides the short branch (NULL length fails BOTH length
+    # predicates, which would silently drop the doc): it keeps its row
+    # with a NULL fingerprint, exactly like doc_fingerprint.
+    short_docs = df.filter((F.length(c) < window) | c.isNull()).select(
         "doc_id", portable_hash48(c).alias("fingerprint")
     )
     return long_docs.unionByName(short_docs)

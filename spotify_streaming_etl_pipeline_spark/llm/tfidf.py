@@ -63,7 +63,7 @@ def tfidf_cosine_pairs(
     retained (df-capped) token space: cosine > 0 requires a shared
     token, so the posting self-join misses nothing a positive
     threshold can accept."""
-    posting = tfidf_posting(df, text_col, max_doc_freq).persist()
+    posting = tfidf_posting(df, text_col, max_doc_freq).persist()  # released by bench's per-query clearCache; long-lived callers unpersist
     norms = posting.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

@@ -124,7 +124,10 @@ def _process_batch(
             if e.http_status == 400:
                 # Bad batch: split into per-item retries
                 # (extractor.py:205-211, 267-301).
-                _retry_individually(batch, fetch, entity_type, out)
+                _retry_individually(
+                    batch, fetch, entity_type, out,
+                    retry_limit=retry_limit, sleeper=sleeper,
+                )
                 return
             raise  # auth/server errors must surface (extractor.py:213-215)
         data_key = next(iter(envelope))
@@ -151,15 +154,38 @@ def _retry_individually(
     fetch: Callable[[list[str]], dict],
     entity_type: str,
     out: FetchResult,
+    retry_limit: int = 2,
+    sleeper: Callable[[float], None] = time.sleep,
 ) -> None:
     for uri in batch:
-        try:
-            envelope = fetch([uri])
-        except ApiError as e:
-            if e.http_status == 400:
-                out.failures.append((uri, entity_type, "Invalid URI"))
-                continue
-            raise
+        retries = 0
+        envelope = None
+        while True:
+            try:
+                envelope = fetch([uri])
+                break
+            except ApiError as e:
+                if e.http_status == 429:
+                    # Per-item fetching multiplies the request count, so
+                    # mid-loop rate limits are LIKELY — honor Retry-After
+                    # like the batch path instead of aborting the run and
+                    # discarding everything accumulated so far; a spent
+                    # budget quarantines the item, mirroring the batch
+                    # path's exhaustion behavior.
+                    if retries >= retry_limit:
+                        out.failures.append(
+                            (uri, entity_type, "Rate limited")
+                        )
+                        break
+                    sleeper(e.retry_after if e.retry_after is not None else 60)
+                    retries += 1
+                    continue
+                if e.http_status == 400:
+                    out.failures.append((uri, entity_type, "Invalid URI"))
+                    break
+                raise
+        if envelope is None:
+            continue
         data_key = next(iter(envelope))
         items = [i for i in envelope[data_key] if i is not None]
         if items:

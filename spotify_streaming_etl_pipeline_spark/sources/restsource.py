@@ -62,6 +62,7 @@ class RestEnrichmentReader(DataSourceReader):
         self.fetch_path = options["fetch"]
         self.per_partition = int(options.get("uris_per_partition", "200"))
         self.batch_size = int(options.get("batch_size", str(BATCH_SIZE)))
+        self.retry_limit = int(options.get("retry_limit", "2"))
 
     def partitions(self) -> list[UriChunk]:
         step = max(1, self.per_partition)
@@ -77,6 +78,7 @@ class RestEnrichmentReader(DataSourceReader):
             fetch,
             self.entity,
             batch_size=self.batch_size,
+            retry_limit=self.retry_limit,
         )
         for uri, payload in result.records:
             yield (uri, json.dumps(payload, sort_keys=True), None)
@@ -124,6 +126,7 @@ class RestEnrichmentStreamReader(SimpleDataSourceStreamReader):
         self.fetch_path = options["fetch"]
         self.per_batch = int(options.get("uris_per_batch", "100"))
         self.batch_size = int(options.get("batch_size", str(BATCH_SIZE)))
+        self.retry_limit = int(options.get("retry_limit", "2"))
 
     def initialOffset(self) -> dict:
         return {"index": 0}
@@ -131,7 +134,8 @@ class RestEnrichmentStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int):
         fetch = _resolve_fetch(self.fetch_path)
         result = fetch_in_batches(
-            self.uris[lo:hi], fetch, self.entity, batch_size=self.batch_size
+            self.uris[lo:hi], fetch, self.entity,
+            batch_size=self.batch_size, retry_limit=self.retry_limit,
         )
         for uri, payload in result.records:
             yield (uri, json.dumps(payload, sort_keys=True), None)

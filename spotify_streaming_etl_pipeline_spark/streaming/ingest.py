@@ -41,7 +41,12 @@ def read_history_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.json(path)
-    return raw.withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ssX"))
+    # batch parity (sources/history.py read_history): rows whose ts
+    # fails to parse are dropped HERE, not smuggled downstream as
+    # NULL-keyed fact rows the batch path would never produce.
+    return raw.withColumn(
+        "ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ssX")
+    ).filter(F.col("ts").isNotNull())
 
 
 def hourly_platform_counts(
@@ -124,15 +129,22 @@ def start_fact_tracks_ingest(
 
     ``available_now=True`` drains all currently-visible files and stops
     (the batch-parity mode used by tests and backfills); False runs
-    continuously. Restarts resume from the checkpoint, so each input
-    file contributes exactly once — the streaming replacement for the
-    reference's delta predicate.
+    continuously. Restarts resume from the checkpoint — and because
+    foreachBatch is AT-LEAST-once (a crash between the parquet append
+    and the checkpoint commit replays the batch), the append itself is
+    the conflict-ignore idempotent writer keyed on the play's natural
+    key: a replayed batch anti-joins away the rows its first attempt
+    already landed, upgrading the end-to-end contract to exactly-once.
     """
+    from ..operators.writer import idempotent_append
+
     stream = read_history_stream(spark, raw_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         fact = build_fact_tracks(batch_df, dim_track, dim_artist, dim_reason)
-        fact.write.mode("append").parquet(fact_path)
+        idempotent_append(
+            fact, ["ts_msk", "track_fk"], fact_path, spark=spark
+        )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

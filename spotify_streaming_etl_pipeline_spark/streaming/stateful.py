@@ -146,8 +146,12 @@ def dedup_stream_tws(
     protobuf; here it skips with this reason.
 
     State per key is one boolean ValueState with
-    ``ttlDurationMs = ttl_minutes`` — expiry re-admits a later
-    duplicate exactly like the legacy form's timeout."""
+    ``ttlDurationMs = ttl_minutes``; every sighting — including a
+    dropped duplicate — re-``update``s the state, because TTL in this
+    API is measured from the last update: without the refresh a key
+    seen at t=0 and t=55min would expire at t=60 and re-admit a t=70
+    duplicate that the legacy form (which resets its timeout on every
+    sighting) still drops."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -163,6 +167,9 @@ def dedup_stream_tws(
 
         def handleInputRows(self, key, rows, timer_values):
             if self._seen.exists():
+                # refresh the TTL on the duplicate sighting (parity
+                # with the legacy form's per-sighting timeout reset)
+                self._seen.update((True,))
                 for _ in rows:
                     pass
                 return

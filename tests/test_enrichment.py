@@ -149,3 +149,35 @@ def test_enrich_partitions_distributed_split(spark):
     bad = {(r["uri"], r["status"]) for r in out.filter("status != 'ok'").collect()}
     assert ok == {"u1", "u2"}
     assert bad == {("u3bad", "API returned null")}
+
+
+def test_per_item_retry_honors_rate_limit(spark):
+    """Review finding r6: a 429 during per-item (post-400-split)
+    fetches must sleep and retry like the batch path — and quarantine
+    on a spent budget — not abort the whole enrichment run."""
+    from spotify_streaming_etl_pipeline_spark.sources.enrichment import (
+        ApiError,
+        fetch_in_batches,
+    )
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def fetch(batch):
+        calls["n"] += 1
+        if len(batch) > 1:
+            raise ApiError(400)  # force the per-item split
+        uri = batch[0]
+        if uri == "u1" and calls["n"] < 4:
+            raise ApiError(429, retry_after=7)
+        if uri == "u2":
+            raise ApiError(429, retry_after=1)  # never recovers
+        return {"items": [{"uri": uri, "name": uri.upper()}]}
+
+    out = fetch_in_batches(
+        ["u1", "u2"], fetch, "artists", batch_size=2,
+        sleeper=sleeps.append,
+    )
+    assert [u for u, _ in out.records] == ["u1"]
+    assert 7 in sleeps  # Retry-After honored
+    assert ("u2", "artists", "Rate limited") in out.failures

@@ -1444,3 +1444,20 @@ def test_repetition_stats_covers_short_docs(spark):
     assert out[2]["n_grams"] == 0
     assert out[3]["n_grams"] == 3 and out[3]["n_distinct"] == 1
     assert abs(out[3]["dup_ratio"] - 0.6667) < 1e-9
+
+
+def test_fingerprint_table_keeps_null_text_docs(spark):
+    """Review finding r6: NULL-text docs must keep their row (NULL
+    fingerprint, like doc_fingerprint), not vanish from the table."""
+    from spotify_streaming_etl_pipeline_spark.llm.text import (
+        fingerprint_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a long enough document for real window hashing here"),
+         (2, None), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprint_table(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] is None and out[1] is not None and out[3] is not None

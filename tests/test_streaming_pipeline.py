@@ -411,3 +411,38 @@ def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(got) == [(1,), (2,), (3,)]
+
+
+def test_fact_ingest_batch_replay_is_idempotent(spark, raw_dir, tmp_path):
+    """Review finding r6: foreachBatch is at-least-once — a crash
+    between the parquet append and the checkpoint commit replays the
+    batch, so the append must be the conflict-ignore writer (replay
+    lands zero new rows), not a blind append (which doubled them).
+    Simulated by deleting the checkpoint after a drain: the restarted
+    query reprocesses every file as a fresh batch."""
+    import shutil
+
+    wh = tmp_path / "replay_wh"
+    dims = pipeline.run(
+        spark, str(raw_dir), str(tmp_path / "seed_wh2"), fetchers=_fake_fetchers()
+    ).dims
+
+    def drain(ckpt):
+        q = start_fact_tracks_ingest(
+            spark,
+            str(raw_dir),
+            str(wh / "fact_tracks"),
+            dims["track"],
+            dims["artist"],
+            dims["reason"],
+            checkpoint_dir=str(wh / ckpt),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    drain("_ckpt_a")
+    n_once = spark.read.parquet(str(wh / "fact_tracks")).count()
+    assert n_once == 3
+    # crash-replay simulation: fresh checkpoint -> every batch re-runs
+    drain("_ckpt_b")
+    assert spark.read.parquet(str(wh / "fact_tracks")).count() == n_once
