@@ -231,6 +231,76 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRI_MIN_SUPPORT = 2
 
+# Hot-basket guard threshold for the within-order co-occurrence
+# self-joins.  TPC-H orders carry at most 7 lineitems, so at test
+# scale the guard never fires and every oracle stays byte-identical;
+# at corpus scale it bounds the pair explosion (see cap_basket_size).
+_MAX_BASKET_ITEMS = 64
+
+
+def cap_basket_size(
+    op: DataFrame,
+    max_items: int = _MAX_BASKET_ITEMS,
+    order_col: str = "l_orderkey",
+) -> DataFrame:
+    """Drop pathological baskets before a within-order pair self-join —
+    the basket analog of ``llm.dedup.cap_doc_freq``.
+
+    The co-occurrence self-join emits k² pairs for a k-item basket; the
+    per-key cost is bounded by basket size, which on clean data is
+    small (TPC-H: ≤ 7) but at 100 TB one bot account or bulk order with
+    10⁴ items emits 10⁸ pairs from a SINGLE key — a straggler that
+    never finishes.  Thinning semantics (documented, deterministic):
+    orders with more than ``max_items`` distinct items are excluded
+    from the basket-analysis universe ENTIRELY — from the pair build
+    AND from the support/N denominators of any caller that computes
+    them — because a giant basket carries no per-pair association
+    signal (every pair in it co-occurs "once" by construction, and its
+    items' supports would be inflated by membership in a basket nobody
+    curated).  This mirrors cap_doc_freq's stop-shingle semantics:
+    remove the hot key from the similarity space, don't half-count it.
+
+    Plan shape: the hot-order set (baskets > cap) is tiny by
+    construction, so it broadcasts and the guard is a broadcast
+    anti-join — the full (order, item) table is never shuffled to
+    apply it; the basket-size aggregation is a map-side-combined count
+    on 8-byte keys."""
+    hot = (
+        op.groupBy(order_col)
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > max_items)
+        .select(order_col)
+    )
+    return op.join(F.broadcast(hot), order_col, "left_anti")
+
+
+def copurchase_edges(
+    op: DataFrame,
+    min_support: int = _TRI_MIN_SUPPORT,
+    with_support: bool = False,
+    max_items: int | None = _MAX_BASKET_ITEMS,
+) -> DataFrame:
+    """Support-thinned canonical (pa < pb) co-purchase edge list from a
+    DISTINCT (l_orderkey, l_partkey) table, with the hot-basket guard
+    applied first — the shared edge stage of ``copurchase_triangles``,
+    ``copurchase_reach``, ``market_basket_lift`` and
+    ``copurchase_pagerank``.  The guarded self-join's per-key cost is
+    min(k, cap)² — bounded regardless of input pathology.  Pass
+    ``max_items=None`` only when the caller already capped ``op`` (it
+    must never reach the self-join unguarded)."""
+    if max_items is not None:
+        op = cap_basket_size(op, max_items)
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return e if with_support else e.select("pa", "pb")
+
 
 @query(
     "copurchase_triangles",
@@ -260,27 +330,15 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     grow ~quadratically in basket size; supported edges don't).  Nodes
     are kept canonically ordered (pa < pb) so the two-hop join e1(a,b)
     ⋈ e2(b,c) ⋈ e3(a,c) counts each triangle exactly once with pure
-    equi-joins.  The edge table persists across its three uses."""
+    equi-joins.  The edge table persists across its three uses.
+    Pathological baskets are excluded up front by the shared
+    hot-basket guard (``cap_basket_size`` via ``copurchase_edges``)."""
     op = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("pa", "pb")
-        .persist()
-    )
+    e = copurchase_edges(op, _TRI_MIN_SUPPORT).persist()
     nodes = (
         e.select(F.col("pa").alias("v"))
         .union(e.select(F.col("pb").alias("v")))
@@ -1052,15 +1110,14 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    # The symmetric src<->dst edge set is the canonical (pa < pb) edge
+    # list plus its reverse: support(a,b) is direction-independent, so
+    # building canonically and mirroring halves the groupBy volume —
+    # and routes through the shared hot-basket guard.
+    ce = copurchase_edges(op, 2)
     edges = (
-        a.join(b, "ok")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
+        ce.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(ce.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
         .persist()
     )
     edges.createOrReplaceTempView("_reach_edges")
@@ -1113,11 +1170,19 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the raw support the triangle census uses cannot).  All counts are
     exact integers; one float division at the end.  The supports table
     is part-cardinality-sized and joins the (already support-thinned)
-    edge list twice — at 100 TB it broadcasts."""
+    edge list twice — at 100 TB it broadcasts.
+
+    The hot-basket guard applies to the WHOLE basket universe here —
+    supports and the order count N use the same capped table as the
+    pair build (``cap_basket_size`` semantics: an excluded basket
+    contributes to neither numerator nor denominator), keeping lift a
+    coherent probability ratio over the retained baskets."""
     op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        cap_basket_size(
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
         .persist()
     )
     n = op.agg(
@@ -1126,18 +1191,9 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("s")
     )
-    a = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
-    )
     e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("both_cnt"))
-        .filter(F.col("both_cnt") >= _TRI_MIN_SUPPORT)
+        copurchase_edges(op, _TRI_MIN_SUPPORT, with_support=True, max_items=None)
+        .withColumnRenamed("support", "both_cnt")
     )
     sa = F.broadcast(supp.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa")))
     sb = F.broadcast(supp.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb")))
@@ -1207,8 +1263,9 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting (web-graph centrality for pretraining corpora; here the
     co-purchase graph stands in).  Iterative, Spark-first:
 
-    - the edge list reuses the triangle census's bounded within-order
-      self-join + support thinning;
+    - the edge list reuses the shared guarded edge stage
+      (``copurchase_edges``: hot-basket cap + within-order self-join +
+      support thinning);
     - each of the 3 iterations is one join of the rank table against
       the (symmetric) edge list + a map-side-combined sum per target,
       ``localCheckpoint``-ed so the plan stays iteration-sized;
@@ -1226,16 +1283,7 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("pa", "pb")
-    )
+    e = copurchase_edges(op, _TRI_MIN_SUPPORT)
     ed = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     ).localCheckpoint(eager=True)

@@ -72,6 +72,43 @@ def test_copurchase_triangles_constructed_triangle(spark, tmp_path):
     assert (out.n_nodes, out.n_edges, out.n_triangles) == (3, 3, 1)
 
 
+def test_cap_basket_size_drops_only_oversized_orders(spark):
+    # order 1: planted 500-item bot basket; orders 2, 3: normal
+    rows = [(1, p) for p in range(500)] + [(2, 7), (2, 8), (3, 7), (3, 8)]
+    op = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    capped = quality.cap_basket_size(op, max_items=64)
+    assert {
+        r.l_orderkey for r in capped.select("l_orderkey").distinct().collect()
+    } == {2, 3}
+    assert capped.count() == 4  # normal baskets pass through untouched
+
+
+def test_copurchase_edges_bounded_under_planted_giant_basket(spark):
+    # a 200-item bot basket would emit C(200,2)=19900 pairs from ONE
+    # key unguarded; the guard excludes it entirely, so only the pair
+    # supported by the two normal orders survives.
+    rows = [(99, p) for p in range(200)]
+    for ok in (1, 2):
+        rows += [(ok, 10), (ok, 11)]
+    op = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    e = quality.copurchase_edges(op, min_support=2).collect()
+    assert [(r.pa, r.pb) for r in e] == [(10, 11)]
+
+
+def test_copurchase_edges_guard_is_noop_under_cap(spark):
+    # every basket under the cap → guarded build == unguarded build
+    rows = []
+    for ok, parts in [(1, [1, 2, 3]), (2, [1, 2]), (3, [2, 3]), (4, [1, 3])]:
+        rows += [(ok, p) for p in parts]
+    op = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    guarded = quality.copurchase_edges(op, min_support=2, with_support=True)
+    raw = quality.copurchase_edges(
+        op, min_support=2, with_support=True, max_items=None
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, raw.collect()))
+    assert sorted(map(tuple, guarded.collect())) == [(1, 2, 2), (1, 3, 2), (2, 3, 2)]
+
+
 def test_monthly_gap_fill_spine_is_dense_and_cum_monotone(spark, sf_dir):
     rows = quality.monthly_gap_fill(spark, sf_dir).orderBy("month_start").collect()
     months = [date.fromisoformat(r.month_start) for r in rows]

@@ -151,6 +151,88 @@ def _protobuf_available() -> bool:
 import pytest
 
 
+class _StubValueState:
+    """In-memory stand-in for the TWS ValueState handle — records the
+    TTL it was created with and every update, so the handler's TTL
+    refresh discipline is assertable."""
+
+    def __init__(self, ttl_ms):
+        self.ttl_ms = ttl_ms
+        self._v = None
+        self.n_updates = 0
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.n_updates += 1
+
+    def clear(self):
+        self._v = None
+
+
+class _StubHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        st = _StubValueState(ttlDurationMs)
+        self.states[name] = st
+        return st
+
+
+def test_tws_handler_logic_with_stubbed_state():
+    """Execute the transformWithStateInPandas dedup handler's logic
+    in-sandbox (no protobuf/state-server needed): first sighting of a
+    key emits exactly its first row; duplicates emit nothing but
+    REFRESH the TTL state; an expired (cleared) key re-admits — the
+    exact semantics the protobuf-gated end-to-end parity test pins
+    against the legacy form."""
+    import pandas as pd
+
+    from spotify_streaming_etl_pipeline_spark.streaming.stateful import (
+        DedupStateProcessor,
+    )
+
+    proc = DedupStateProcessor(ttl_minutes=60)
+    handle = _StubHandle()
+    proc.init(handle)
+    seen = handle.states["seen"]
+    assert seen.ttl_ms == 60 * 60 * 1000  # TTL wired through
+
+    batch = [pd.DataFrame(), pd.DataFrame({"k": [1, 1], "v": [10.0, 11.0]})]
+    out = list(proc.handleInputRows((1,), iter(batch), None))
+    # first sighting: exactly the first row of the first NONEMPTY chunk
+    assert len(out) == 1 and out[0].to_dict("records") == [{"k": 1, "v": 10.0}]
+    assert seen.n_updates == 1
+
+    dup = [pd.DataFrame({"k": [1], "v": [12.0]})]
+    assert list(proc.handleInputRows((1,), iter(dup), None)) == []
+    assert seen.n_updates == 2  # duplicate sighting refreshed the TTL
+
+    seen.clear()  # simulate TTL expiry evicting the state
+    out2 = list(proc.handleInputRows((1,), iter(dup), None))
+    assert len(out2) == 1 and out2[0].to_dict("records") == [{"k": 1, "v": 12.0}]
+
+
+def test_tws_processor_subclasses_real_base():
+    """The lazily-mixed class used by dedup_stream_tws must satisfy the
+    real API's isinstance contract."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from spotify_streaming_etl_pipeline_spark.streaming.stateful import (
+        _as_stateful_processor,
+    )
+
+    proc = _as_stateful_processor(30)
+    assert isinstance(proc, StatefulProcessor)
+    assert proc._ttl_ms == 30 * 60 * 1000
+
+
 @pytest.mark.skipif(
     not _protobuf_available(),
     reason="transformWithStateInPandas needs google.protobuf (its state"
