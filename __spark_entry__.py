@@ -77,7 +77,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         behavior,
         extras,
         insights,
-        llm_queries,
+        llm_ann_gates,
+        llm_corpus_gates,
+        llm_dedup_gates,
+        llm_evals,
+        llm_media_gates,
+        llm_text_gates,
         quality,
         vectors_qa,
     )
@@ -92,7 +97,12 @@ def oracle_sql() -> dict[str, str]:
         behavior,
         extras,
         insights,
-        llm_queries,
+        llm_ann_gates,
+        llm_corpus_gates,
+        llm_dedup_gates,
+        llm_evals,
+        llm_media_gates,
+        llm_text_gates,
         quality,
         vectors_qa,
     )

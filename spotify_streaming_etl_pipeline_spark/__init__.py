@@ -18,7 +18,7 @@ Layout:
     functions/    -- scalar column-expression library (SURVEY §2.8)
     plans/        -- relational plans: dims, facts, marts, mapping,
                      analytics + the oracle-gated query registry
-                     (llm_queries, extras)
+                     (llm_*_gates, llm_evals, extras)
     operators/    -- engine-level ops: idempotent writer, surrogate keys,
                      staging lifecycle, bucketed layouts, skew salting
     llm/          -- LLM-curation ops: dedup (exact/MinHash-LSH/SimHash/

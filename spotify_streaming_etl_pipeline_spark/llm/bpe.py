@@ -19,7 +19,7 @@ The real Sennrich-style BPE training loop, Spark-first:
 Variant notes: merges are intra-word (no end-of-word marker), and the
 greedy fold mirrors the classic leftmost-first merge application —
 after "aa" merges in "aaaa", the result is [aa, aa], not [aa, a, a].
-The unrolled DuckDB oracle (``plans/llm_queries.py:bpe_train_merges``)
+The unrolled DuckDB oracle (``plans/llm_text_gates.py:bpe_train_merges``)
 reproduces the full loop with list_reduce, so the gate hashes the
 ENTIRE iterative computation, not a single round.
 """

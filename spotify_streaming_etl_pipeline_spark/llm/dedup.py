@@ -118,7 +118,7 @@ def cap_doc_freq(posting: DataFrame, max_doc_freq: int) -> DataFrame:
     the shared counts and the per-doc sizes), so Jaccard becomes
     "Jaccard over informative shingles" — the standard stop-shingle
     semantics, mirrored exactly by the DuckDB oracle
-    (plans/llm_queries.py:ngram_jaccard_capped).
+    (plans/llm_dedup_gates.py:ngram_jaccard_capped).
 
     Plan shape: the hot-key set (df > cap) is tiny by construction, so
     it broadcasts and the filter is a broadcast anti-join — the full

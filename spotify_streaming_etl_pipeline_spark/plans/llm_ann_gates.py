@@ -1,0 +1,538 @@
+"""Oracle-gated queries for the similarity-search operators
+(llm/similarity.py): brute-force / LSH / multi-probe / IVF ANN, the
+two-table retrieval join, embedding near-dup, and the quantization
+ladder (int8, 1-bit sign, retrieve-then-rerank) with recall audits.
+
+The quantization-ladder oracles embed the registered SQL of the
+queries they audit (``ORACLE[...]``), so every audit's exact side is
+BY CONSTRUCTION the same definition its gate certifies — which is why
+those entries live in this module, below the definitions they embed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import similarity
+from .analytics import ORACLE, query
+from .llm_shared import (
+    _QUERY_IDS,
+    _bucket_sql,
+    _cos_sql,
+    _emb,
+)
+
+
+@query(
+    "ann_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    p AS (
+        SELECT q.q_id, e.vec_id, {_cos_sql('e.embedding', 'q.q_vec')} AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+@query(
+    "ann_topk_lsh",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    p AS (
+        SELECT q.q_id, b.vec_id, {_cos_sql('b.embedding', 'q.q_vec')} AS cosine
+        FROM b JOIN q ON b.bucket = q.bucket
+        WHERE b.vec_id <> q.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_lsh(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+@query(
+    "ann_join_topk",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+        WHERE vec_id % 40 = 0
+    ),
+    c AS (SELECT * FROM b WHERE vec_id % 40 <> 0),
+    p AS (
+        SELECT q.q_id, c.vec_id, {_cos_sql('c.embedding', 'q.q_vec')} AS cosine
+        FROM c JOIN q ON c.bucket = q.bucket
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table ANN retrieval (llm/similarity.py:ann_join): the query
+    TABLE (vec_id % 40 == 0) joins a disjoint corpus table through the
+    LSH bucket index — the batch-serving shape where both sides are
+    DataFrames, not an id list.  The oracle replays the same split,
+    buckets, and tie rules."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ann_join(
+        emb.filter(F.col("vec_id") % 40 == 0),
+        emb.filter(F.col("vec_id") % 40 != 0),
+        k=5,
+    )
+
+
+_IVF_CELLS = 8
+_IVF_PROBE = 2
+
+
+@query(
+    "ann_topk_ivf",
+    f"""
+    WITH dims AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    ),
+    cents AS (
+        SELECT (vec_id % {_IVF_CELLS}) AS cell, dim, round(avg(x), 4) AS c
+        FROM dims GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT d.vec_id, ct.cell,
+               round(sum((d.x - ct.c) * (d.x - ct.c)), 4) AS d2
+        FROM dims d JOIN cents ct ON d.dim = ct.dim
+        GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2
+    ),
+    assigned AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS q_id, cell FROM rc
+        WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= {_IVF_PROBE}
+    ),
+    pairs AS (
+        SELECT p.q_id, a.vec_id,
+               {_cos_sql('e.embedding', 'qe.embedding')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM pairs
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (hash-seeded deterministic centroids) under oracle
+    proof — same probe/assign join shape as the learned-KMeans
+    ivf_topk, which stays unit-gated (llm/similarity.py docstrings)."""
+    return similarity.ivf_topk_hashseed(
+        _emb(spark, sf_dir),
+        _QUERY_IDS,
+        k=5,
+        n_centroids=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+    )
+
+
+def _ivf_centroid_values() -> str:
+    from ..llm.ivf_fixture import IVF_CENTROIDS
+
+    return ",\n            ".join(
+        f"({cell}, {dim}, {c})"
+        for cell, row in enumerate(IVF_CENTROIDS)
+        for dim, c in enumerate(row)
+    )
+
+
+@query(
+    "ann_topk_ivf_learned",
+    f"""
+    WITH cents AS (
+        SELECT cell, dim, c::DOUBLE AS c FROM (VALUES
+            {_ivf_centroid_values()}
+        ) AS t(cell, dim, c)
+    ),
+    dims AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    ),
+    d2 AS (
+        SELECT d.vec_id, ct.cell,
+               round(sum((d.x - ct.c) * (d.x - ct.c)), 4) AS d2
+        FROM dims d JOIN cents ct ON d.dim = ct.dim
+        GROUP BY 1, 2
+    ),
+    rc AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d2
+    ),
+    assigned AS (SELECT vec_id, cell FROM rc WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS q_id, cell FROM rc
+        WHERE vec_id IN (0, 1, 2, 3, 4) AND rn <= {_IVF_PROBE}
+    ),
+    pairs AS (
+        SELECT p.q_id, a.vec_id,
+               {_cos_sql('e.embedding', 'qe.embedding')} AS cosine
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rn
+        FROM pairs
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN serving against the PINNED learned centroid index
+    (llm/ivf_fixture.py — trained once offline by seeded KMeans on the
+    sf0.01 corpus, exactly how production IVF freezes its coarse
+    quantizer). Gates ivf_topk's relational assign/probe/score core
+    with learned centroids; the in-situ KMeans training path of the
+    same function remains unit-gated."""
+    from ..llm.ivf_fixture import IVF_CENTROIDS
+
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir),
+        _QUERY_IDS,
+        k=5,
+        n_probe=_IVF_PROBE,
+        centroids=IVF_CENTROIDS,
+    )
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    p AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               {_cos_sql('a.embedding', 'c.embedding')} AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
+
+
+_PROBE_MASKS = "[" + ", ".join(
+    str(m) for m in [0] + [1 << p for p in range(similarity.N_PLANES)]
+) + "]"
+
+
+@query(
+    "ann_topk_lsh_multiprobe",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM b
+        WHERE vec_id IN (0, 1, 2, 3, 4)
+    ),
+    probes AS (
+        SELECT q_id, q_vec, xor(bucket, m) AS bucket
+        FROM q, unnest({_PROBE_MASKS}::BIGINT[]) AS t(m)
+    ),
+    p AS (
+        SELECT pr.q_id, b.vec_id,
+               {_cos_sql('b.embedding', 'pr.q_vec')} AS cosine
+        FROM b JOIN probes pr ON b.bucket = pr.bucket
+        WHERE b.vec_id <> pr.q_id
+    ),
+    r AS (
+        SELECT q_id, vec_id, cosine,
+               cast(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS BIGINT)
+                   AS rn
+        FROM p
+    )
+    SELECT q_id, vec_id, cosine, rn FROM r WHERE rn <= 5
+    """,
+)
+def ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (hamming-1 probe set): the recall lever on
+    the bucketed path — candidates x(n_planes+1), corpus untouched."""
+    return similarity.cosine_topk_lsh_multiprobe(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5
+    )
+
+
+_I8_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+)
+
+
+@query(
+    "int8_ann_recall",
+    f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(x::DOUBLE))),
+                      1e-30) AS ma
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> cast(floor(x::DOUBLE * 127.0 / ma + 0.5) AS BIGINT))
+                 AS qv
+      FROM m),
+    q AS (SELECT vec_id AS q_id, qv AS q_vec FROM qz
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    p AS (
+      SELECT q.q_id, z.vec_id,
+             round({_I8_DOT.format(a="z.qv", b="q.q_vec")}
+                   / sqrt({_I8_DOT.format(a="z.qv", b="z.qv")}::DOUBLE
+                          * {_I8_DOT.format(a="q.q_vec", b="q.q_vec")}::DOUBLE),
+                   4) AS cosine
+      FROM qz z CROSS JOIN q WHERE z.vec_id <> q.q_id),
+    r AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM p),
+    approx AS (SELECT q_id, vec_id FROM r WHERE rn <= 5),
+    exact AS (SELECT q_id, vec_id FROM ({ORACLE["ann_topk"]})),
+    base AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact
+             GROUP BY 1),
+    hits AS (SELECT e.q_id, cast(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY 1)
+    SELECT base.q_id, k,
+           cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def int8_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force ANN on symmetric-max-abs int8-quantized
+    vectors against the certified exact float path — the accuracy
+    audit that licenses serving quantized (4× less memory traffic per
+    vector).  Quantization uses ⌊x+½⌋ (round() flips between Spark's
+    half-up and DuckDB's half-even at exact halves), the per-vector
+    scale cancels inside cosine, and the quantized dot products are
+    exact integer arithmetic — so the whole evaluation is
+    cross-engine bit-deterministic.  The oracle embeds the registered
+    `ann_topk` SQL as its exact side."""
+    return similarity.int8_recall_at_k(_emb(spark, sf_dir), _QUERY_IDS, k=5)
+
+
+# sign-bit packing: bit 63 cannot be built with 1<<63 in DuckDB (left-
+# shift overflow check); its two's-complement weight is BIGINT MIN, and
+# summing DISJOINT bit weights equals OR — so the pack is a list_sum of
+# per-bit weights with the i=64 term spelled as (-max-1).
+_SIGN_PACK = """
+    list_sum(list_transform(range(1, 65), i ->
+      CASE WHEN {v}[i] >= 0 THEN
+        CASE WHEN i = 64 THEN (-9223372036854775807 - 1)
+             ELSE 1::BIGINT << (i - 1) END
+      ELSE 0::BIGINT END))::BIGINT
+"""
+
+
+@query(
+    "sign_bit_ann_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {_SIGN_PACK.format(v="embedding")} AS bits
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, bits AS q_bits FROM b
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    p AS (
+      SELECT q.q_id, b.vec_id,
+             cast(bit_count(xor(b.bits, q.q_bits)) AS BIGINT) AS hamming
+      FROM b CROSS JOIN q WHERE b.vec_id <> q.q_id),
+    r AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY hamming, vec_id) AS rn
+      FROM p),
+    approx AS (SELECT q_id, vec_id FROM r WHERE rn <= 5),
+    exact AS (SELECT q_id, vec_id FROM ({ORACLE["ann_topk"]})),
+    base AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact
+             GROUP BY 1),
+    hits AS (SELECT e.q_id, cast(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY 1)
+    SELECT base.q_id, k,
+           cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def sign_bit_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 1-bit (sign) hamming retriever against the
+    certified exact path — the 64×-compression extreme of the
+    quantization ladder (`int8_ann_recall` is the 4× rung).  The
+    sign-bit pack, xor, and popcount are exact integer arithmetic in
+    both engines, so the whole audit is bit-deterministic; production
+    use is as stage one of retrieve-then-rerank, and this number is
+    the stage-one recall budget."""
+    return similarity.sign_bit_recall_at_k(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5
+    )
+
+
+@query(
+    "rerank_ann_recall",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {_SIGN_PACK.format(v="embedding")} AS bits
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, bits AS q_bits FROM b
+          WHERE vec_id IN (0, 1, 2, 3, 4)),
+    h AS (
+      SELECT q.q_id, b.vec_id,
+             row_number() OVER (PARTITION BY q.q_id
+                ORDER BY bit_count(xor(b.bits, q.q_bits)), b.vec_id) AS rn
+      FROM b CROSS JOIN q WHERE b.vec_id <> q.q_id),
+    cands AS (SELECT q_id, vec_id FROM h WHERE rn <= 50),
+    qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+           WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             {_cos_sql('e.embedding', 'qv.q_vec')} AS cosine
+      FROM cands c JOIN embeddings e ON e.vec_id = c.vec_id
+                   JOIN qv ON qv.q_id = c.q_id),
+    rr AS (
+      SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored),
+    approx AS (SELECT q_id, vec_id FROM rr WHERE rn <= 5),
+    exact AS (SELECT q_id, vec_id FROM ({ORACLE["ann_topk"]})),
+    base AS (SELECT q_id, cast(count(*) AS BIGINT) AS k FROM exact
+             GROUP BY 1),
+    hits AS (SELECT e.q_id, cast(count(*) AS BIGINT) AS n_overlap
+             FROM exact e JOIN approx a
+               ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+             GROUP BY 1)
+    SELECT base.q_id, k,
+           cast(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM base LEFT JOIN hits ON base.q_id = hits.q_id
+    """,
+)
+def rerank_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of retrieve-then-rerank: 1-bit hamming stage-1 top-50,
+    exact-cosine rerank of just those candidates — the production ANN
+    serving shape, where the float metric touches 50 vectors per query
+    instead of the corpus.  Completes the quantization story: raw
+    1-bit recall (`sign_bit_ann_recall`) is the floor, this is what a
+    50-candidate rerank budget buys back."""
+    return similarity.rerank_recall_at_k(
+        _emb(spark, sf_dir), _QUERY_IDS, k=5, stage1_k=50
+    )
+
+
+@query(
+    "quantization_ladder_summary",
+    f"""
+    WITH i8 AS (SELECT 'int8' AS method, q_id, k, n_overlap
+                FROM ({ORACLE["int8_ann_recall"]})),
+    s1 AS (SELECT '1bit' AS method, q_id, k, n_overlap
+           FROM ({ORACLE["sign_bit_ann_recall"]})),
+    rr AS (SELECT '1bit+rerank50' AS method, q_id, k, n_overlap
+           FROM ({ORACLE["rerank_ann_recall"]})),
+    u AS (SELECT * FROM i8 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM rr)
+    SELECT method,
+           cast(count(*) AS BIGINT) AS n_queries,
+           cast(sum(n_overlap) AS BIGINT) AS total_overlap,
+           round(sum(n_overlap) * 1.0 / sum(k), 4) AS recall_at_5
+    FROM u GROUP BY 1
+    """,
+)
+def quantization_ladder_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole compression-accuracy trade in three rows: recall@5 of
+    int8 (4× compression), raw 1-bit (64×), and 1-bit with a
+    50-candidate exact rerank — each line a certified query whose SQL
+    the oracle embeds, aggregated to the number a serving-tier design
+    review actually reads."""
+    emb = _emb(spark, sf_dir)
+
+    def tag(df, name):
+        return df.select(
+            F.lit(name).alias("method"), "q_id", "k", "n_overlap"
+        )
+
+    u = (
+        tag(similarity.int8_recall_at_k(emb, _QUERY_IDS, k=5), "int8")
+        .unionAll(
+            tag(
+                similarity.sign_bit_recall_at_k(emb, _QUERY_IDS, k=5),
+                "1bit",
+            )
+        )
+        .unionAll(
+            tag(
+                similarity.rerank_recall_at_k(
+                    emb, _QUERY_IDS, k=5, stage1_k=50
+                ),
+                "1bit+rerank50",
+            )
+        )
+    )
+    return u.groupBy("method").agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_overlap").cast("long").alias("total_overlap"),
+        F.round(
+            F.sum("n_overlap") * 1.0 / F.sum("k"), 4
+        ).alias("recall_at_5"),
+    )

@@ -1,0 +1,164 @@
+"""Oracle-gated queries for the multimodal operators
+(llm/multimodal.py): blob attach + Arrow-batched feature extraction,
+and the REAL media decoders (WAV, BMP, PNG, GIF, AVI/mp4 frame
+sampling) driven end-to-end on synthesized genuine media bytes with
+DuckDB predicting every feature arithmetically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm import multimodal
+from .analytics import query
+from .llm_shared import _docs
+
+
+@query(
+    "multimodal_features",
+    """
+    SELECT source,
+           cast(count(*) AS BIGINT) AS n_docs,
+           cast(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           cast(min(ascii(substring(text, 1, 1))) AS BIGINT) AS min_first_byte,
+           cast(max(ascii(substring(text, 1, 1))) AS BIGINT) AS max_first_byte,
+           cast(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_blobs
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the REAL multimodal path: text -> binary blob column ->
+    Arrow-batched mapInPandas feature extraction -> relational rollup.
+    The oracle recomputes the deterministic fake features in SQL."""
+    d = _docs(spark, sf_dir)
+    media = multimodal.attach_blob(d)
+    feats = multimodal.extract_blob_features(media)
+    return (
+        feats.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.min("first_byte").cast("long").alias("min_first_byte"),
+            F.max("first_byte").cast("long").alias("max_first_byte"),
+            F.countDistinct("content_md5").cast("long").alias("n_distinct_blobs"),
+        )
+    )
+
+
+@query(
+    "wav_audio_features",
+    """
+    SELECT doc_id,
+           cast(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           cast(1 + doc_id % 2 AS BIGINT) AS channels,
+           cast(100 + (doc_id % 5) * 30 AS BIGINT) AS n_samples,
+           cast((100 + (doc_id % 5) * 30) * 1000
+                // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+           cast(50 + doc_id % 70 AS BIGINT) AS rms
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode behind an oracle gate: synthesize a
+    deterministic PCM square-wave wav per doc (8/16-bit, 1-2 channels,
+    three sample rates — llm/multimodal.py:synth_wav_corpus), push the
+    bytes through the Arrow-batched ``wav_features`` decode
+    (RIFF chunk walk + integer RMS), and let DuckDB predict every
+    feature arithmetically (square-wave RMS == amplitude, exact in
+    integers). A decode regression in the chunk walk, PCM parse,
+    channel interleave, or RMS math breaks the hash."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.wav_features(multimodal.synth_wav_corpus(d))
+
+
+@query(
+    "bmp_image_features",
+    """
+    SELECT doc_id,
+           cast(4 + doc_id % 8 AS BIGINT) AS width,
+           cast(3 + doc_id % 5 AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           cast((doc_id * 7) % 256 AS BIGINT) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def bmp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode behind an oracle gate: synthesize a
+    deterministic 8-bit paletted grayscale BMP per doc
+    (llm/multimodal.py:synth_bmp_corpus — real headers, palette, row
+    padding), decode it back with the Arrow-batched ``bmp_features``
+    (struct parse + palette resolution + mean pixel), and have DuckDB
+    predict width/height/channels/mean as integer functions of
+    doc_id. Constant-value pixels make the mean exact."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.bmp_features(multimodal.synth_bmp_corpus(d))
+
+
+@query(
+    "png_image_features",
+    """
+    SELECT doc_id,
+           cast(4 + doc_id % 6 AS BIGINT) AS width,
+           cast(2 + doc_id % 4 AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           cast((doc_id * 11) % 256 AS BIGINT) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode behind an oracle gate: synthesize a zlib-
+    deflated 8-bit grayscale PNG per doc (llm/multimodal.py:
+    synth_png_corpus), decode through the Arrow-batched
+    ``png_features`` (inflate + unfilter + mean), DuckDB predicts the
+    features arithmetically (constant pixels -> exact mean)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.png_features(multimodal.synth_png_corpus(d))
+
+
+@query(
+    "gif_image_features",
+    """
+    SELECT doc_id,
+           cast(3 + doc_id % 7 AS BIGINT) AS width,
+           cast(2 + doc_id % 3 AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           cast((doc_id * 13) % 256 AS BIGINT) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode behind an oracle gate: synthesize a genuine
+    GIF89a (real variable-width LZW stream, 256-entry grayscale
+    palette — llm/multimodal.py:synth_gif_corpus + _gif_lzw_encode),
+    decode through ``gif_features`` (full LZW + palette resolution),
+    DuckDB predicts width/height/channels/mean exactly."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.gif_features(multimodal.synth_gif_corpus(d))
+
+
+@query(
+    "video_frame_summary",
+    """
+    SELECT doc_id,
+           cast(3 + doc_id % 6 AS BIGINT) AS n_frames,
+           cast(10 * (3 + doc_id % 6)
+                + (3 + doc_id % 6) * (3 + doc_id % 6 - 1) / 2 AS BIGINT)
+               AS total_frame_bytes,
+           cast(doc_id % 256 AS BIGINT) AS first_frame_byte
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def video_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH real container demuxes behind one oracle gate: even docs
+    synthesize a RIFF/AVI, odd docs an ISO-BMFF mp4, with the SAME
+    frame-payload formula (llm/multimodal.py:synth_video_corpus);
+    ``video_frame_features`` routes each blob through
+    ``sample_frames`` (AVI chunk walk / mp4 sample tables) and DuckDB
+    predicts frame count, total payload bytes (frame j has 10+j
+    bytes: 10n + n(n-1)/2), and the first frame's first byte.  A
+    regression in either walk — or in the dispatch — breaks the hash
+    on half the rows."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.video_frame_features(multimodal.synth_video_corpus(d))

@@ -1,0 +1,345 @@
+"""Oracle-gated queries for the text-analysis operators (llm/text.py,
+llm/bpe.py, llm/tfidf.py, llm/lm_score.py, llm/overlap.py): quality
+metrics, vocabulary stats, PMI collocations, tokenizer encode, BPE
+merge training, tf-idf cosine pairs, bigram-LM scoring, and
+substring-overlap pairs.
+
+Shared DuckDB fragments live in ``llm_shared``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.text import (
+    STOPWORDS,
+    lang_id,
+    quality_metrics,
+    token_count_bpe,
+    token_count_ws,
+)
+from .analytics import query
+from .llm_shared import (
+    _H48,
+    _LANG_CASE,
+    _LANG_SCORES_SQL,
+    _docs,
+    _sql_list,
+)
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x != '') AS w,
+               list_distinct(list_filter(string_split(text, ' '), x -> x != '')) AS dw,
+               length(text) AS nc
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text, w, nc,
+               {_LANG_SCORES_SQL},
+               len(w)::BIGINT AS n_tokens_ws,
+               len(regexp_extract_all(text, '[a-z]{{1,4}}|[^a-z ]'))::BIGINT
+                   AS n_tokens_bpe,
+               len(list_filter(w, x -> list_contains({_sql_list(STOPWORDS)}, x)))::BIGINT
+                   AS n_stopwords,
+               (nc - length(regexp_replace(text, '[^a-z ]', '', 'g')))::BIGINT AS n_sym
+        FROM t
+    )
+    SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+           {_LANG_CASE} AS lang_pred,
+           n_stopwords,
+           round((nc - (n_tokens_ws - 1)) / nullif(n_tokens_ws, 0), 3) AS avg_token_len,
+           round(n_stopwords / nullif(n_tokens_ws, 0), 3) AS stopword_ratio,
+           round(n_sym / nullif(nc, 0), 3) AS symbol_ratio,
+           round(least(n_tokens_ws / 64.0, 1.0) * 0.5
+                 + (1 - coalesce(round(n_sym / nullif(nc, 0), 3), 0.0)) * 0.3
+                 + least(coalesce(round(n_stopwords / nullif(n_tokens_ws, 0), 3), 0.0) * 4,
+                         1.0) * 0.2,
+                 3) AS quality_score
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    c = F.col("text")
+    m = quality_metrics(c)
+    return d.select(
+        "doc_id",
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        lang_id(c).alias("lang_pred"),
+        m["n_stopwords"].alias("n_stopwords"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+@query(
+    "vocab_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t != '')) AS token
+        FROM documents
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    SELECT token,
+           count(DISTINCT doc_id)::BIGINT AS doc_freq,
+           cast(count(*) AS BIGINT) AS term_freq,
+           round(ln(n / count(DISTINCT doc_id)), 4) AS idf
+    FROM tok, nd
+    GROUP BY token, n
+    """,
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document/term frequency and idf — the
+    input table for tokenizer training and tf-idf weighting."""
+    from ..llm.text import vocab_stats as _vs
+
+    return _vs(_docs(spark, sf_dir))
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """Unrolled DuckDB replica of the ENTIRE iterative BPE training
+    loop (llm/bpe.py:bpe_train): k rounds of (pair count -> argmax ->
+    greedy list_reduce merge), MATERIALIZED per round so the chain
+    stays linear.  Generated, deterministic, and embedded verbatim in
+    the registry — the oracle hashes the whole loop, not one round."""
+    sql = """WITH w AS MATERIALIZED (
+  SELECT word, cast(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+v0 AS MATERIALIZED (SELECT cnt, split(word, '') AS syms FROM w)"""
+    for r in range(k):
+        sql += f""",
+b{r} AS MATERIALIZED (
+  SELECT s.l AS l, s.r AS r, sum(cnt)::BIGINT AS n
+  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+          i -> struct_pack(l := syms[i], r := syms[i+1]))) AS s FROM v{r})
+  GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1),
+v{r + 1} AS MATERIALIZED (
+  SELECT cnt, list_reduce(list_transform(syms, s -> [s]),
+    (acc, x) -> CASE WHEN acc[-1] = b.l AND x[1] = b.r
+                THEN list_concat(acc[1:len(acc)-1], [b.l || b.r])
+                ELSE list_concat(acc, x) END) AS syms
+  FROM v{r} CROSS JOIN b{r} b)"""
+    sql += "\nSELECT * FROM (" + " UNION ALL ".join(
+        f"SELECT cast({r} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r AS right_sym, l || r AS merged, n AS pair_count FROM b{r}"
+        for r in range(k)
+    ) + ")"
+    return sql
+
+
+@query("bpe_train_merges", _bpe_oracle_sql(4))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (llm/bpe.py:bpe_train): the
+    corpus collapses to a word-frequency table once, then each of the
+    4 registered rounds is a pair-count aggregation + 1-row driver
+    argmax + native greedy fold, with per-round lineage truncation.
+    The oracle unrolls the SAME loop in DuckDB (list_reduce), so the
+    hash certifies the full iterative computation — deterministic
+    ties (count desc, then pair) on both engines."""
+    from ..llm.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
+@query(
+    "bigram_pmi",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    uni AS (SELECT unnest(w) AS word FROM toks),
+    uc AS (SELECT word, count(*)::DOUBLE AS n FROM uni GROUP BY 1),
+    bl AS (
+        SELECT unnest(list_transform(range(1, len(w)),
+            i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS s
+        FROM toks
+    ),
+    bc AS (
+        SELECT s.w1 AS w1, s.w2 AS w2, count(*)::BIGINT AS n_pair
+        FROM bl GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT (SELECT sum(n_pair)::DOUBLE FROM bc) AS n_bi,
+               (SELECT sum(n) FROM uc) AS n_uni
+    )
+    SELECT bc.w1, bc.w2, bc.n_pair,
+           round(ln((bc.n_pair / tot.n_bi)
+                    / ((a.n / tot.n_uni) * (b.n / tot.n_uni))), 4) + 0.0 AS pmi
+    FROM bc JOIN uc a ON a.word = bc.w1
+            JOIN uc b ON b.word = bc.w2
+            CROSS JOIN tot
+    WHERE bc.n_pair >= 10
+    """,
+)
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation/PMI table (llm/text.py:bigram_pmi_table) — the
+    phrase-mining and tokenizer-merge-seeding statistic, mirrored
+    operand-for-operand so the rounded doubles hash-match."""
+    from ..llm.text import bigram_pmi_table
+
+    return bigram_pmi_table(_docs(spark, sf_dir), min_count=10)
+
+
+@query(
+    "token_encoding",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    tok AS (SELECT unnest(w) AS token FROM toks),
+    vc AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+    vid AS (
+        SELECT token,
+               cast(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS id
+        FROM vc
+    ),
+    pe AS (
+        SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM toks
+    ),
+    pt AS (SELECT doc_id, pos, w[pos] AS token FROM pe)
+    SELECT p.doc_id,
+           array_to_string(list(v.id ORDER BY p.pos), ',') AS ids
+    FROM pt p JOIN vid v USING (token)
+    GROUP BY p.doc_id
+    """,
+)
+def token_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenizer encode (llm/text.py:vocab_ids +
+    encode_with_vocab): frequency-ranked vocabulary ids, documents
+    re-emitted as id sequences. The encode join broadcasts the vocab;
+    sequence order is pinned by (pos, id) sort, not collect order."""
+    from ..llm.text import encode_with_vocab
+
+    return encode_with_vocab(_docs(spark, sf_dir))
+
+
+_TFIDF_CAP = 1000  # document-frequency cap for the pair join
+
+
+@query(
+    "tfidf_similarity",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t != ''))
+                   AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    voc AS (
+        SELECT token, round(ln(n / count(DISTINCT doc_id)), 4) AS idf
+        FROM tok, nd GROUP BY token, n
+        HAVING count(DISTINCT doc_id) <= {_TFIDF_CAP}
+    ),
+    w AS (
+        SELECT tf.doc_id, tf.token, tf.tf * voc.idf AS w
+        FROM tf JOIN voc USING (token)
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+        FROM w a JOIN w b USING (token)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.9
+    """,
+)
+def tfidf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-dup pairs by tf-idf cosine >= 0.9 (llm/tfidf.py):
+    the weighted complement of the set-based Jaccard family. idf is
+    rounded 4dp before weighting so Spark and DuckDB agree on every
+    weight bit-for-bit; the final cosine rounding absorbs sum-order
+    drift. The df cap bounds the posting self-join's hottest key."""
+    from ..llm.tfidf import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(spark, sf_dir), threshold=0.9, max_doc_freq=_TFIDF_CAP
+    )
+
+
+@query(
+    "lm_quality_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS w
+        FROM documents
+    ),
+    pe AS (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS pos
+        FROM toks WHERE len(w) >= 2
+    ),
+    bg AS (SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2 FROM pe),
+    bc AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bg GROUP BY 1, 2),
+    uc AS (
+        SELECT w1, count(*)::DOUBLE AS cu
+        FROM (SELECT unnest(w) AS w1 FROM toks) GROUP BY 1
+    ),
+    v AS (SELECT count(*)::DOUBLE AS vsize FROM uc)
+    SELECT doc_id,
+           cast(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((cb + 1) / (cu + vsize))), 4) AS avg_logprob
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+    GROUP BY doc_id
+    """,
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy text quality (llm/lm_score.py): per-doc mean
+    bigram log-probability under an add-one-smoothed model trained on
+    the corpus — the CCNet-style signal for ranking text before
+    mixing. Model tables are reusable aggregates; scoring is one
+    bigram-keyed join over the stream."""
+    from ..llm.lm_score import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+@query(
+    "substring_overlap",
+    f"""
+    WITH sel AS (
+        SELECT DISTINCT doc_id, h FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) - 14),
+                       i -> {_H48.format(x="substring(text, i, 16)")})) AS h
+            FROM documents WHERE length(text) >= 16
+        ) WHERE h % 64 = 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(count(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-passage pairs via mod-p substring fingerprint
+    selection (llm/overlap.py) — character-level plagiarism/quote
+    detection that word-Jaccard dilutes away. The shuffled posting is
+    ~1/64 of the character stream; pairing is one equi-join on the
+    selected hash."""
+    from ..llm.overlap import substring_overlap_pairs
+
+    return substring_overlap_pairs(_docs(spark, sf_dir), min_shared=2)

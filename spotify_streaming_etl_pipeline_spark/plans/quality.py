@@ -302,6 +302,52 @@ def copurchase_edges(
     return e if with_support else e.select("pa", "pb")
 
 
+# Demo cap BELOW the TPC-H basket max (7 lineitems/order), so the
+# guard actually fires at gate scale and the oracle certifies the
+# exclusion semantics — the production cap (64) never bites on clean
+# data, same discipline as ngram_jaccard_capped vs the production
+# doc-frequency cap.
+_DEMO_BASKET_CAP = 5
+
+
+@query(
+    "copurchase_edges_capped",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sz AS (SELECT l_orderkey, count(*) AS n_items FROM op GROUP BY 1),
+    kept AS (
+        SELECT op.* FROM op JOIN sz USING (l_orderkey)
+        WHERE sz.n_items <= {_DEMO_BASKET_CAP}
+    ),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               cast(count(*) AS BIGINT) AS support
+        FROM kept a JOIN kept b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}
+    )
+    SELECT pa, pb, support FROM e
+    """,
+)
+def copurchase_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-basket guard (``cap_basket_size``) under oracle proof:
+    with the demo cap of {5} (< TPC-H's max basket of 7) oversized
+    baskets ARE excluded at sf0.01, and the DuckDB oracle mirrors the
+    whole-basket-exclusion semantics row-for-row — certifying that the
+    guarded edge build computes 'co-purchase edges over retained
+    baskets', not an ad-hoc truncation.  The unit tests cover the
+    planted-pathology case; this gate covers the thinning semantics on
+    real data."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return copurchase_edges(
+        op, _TRI_MIN_SUPPORT, with_support=True, max_items=_DEMO_BASKET_CAP
+    )
+
+
 @query(
     "copurchase_triangles",
     f"""

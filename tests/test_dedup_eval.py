@@ -1,13 +1,17 @@
 """Unit invariants for the sketch-evaluation queries
-(plans/llm_queries.py: minhash_recall_eval, jaccard_histogram)."""
+(plans/llm_evals.py: minhash_recall_eval, jaccard_histogram)."""
 
 from __future__ import annotations
 
-from spotify_streaming_etl_pipeline_spark.plans import llm_queries
+from spotify_streaming_etl_pipeline_spark.plans import (
+    llm_ann_gates,
+    llm_dedup_gates,
+    llm_evals,
+)
 
 
 def test_minhash_recall_eval_confusion_identity(spark, sf_dir):
-    r = llm_queries.minhash_recall_eval(spark, sf_dir).collect()[0]
+    r = llm_evals.minhash_recall_eval(spark, sf_dir).collect()[0]
     assert r.tp + r.fn == r.n_exact
     assert r.tp + r.fp == r.n_minhash
     if r.n_minhash:
@@ -21,18 +25,18 @@ def test_minhash_recall_eval_confusion_identity(spark, sf_dir):
 
 
 def test_jaccard_histogram_buckets_and_mass(spark, sf_dir):
-    rows = llm_queries.jaccard_histogram(spark, sf_dir).collect()
+    rows = llm_evals.jaccard_histogram(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0.3 <= r.bucket <= 1.0
         assert r.n_pairs > 0
     high_mass = sum(r.n_pairs for r in rows if r.bucket >= 0.8)
-    n_dedup = llm_queries.ngram_jaccard_dedup(spark, sf_dir).count()
+    n_dedup = llm_dedup_gates.ngram_jaccard_dedup(spark, sf_dir).count()
     assert high_mass == n_dedup
 
 
 def test_simhash_recall_eval_confusion_bounds(spark, sf_dir):
-    r = llm_queries.simhash_recall_eval(spark, sf_dir).collect()[0]
+    r = llm_evals.simhash_recall_eval(spark, sf_dir).collect()[0]
     assert r.tp <= min(r.n_exact, r.n_simhash)
     if r.n_simhash:
         assert 0.0 <= r.precision <= 1.0
@@ -42,7 +46,7 @@ def test_simhash_recall_eval_confusion_bounds(spark, sf_dir):
 
 def test_vocab_coverage_monotone(spark, sf_dir):
     rows = sorted(
-        llm_queries.vocab_coverage(spark, sf_dir).collect(),
+        llm_evals.vocab_coverage(spark, sf_dir).collect(),
         key=lambda r: r.vocab_size,
     )
     assert [r.vocab_size for r in rows] == [10, 20, 50]
@@ -149,7 +153,7 @@ def test_rerank_recall_dominates_raw_sign_bit(spark, sf_dir):
 def test_quantization_ladder_ordering(spark, sf_dir):
     rows = {
         r.method: r.recall_at_5
-        for r in llm_queries.quantization_ladder_summary(
+        for r in llm_ann_gates.quantization_ladder_summary(
             spark, sf_dir
         ).collect()
     }

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from spotify_streaming_etl_pipeline_spark.plans import llm_queries, quality
+from spotify_streaming_etl_pipeline_spark.plans import llm_evals, quality
 
 
 def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
@@ -79,7 +79,7 @@ def test_key_skew_profile_invariants(spark, sf_dir):
 
 
 def test_langid_confusion_rows_share_sums_to_one(spark, sf_dir):
-    rows = llm_queries.langid_confusion(spark, sf_dir).collect()
+    rows = llm_evals.langid_confusion(spark, sf_dir).collect()
     by_label: dict[str, float] = {}
     for r in rows:
         by_label[r.lang_label] = by_label.get(r.lang_label, 0.0) + r.row_share

@@ -170,9 +170,9 @@ def test_idle_rich_customers_plan_is_left_anti(spark, sf_dir):
 
 
 def test_dedup_funnel_identities(spark, sf_dir):
-    from spotify_streaming_etl_pipeline_spark.plans import llm_queries
+    from spotify_streaming_etl_pipeline_spark.plans import llm_evals
 
-    r = llm_queries.dedup_funnel_summary(spark, sf_dir).collect()[0]
+    r = llm_evals.dedup_funnel_summary(spark, sf_dir).collect()[0]
     assert r.n_near_removed == r.n_clustered_docs - r.n_clusters
     assert r.n_final <= r.n_unique_content <= r.n_docs
     assert r.n_final >= r.n_unique_content - r.n_near_removed
