@@ -22,11 +22,15 @@ Scale shapes (written for 100 TB, tested at sf0.1):
   aggregate is computed only over that brand's lineitems (the per-part
   avg is unaffected by the brand equi-filter), turning a full-table
   correlated scan into a broadcast-sized one.
-- ``copurchase_triangles``: within-order self-join is bounded by
-  lines-per-order (~7); the edge list is thinned by a support
-  threshold BEFORE triangle enumeration, and triangles use the
-  standard ordered-edge (a<b<c) double join so each triangle is
-  counted exactly once with equi-joins only.
+- ``copurchase_triangles``: the shared edge stage
+  (``copurchase_edges``) aggregates each order to its item SET (one
+  map-side-combined shuffle, dedup included), drops baskets over the
+  hot-basket cap with a free size filter, and emits pairs by a
+  within-row double explode — ≤ min(k, cap)² rows per basket by
+  construction, 2 shuffles total, no join.  The edge list is thinned
+  by a support threshold BEFORE triangle enumeration, and triangles
+  use the standard ordered-edge (a<b<c) double join so each triangle
+  is counted exactly once with equi-joins only.
 - ``monthly_gap_fill``: the dense month spine derives from a one-row
   min/max aggregate + ``sequence`` explode (driver-free, tiny), left
   joins the monthly aggregate, and the running total windows over the
@@ -280,20 +284,37 @@ def copurchase_edges(
     with_support: bool = False,
     max_items: int | None = _MAX_BASKET_ITEMS,
 ) -> DataFrame:
-    """Support-thinned canonical (pa < pb) co-purchase edge list from a
-    DISTINCT (l_orderkey, l_partkey) table, with the hot-basket guard
-    applied first — the shared edge stage of ``copurchase_triangles``,
-    ``copurchase_reach``, ``market_basket_lift`` and
-    ``copurchase_pagerank``.  The guarded self-join's per-key cost is
-    min(k, cap)² — bounded regardless of input pathology.  Pass
-    ``max_items=None`` only when the caller already capped ``op`` (it
-    must never reach the self-join unguarded)."""
+    """Support-thinned canonical (pa < pb) co-purchase edge list from
+    an (l_orderkey, l_partkey) table (distinct NOT required — the
+    basket aggregation dedups), with the hot-basket guard built in —
+    the shared edge stage of ``copurchase_triangles``,
+    ``copurchase_reach``, ``market_basket_lift``,
+    ``copurchase_pagerank`` and ``copurchase_edges_capped``.
+
+    Plan shape (2 shuffles, no join): one ``collect_set`` per order
+    (map-side partial aggregation; subsumes the distinct a self-join
+    form would need), the guard as a free ``size(items) <= cap``
+    filter on the exact distinct count, a within-row double explode
+    for the pairs (narrow, ≤ cap² rows per basket by construction),
+    and one map-side-combined pair count.  The former self-join form
+    cost 4 shuffles (distinct, basket count, join, pair count) and
+    measured 2.6× slower at sf0.1.  Memory note: the one transient
+    array per OVERSIZED basket exists only until the size filter
+    drops it — O(distinct items) bytes on one executor, vs the Σk²
+    rows the unguarded self-join would emit for the same key.
+
+    Thinning semantics are ``cap_basket_size``'s (whole-basket
+    exclusion), oracle-certified by ``copurchase_edges_capped``.
+    Pass ``max_items=None`` only when the caller already capped the
+    input (it must never reach the pair explode unguarded)."""
+    baskets = op.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("items")
+    )
     if max_items is not None:
-        op = cap_basket_size(op, max_items)
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+        baskets = baskets.filter(F.size("items") <= max_items)
     e = (
-        a.join(b, "ok")
+        baskets.select(F.explode("items").alias("pa"), "items")
+        .select("pa", F.explode("items").alias("pb"))
         .filter(F.col("pa") < F.col("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
@@ -338,13 +359,9 @@ def copurchase_edges_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets', not an ad-hoc truncation.  The unit tests cover the
     planted-pathology case; this gate covers the thinning semantics on
     real data."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return copurchase_edges(
-        op, _TRI_MIN_SUPPORT, with_support=True, max_items=_DEMO_BASKET_CAP
+        li, _TRI_MIN_SUPPORT, with_support=True, max_items=_DEMO_BASKET_CAP
     )
 
 
@@ -379,12 +396,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins.  The edge table persists across its three uses.
     Pathological baskets are excluded up front by the shared
     hot-basket guard (``cap_basket_size`` via ``copurchase_edges``)."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = copurchase_edges(op, _TRI_MIN_SUPPORT).persist()
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = copurchase_edges(li, _TRI_MIN_SUPPORT).persist()
     nodes = (
         e.select(F.col("pa").alias("v"))
         .union(e.select(F.col("pb").alias("v")))
@@ -1151,16 +1164,12 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cost `copurchase_triangles` pays for its edge stage).
     The oracle keeps the inline form; the recursion text itself is
     identical in both engines."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # The symmetric src<->dst edge set is the canonical (pa < pb) edge
     # list plus its reverse: support(a,b) is direction-independent, so
     # building canonically and mirroring halves the groupBy volume —
     # and routes through the shared hot-basket guard.
-    ce = copurchase_edges(op, 2)
+    ce = copurchase_edges(li, 2)
     edges = (
         ce.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(ce.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -1310,8 +1319,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph stands in).  Iterative, Spark-first:
 
     - the edge list reuses the shared guarded edge stage
-      (``copurchase_edges``: hot-basket cap + within-order self-join +
-      support thinning);
+      (``copurchase_edges``: basket collect_set + hot-basket cap +
+      pair explode + support thinning);
     - each of the 3 iterations is one join of the rank table against
       the (symmetric) edge list + a map-side-combined sum per target,
       ``localCheckpoint``-ed so the plan stays iteration-sized;
@@ -1324,12 +1333,8 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fact-sized; each iteration shuffles on the node key only.
     No dangling-mass correction is needed (the symmetric edge set
     gives every node out-degree >= 1)."""
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = copurchase_edges(op, _TRI_MIN_SUPPORT)
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = copurchase_edges(li, _TRI_MIN_SUPPORT)
     ed = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
         e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     ).localCheckpoint(eager=True)
