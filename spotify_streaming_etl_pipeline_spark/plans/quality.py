@@ -307,11 +307,39 @@ def copurchase_edges(
     exclusion), oracle-certified by ``copurchase_edges_capped``.
     Pass ``max_items=None`` only when the caller already capped the
     input (it must never reach the pair explode unguarded)."""
+    return basket_pairs(
+        order_baskets(op, max_items), min_support, with_support
+    )
+
+
+def order_baskets(
+    op: DataFrame, max_items: int | None = _MAX_BASKET_ITEMS
+) -> DataFrame:
+    """Per-order distinct item sets (l_orderkey, items) with the
+    hot-basket guard applied as a free ``size(items) <= cap`` filter
+    on the exact distinct count.  One ``collect_set`` shuffle (partial
+    aggregation merges set fragments map-side; subsumes the distinct a
+    self-join form would need).  The shared basket stage: callers that
+    need supports or the basket count N derive them from THIS table by
+    explode / count, so the guard decides membership exactly once for
+    the whole basket-analysis universe (``cap_basket_size``
+    semantics: an excluded basket contributes to neither numerators
+    nor denominators)."""
     baskets = op.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("items")
     )
     if max_items is not None:
         baskets = baskets.filter(F.size("items") <= max_items)
+    return baskets
+
+
+def basket_pairs(
+    baskets: DataFrame, min_support: int, with_support: bool = False
+) -> DataFrame:
+    """Canonical (pa < pb) support-counted pairs from an
+    ``order_baskets`` table: a within-row double explode (narrow,
+    ≤ cap² rows per basket by construction) plus one
+    map-side-combined pair count — no join."""
     e = (
         baskets.select(F.explode("items").alias("pa"), "items")
         .select("pa", F.explode("items").alias("pb"))
@@ -1228,28 +1256,27 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list twice — at 100 TB it broadcasts.
 
     The hot-basket guard applies to the WHOLE basket universe here —
-    supports and the order count N use the same capped table as the
-    pair build (``cap_basket_size`` semantics: an excluded basket
-    contributes to neither numerator nor denominator), keeping lift a
-    coherent probability ratio over the retained baskets."""
-    op = (
-        cap_basket_size(
-            _t(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        .persist()
+    supports and the order count N derive from the same capped
+    ``order_baskets`` table as the pair build (``cap_basket_size``
+    semantics: an excluded basket contributes to neither numerator
+    nor denominator), keeping lift a coherent probability ratio over
+    the retained baskets.  Plan shape: ONE persisted basket-sized
+    table feeds all three derivations — N is its row count (each row
+    is one retained order), supports a single explode + part-key
+    count, pairs the shared double-explode stage — so the whole query
+    is the basket shuffle plus two key-sized aggregations."""
+    baskets = order_baskets(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ).persist()
+    n = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    supp = (
+        baskets.select(F.explode("items").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
     )
-    n = op.agg(
-        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
-    )
-    supp = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("s")
-    )
-    e = (
-        copurchase_edges(op, _TRI_MIN_SUPPORT, with_support=True, max_items=None)
-        .withColumnRenamed("support", "both_cnt")
-    )
+    e = basket_pairs(
+        baskets, _TRI_MIN_SUPPORT, with_support=True
+    ).withColumnRenamed("support", "both_cnt")
     sa = F.broadcast(supp.select(F.col("l_partkey").alias("pa"), F.col("s").alias("sa")))
     sb = F.broadcast(supp.select(F.col("l_partkey").alias("pb"), F.col("s").alias("sb")))
     return (
