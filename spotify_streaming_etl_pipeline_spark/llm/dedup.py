@@ -133,6 +133,39 @@ def cap_doc_freq(posting: DataFrame, max_doc_freq: int) -> DataFrame:
     return posting.join(F.broadcast(hot), "h1", "left_anti")
 
 
+def posting_buckets(posting: DataFrame, max_doc_freq: int) -> DataFrame:
+    """(h1, docs): the inverted index folded to one row per shingle
+    hash with its posting LIST (``collect_list`` — multiplicity kept,
+    so downstream counts are row-exact vs the join form even under
+    48-bit collisions), the df cap applied as a free
+    ``size(docs) <= cap`` filter on the exact count.  ONE shuffle
+    replaces the df-count aggregation + broadcast anti-join +
+    double-exchange self-join of the ``cap_doc_freq`` + equi-join
+    plan; pairs and capped per-doc sizes both derive from this table
+    narrowly (see ``bucket_shared_counts``).  Array bound: ``cap``
+    ids per row by construction — the guard IS the memory bound."""
+    return (
+        posting.groupBy("h1")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= max_doc_freq)
+    )
+
+
+def bucket_shared_counts(buckets: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_shared) co-occurrence counts from a
+    ``posting_buckets`` table: within-row double explode (narrow,
+    ≤ cap² rows per bucket) + one map-side-combined pair count — the
+    join-free form of the posting self-join, same rewrite as
+    ``plans.quality.basket_pairs``."""
+    return (
+        buckets.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def pair_jaccard(
     posting: DataFrame, pairs: DataFrame, posting_b: DataFrame | None = None
 ) -> DataFrame:
@@ -196,7 +229,16 @@ def ngram_jaccard_pairs(
     worst join key: co-occurrence work per shingle is at most cap²,
     making total work O(Σ df_i²) with every term bounded — instead of
     quadratic in the hottest key's document frequency. None disables
-    the cap (exact classic Jaccard)."""
+    the cap (exact classic Jaccard).
+
+    Plan forms: capped, the inverted index folds to ``posting_buckets``
+    (bounded arrays) and pairs come join-free from a within-row double
+    explode; sizes derive from the same bucket table, so the cap
+    decides shingle membership once for counts and denominators alike.
+    Uncapped, the classic posting self-join remains — an unbounded
+    ``collect_list`` would trade the join's graceful skew degradation
+    for an OOM-able array, the same contract as
+    ``plans.quality.copurchase_edges(max_items=None)``."""
     # The posting feeds three consumers (sizes + both join sides);
     # persist so tokenize/shingle/md5 runs once, not per consumer.
     # (~16 bytes/shingle — at lake scale this is a materialized
@@ -209,16 +251,25 @@ def ngram_jaccard_pairs(
         else _posting(df, text_col, n).persist()
     )
     if max_doc_freq is not None:
-        posting = cap_doc_freq(posting, max_doc_freq)
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
-    shared = (
-        a.join(b, "h1")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+        buckets = posting_buckets(posting, max_doc_freq).persist()
+        sizes = (
+            buckets.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"))
+        )
+        shared = bucket_shared_counts(buckets)
+    else:
+        sizes = posting.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+        a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
+        b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
+        shared = (
+            a.join(b, "h1")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (

@@ -57,22 +57,29 @@ def substring_overlap_pairs(
     """(doc_a, doc_b, n_shared): document pairs sharing at least
     ``min_shared`` selected substring fingerprints, doc_a < doc_b.
     ``max_doc_freq`` drops boilerplate substrings present in more than
-    that many documents before pairing (skew guard, cap² worst key)."""
+    that many documents before pairing (skew guard, cap² worst key).
+
+    Capped, the thinned posting folds to ``dedup.posting_buckets``
+    (one shuffle, cap-bounded arrays) and pairs come join-free from
+    the within-row double explode — the same rewrite as
+    ``ngram_jaccard_pairs``; uncapped keeps the classic self-join
+    whose skew degradation is graceful where an unbounded
+    ``collect_list`` would OOM."""
+    from .dedup import bucket_shared_counts, posting_buckets
+
     sel = selected_fingerprints(df, text_col, window, mod)
     if max_doc_freq is not None:
-        hot = (
-            sel.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_doc_freq)
-            .select("h")
+        buckets = posting_buckets(
+            sel.withColumnRenamed("h", "h1"), max_doc_freq
         )
-        sel = sel.join(F.broadcast(hot), "h", "left_anti")
-    a = sel.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sel.select(F.col("doc_id").alias("doc_b"), "h")
-    return (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
+        shared = bucket_shared_counts(buckets)
+    else:
+        a = sel.select(F.col("doc_id").alias("doc_a"), "h")
+        b = sel.select(F.col("doc_id").alias("doc_b"), "h")
+        shared = (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
+    return shared.filter(F.col("n_shared") >= min_shared)
