@@ -62,19 +62,46 @@ def tfidf_cosine_pairs(
     doc_a < doc_b, cosine rounded to 4dp. Exact recall over the
     retained (df-capped) token space: cosine > 0 requires a shared
     token, so the posting self-join misses nothing a positive
-    threshold can accept."""
+    threshold can accept.
+
+    Capped, the posting folds to one (token, [struct(doc_id, w)])
+    bucket row per token (arrays bounded at cap entries by the df
+    filter) and dot products come join-free from a within-row double
+    explode — the weighted form of ``dedup.posting_buckets``; only
+    the partial-sum order can differ from the join form, which the
+    4dp cosine rounding absorbs (same contract as the idf rounding
+    above). Uncapped keeps the classic self-join."""
     posting = tfidf_posting(df, text_col, max_doc_freq).persist()  # released by bench's per-query clearCache; long-lived callers unpersist
     norms = posting.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
-    a = posting.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
-    b = posting.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
-    dots = (
-        a.join(b, "token")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
-    )
+    if max_doc_freq is not None:
+        buckets = posting.groupBy("token").agg(
+            F.collect_list(F.struct("doc_id", "w")).alias("docs")
+        )
+        dots = (
+            buckets.select(F.explode("docs").alias("a"), "docs")
+            .select("a", F.explode("docs").alias("b"))
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        )
+    else:
+        a = posting.select(
+            F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa")
+        )
+        b = posting.select(
+            F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb")
+        )
+        dots = (
+            a.join(b, "token")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (
