@@ -291,6 +291,7 @@ def containment_pairs(
     threshold: float = 0.9,
     n: int = NGRAM_N,
     text_col: str = "text",
+    max_doc_freq: int | None = None,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Containment (overlap-coefficient) near-dup pairs:
@@ -308,21 +309,39 @@ def containment_pairs(
     co-occurrence count); only the final scalar formula differs, so
     every scale property (16-byte shuffle rows, df-cap compatibility,
     O(Σ df²) bound) carries over. ``c >= t > 0`` implies >= 1 shared
-    shingle, so the inner join loses no qualifying pair."""
+    shingle, so the inner join loses no qualifying pair.
+
+    ``max_doc_freq`` is the same stop-shingle cap as the Jaccard
+    form (see ``cap_doc_freq``); it matters MORE here — containment's
+    min() denominator means one hot boilerplate shingle shared by a
+    short header doc and everything else scores high where Jaccard's
+    union dilutes it. Capped, the plan is the join-free
+    ``posting_buckets`` fold; uncapped, the classic self-join."""
     posting = (
         _posting_df
         if _posting_df is not None
         else _posting(df, text_col, n).persist()
     )
-    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
-    b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
-    shared = (
-        a.join(b, "h1")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    if max_doc_freq is not None:
+        buckets = posting_buckets(posting, max_doc_freq).persist()
+        sizes = (
+            buckets.select(F.explode("docs").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"))
+        )
+        shared = bucket_shared_counts(buckets)
+    else:
+        sizes = posting.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
+        a = posting.select(F.col("doc_id").alias("doc_a"), "h1")
+        b = posting.select(F.col("doc_id").alias("doc_b"), "h1")
+        shared = (
+            a.join(b, "h1")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (

@@ -93,10 +93,13 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
-# Hash-keyed posting-table form of the capped Jaccard: df computed on
-# the same 48-bit md5-prefix key Spark uses, so hot-shingle membership
-# is bit-identical across engines even under (vanishing) collisions.
-_CAPPED_JACCARD = """
+# Hash-keyed posting-table form of the capped similarity family: df
+# computed on the same 48-bit md5-prefix key Spark uses, so
+# hot-shingle membership is bit-identical across engines even under
+# (vanishing) collisions. Shared by the Jaccard and containment gates
+# — only the final scalar formula differs, exactly like the Spark
+# side (dedup.posting_buckets / bucket_shared_counts feed both).
+_CAPPED_POSTING = """
 posting AS (
     SELECT doc_id, ('0x' || substring(md5(gram), 1, 12))::BIGINT AS h1
     FROM (SELECT doc_id, unnest(ng) AS gram FROM g)
@@ -112,7 +115,11 @@ shared AS (
            cast(count(*) AS BIGINT) AS n_shared
     FROM capped a JOIN capped b ON a.h1 = b.h1 AND a.doc_id < b.doc_id
     GROUP BY 1, 2
-),
+)"""
+
+_CAPPED_JACCARD = (
+    _CAPPED_POSTING
+    + """,
 cj AS (
     SELECT s.doc_a, s.doc_b,
            round(s.n_shared::DOUBLE / (sa.n + sb.n - s.n_shared), 4) AS jaccard
@@ -121,6 +128,20 @@ cj AS (
     JOIN sizes sb ON s.doc_b = sb.doc_id
 )
 """
+)
+
+_CAPPED_CONTAINMENT = (
+    _CAPPED_POSTING
+    + """,
+cc AS (
+    SELECT s.doc_a, s.doc_b,
+           round(s.n_shared::DOUBLE / least(sa.n, sb.n), 4) AS containment
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+)
+"""
+)
 
 # Aggressive on purpose: at sf0.01 max shingle df is 7, so this cap
 # drops ~2.3k hot shingles and shifts the pair set (25 -> 22) — the
@@ -142,6 +163,26 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps the inverted-index self-join bounded at corpus scale."""
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.8, max_doc_freq=_NG_CAP
+    )
+
+
+@query(
+    "containment_capped",
+    f"""
+    WITH {_NG_CTE}, {_CAPPED_CONTAINMENT.format(cap=_NG_CAP)}
+    SELECT doc_a, doc_b, containment FROM cc WHERE containment >= 0.6
+    """,
+)
+def containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df cap on the containment form (llm/dedup.py:
+    containment_pairs(max_doc_freq=...)) under oracle proof, same
+    capped posting CTE as ngram_jaccard_capped. The cap matters more
+    for containment than Jaccard: min() in the denominator means one
+    hot boilerplate shingle makes every short doc look contained in
+    everything — df <= 2 drops exactly the shingles whose pair
+    fan-out the inverted index couldn't afford anyway."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), threshold=0.6, max_doc_freq=_NG_CAP
     )
 
 

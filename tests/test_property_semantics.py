@@ -243,6 +243,40 @@ def test_cap_doc_freq_bounds_posting_df(spark, texts, cap):
 
 
 @PROPS
+@given(st.lists(_doc.filter(lambda t: len(t.split()) >= 3),
+                min_size=2, max_size=20),
+       st.integers(min_value=1, max_value=5))
+def test_bucket_pair_form_matches_capped_self_join(spark, texts, cap):
+    """The join-free posting_buckets/bucket_shared_counts plan must
+    emit exactly the pairs of cap_doc_freq + posting self-join — the
+    rewrite is a physical-plan change, not a semantic one."""
+    from spotify_streaming_etl_pipeline_spark.llm.dedup import (
+        _posting, bucket_shared_counts, cap_doc_freq, posting_buckets,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    posting = _posting(df, "text").persist()
+    bucketed = sorted(
+        map(tuple, bucket_shared_counts(
+            posting_buckets(posting, cap)).collect())
+    )
+    capped = cap_doc_freq(posting, cap)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "h1")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "h1")
+    joined = sorted(
+        map(tuple,
+            a.join(b, "h1")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .collect())
+    )
+    posting.unpersist()
+    assert bucketed == joined
+
+
+@PROPS
 @given(
     st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
              min_size=1, max_size=25),
