@@ -360,6 +360,11 @@ def containment_pairs(
 
 MINHASH_K = 16  # signature length
 LSH_ROWS = 4  # rows per band -> bands = K / ROWS = 4
+# Buckets above this size emit star edges to the bucket-min doc instead
+# of all pairs (see minhash_lsh_candidates). 512 is far above any bucket
+# the tested scales produce (max observed: 4 at sf0.1) and far below
+# where m(m-1)/2 becomes a straggler (512 -> 131k pairs/bucket).
+LSH_MAX_BUCKET = 512
 
 
 def minhash_signatures(
@@ -427,6 +432,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = LSH_ROWS,
     n: int = NGRAM_N,
     text_col: str = "text",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
@@ -435,7 +441,32 @@ def minhash_lsh_candidates(
     equi-join on (band, key) -> distinct pairs. The band join carries
     (doc_id, band, key-string) — independent of document size.
     Deterministic given the portable hash.
-    """
+
+    ``max_bucket_size`` is the giant-bucket guard, and its semantics
+    deliberately DIFFER from the hot-key exclusion of ``cap_doc_freq``
+    / ``plans.quality.cap_basket_size``: a hot shingle or basket
+    carries no pairwise signal, but a hot LSH bucket (10⁶ mirror
+    copies of one page) is exactly where the duplicates are —
+    dropping it would un-dedup the worst offenders. Instead, buckets
+    larger than the cap emit STAR edges (bucket-min doc -> every
+    other member): m-1 candidates instead of m(m-1)/2, connectivity
+    within the bucket exactly preserved, so downstream clustering
+    (``dup_clusters``) yields identical components. What is lost is
+    only the non-representative pairwise candidates inside oversized
+    buckets — callers that report verified PAIRS (not clusters) get a
+    connectivity-preserving subset there, and docs whose similarity
+    transits solely through a non-representative member of an
+    oversized bucket can score against the representative instead;
+    at a sane cap (≥ 64) every such bucket is boilerplate-degenerate
+    and the members near-identical, so cluster-level recall is
+    unaffected (the planted-bucket unit pins this).
+
+    Guard plan shape: the hot-bucket set is tiny by construction, so
+    it broadcasts; small buckets keep the classic self-join
+    (graceful skew degradation, no arrays), oversized buckets become
+    one broadcast-join pass emitting (bucket_min, member) rows — no
+    collect of the bucket membership anywhere, so the guard itself
+    cannot OOM on the pathology it defends against."""
     bands = minhash_band_table(
         df, k, rows_per_band, n, text_col, _posting_df=_posting_df
     )
@@ -443,20 +474,44 @@ def minhash_lsh_candidates(
     # the whole tokenize->hash->signature pipeline runs twice (verified
     # in the physical plan — the self-join breaks exchange reuse).
     bands = bands.persist()
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    return (
+    if max_bucket_size is not None:
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.min("doc_id").alias("rep"),
+            )
+            .filter(F.col("m") > max_bucket_size)
+            .select("band", "key", "rep")
+        )
+        small = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        stars = (
+            bands.join(F.broadcast(hot), ["band", "key"])
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+            )
+        )
+    else:
+        small, stars = bands, None
+    a = small.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
+    return pairs.distinct()
 
 
 def minhash_near_dup(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
@@ -465,13 +520,24 @@ def minhash_near_dup(
     posting-table joins restricted to those pairs (``pair_jaccard``) —
     row-shaped 16-byte hashes in the shuffle, no per-doc gram arrays
     (the earlier collect_list/array_intersect form put one array per
-    doc on every candidate row, degrading for book-length docs)."""
+    doc on every candidate row, degrading for book-length docs).
+
+    ``max_bucket_size`` passes through to the candidate stage's
+    giant-bucket star-edge guard (see ``minhash_lsh_candidates``);
+    with star thinning active, verified pairs inside an oversized
+    bucket are those scoring >= threshold AGAINST THE REPRESENTATIVE,
+    which at a sane cap keeps ``dup_clusters`` components identical."""
     posting = (
         _posting_df
         if _posting_df is not None
         else _posting(df, text_col, NGRAM_N).persist()
     )
-    cands = minhash_lsh_candidates(df, text_col=text_col, _posting_df=posting)
+    cands = minhash_lsh_candidates(
+        df,
+        text_col=text_col,
+        max_bucket_size=max_bucket_size,
+        _posting_df=posting,
+    )
     return pair_jaccard(posting, cands).filter(
         F.col("jaccard") >= threshold
     )
@@ -482,6 +548,7 @@ def minhash_incremental(
     corpus: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
     _corpus_posting_df: DataFrame | None = None,
     _new_posting_df: DataFrame | None = None,
 ) -> DataFrame:
@@ -503,7 +570,18 @@ def minhash_incremental(
     computed per side (two-sided pair_jaccard), so a re-ingested id
     gets a correct Jaccard against the corpus copy, and the identity
     pair (x, x) is excluded — same-key re-ingest is the idempotent
-    writer's concern (operators/writer.py), not near-dup detection."""
+    writer's concern (operators/writer.py), not near-dup detection.
+
+    ``max_bucket_size`` guards the hot-CORPUS-bucket pathology: a
+    boilerplate bucket holding 10⁶ corpus docs emits 10⁶ candidate
+    rows for EVERY colliding batch doc. Corpus buckets above the cap
+    are thinned to their bucket-min representative before the join, so
+    a colliding new doc is reported as a duplicate OF THE
+    REPRESENTATIVE (one verified pair) rather than of every member —
+    the admission decision ("is this batch doc already in the
+    corpus?") is unchanged, only the enumerated corpus matches are.
+    The batch side is never thinned: every new doc keeps its own
+    verdict, and its per-bucket cost is already capped by the guard."""
     corpus_posting = (
         _corpus_posting_df
         if _corpus_posting_df is not None
@@ -520,6 +598,18 @@ def minhash_incremental(
     new_bands = minhash_band_table(
         new_docs, text_col=text_col, _posting_df=new_posting
     )
+    if max_bucket_size is not None:
+        hot = (
+            corpus_bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("rep"))
+            .filter(F.col("m") > max_bucket_size)
+            .select("band", "key", "rep")
+        )
+        corpus_bands = corpus_bands.join(
+            F.broadcast(hot), ["band", "key"], "left_outer"
+        ).filter(
+            F.col("rep").isNull() | (F.col("doc_id") == F.col("rep"))
+        ).select("doc_id", "band", "key")
     cands = (
         corpus_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
@@ -575,6 +665,7 @@ def simhash_near_dup(
     df: DataFrame,
     max_distance: int = 3,
     text_col: str = "text",
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_distance.
@@ -584,7 +675,18 @@ def simhash_near_dup(
     t agrees on >= 1 chunk, so an equi-join on (chunk_idx, chunk_value)
     finds every qualifying pair — brute-force-equivalent results at
     equi-join cost.
-    """
+
+    ``max_bucket_size`` is the same giant-bucket star guard as
+    ``minhash_lsh_candidates`` (10⁶ boilerplate copies collide in
+    EVERY chunk, so the self-join emits m² rows from one key): chunk
+    buckets above the cap emit star edges to the bucket-min doc
+    (hamming still exact per emitted pair). The brute-force-equivalent
+    guarantee then holds for every pair that shares at least one
+    NON-oversized bucket — a pair confined to oversized buckets is
+    reported only through the representative. At a sane cap such
+    buckets are degenerate boilerplate groups, so cluster-level
+    recall is preserved (planted-bucket unit pins the bound and the
+    equivalence when the cap doesn't fire)."""
     n_chunks = max_distance + 1
     width = SIMHASH_BITS // n_chunks
     mask = (1 << width) - 1
@@ -610,16 +712,46 @@ def simhash_near_dup(
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
-    a = chunks.select(
+    if max_bucket_size is not None:
+        # min(struct) orders by doc_id first: bucket-min doc + its hash.
+        hot = (
+            chunks.groupBy("chunk", "val")
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.min(F.struct("doc_id", "simhash")).alias("rep"),
+            )
+            .filter(F.col("m") > max_bucket_size)
+            .select("chunk", "val", "rep.doc_id", "rep.simhash")
+            .withColumnsRenamed({"doc_id": "rep_id", "simhash": "rep_sh"})
+        )
+        small = chunks.join(F.broadcast(hot), ["chunk", "val"], "left_anti")
+        stars = (
+            chunks.join(F.broadcast(hot), ["chunk", "val"])
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.col("rep_sh").alias("sh_a"),
+                F.col("simhash").alias("sh_b"),
+            )
+        )
+    else:
+        small, stars = chunks, None
+    a = small.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "val"
     )
-    b = chunks.select(
+    b = small.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "val"
     )
-    return (
+    pairs = (
         a.join(b, ["chunk", "val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
+    return (
+        pairs.select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

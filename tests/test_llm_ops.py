@@ -96,6 +96,109 @@ def test_minhash_candidates_superset_of_verified(spark, docs):
     assert (0, 3) in verified  # exact dup must survive any threshold
 
 
+def test_lsh_giant_bucket_star_guard(spark):
+    """A planted oversized LSH bucket (20 identical docs; every band
+    collides) must emit star edges to the bucket-min doc — m-1
+    candidates, not m(m-1)/2 — while preserving connectivity so
+    dup_clusters yields the identical single component, and a cap the
+    bucket doesn't exceed must be a byte-identical no-op."""
+    clone = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(100 + i, clone) for i in range(20)] + [
+        (200, "one entirely unrelated document about gardening tools"),
+        (201, "another separate text concerning maritime navigation law"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(df, max_bucket_size=8).collect()
+    }
+    star = {(100, 100 + i) for i in range(1, 20)}
+    assert capped & star == star  # rep connected to every member
+    clone_pairs = {p for p in capped if p[0] >= 100 and p[1] <= 119}
+    assert clone_pairs == star  # bounded: 19 edges, not 190
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(df, max_bucket_size=None).collect()
+    }
+    assert len({p for p in full if p[0] >= 100 and p[1] <= 119}) == 190
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_candidates(df).collect()
+    }
+    assert default == full  # default cap (512) never fires here
+
+    # Verified pairs under the cap still cluster all 20 clones together.
+    verified = dedup.minhash_near_dup(df, threshold=0.9, max_bucket_size=8)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(verified).collect()
+    }
+    assert {clusters[100 + i] for i in range(20)} == {100}
+    assert 200 not in clusters and 201 not in clusters
+
+
+def test_simhash_giant_bucket_star_guard(spark):
+    """Identical docs collide in EVERY simhash chunk; the cap must
+    reduce the bucket to star edges with exact hamming values, and a
+    non-firing cap must be a no-op."""
+    clone = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [(100 + i, clone) for i in range(20)] + [
+        (200, "one entirely unrelated document about gardening tools"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup(df, max_bucket_size=8).collect()
+    }
+    star = {(100, 100 + i) for i in range(1, 20)}
+    clone_pairs = {p for p in capped if p[0] >= 100}
+    assert clone_pairs == star  # 19 star edges, not 190
+    assert all(capped[p] == 0 for p in star)  # hamming still exact
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup(df, max_bucket_size=None).collect()
+    }
+    assert len({p for p in full if p[0] >= 100}) == 190
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup(df).collect()
+    }
+    assert default == full  # default cap (512) never fires here
+
+
+def test_incremental_hot_corpus_bucket_thins_to_rep(spark):
+    """A batch doc colliding with an oversized corpus bucket must be
+    reported as a duplicate of the bucket representative only — one
+    pair, same admission verdict — while non-colliding batch docs are
+    untouched."""
+    clone = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    corpus = spark.createDataFrame(
+        [(100 + i, clone) for i in range(20)]
+        + [(200, "one entirely unrelated document about gardening tools")],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [(500, clone), (501, "fresh novel content nobody has seen before")],
+        "doc_id: long, text: string",
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_incremental(
+            batch, corpus, threshold=0.9, max_bucket_size=8
+        ).collect()
+    }
+    assert capped == {(100, 500)}  # rep only; 501 admitted clean
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_incremental(
+            batch, corpus, threshold=0.9, max_bucket_size=None
+        ).collect()
+    }
+    assert full == {(100 + i, 500) for i in range(20)}
+
+
 def test_simhash_identical_docs_distance_zero(spark, docs):
     fps = {
         r["doc_id"]: r["simhash"]
