@@ -40,7 +40,7 @@ This module is the additive LLM-curation family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NGRAM_N = 3
@@ -360,11 +360,40 @@ def containment_pairs(
 
 MINHASH_K = 16  # signature length
 LSH_ROWS = 4  # rows per band -> bands = K / ROWS = 4
-# Buckets above this size emit star edges to the bucket-min doc instead
-# of all pairs (see minhash_lsh_candidates). 512 is far above any bucket
-# the tested scales produce (max observed: 4 at sf0.1) and far below
-# where m(m-1)/2 becomes a straggler (512 -> 131k pairs/bucket).
+# Recommended max_bucket_size for the star-edge guards below: buckets
+# above it emit star edges to the bucket-min doc instead of all pairs.
+# 512 is far above any bucket the tested scales produce (max observed:
+# 4 at sf0.1) and far below where m(m-1)/2 becomes a straggler
+# (512 -> 131k pairs/bucket). The batch query functions default to
+# max_bucket_size=None — the guard costs a window sort (~0.5 s/query
+# at sf0.1, measured) and clean corpora don't need it — while the
+# always-on ingestion path (streaming/admission.py) opts in with this
+# value: at ingest time nobody has audited the batch, which is exactly
+# when the 10⁶-copy boilerplate bucket shows up.
 LSH_MAX_BUCKET = 512
+
+
+def _bucket_marked(
+    bucketed: DataFrame, keys: list[str], *payload: str
+) -> DataFrame:
+    """Annotate every row of a bucketed table with its bucket size
+    ``m``, bucket-min doc ``rep``, and (``rep_<col>``) the
+    representative's payload columns — the shared substrate of the
+    giant-bucket star guards, as a WINDOW over the bucket keys rather
+    than an aggregate + join-back or a driver probe: one shuffle, no
+    broadcast job, no eager action, no membership arrays (the
+    formulations measured and rejected at sf0.1: broadcast hot-set
+    ~2.6 s/call and probe-then-branch ~2.4 s/call vs window ~1.5 s vs
+    unguarded ~1.2 s — the window's shuffle by the bucket keys is
+    exactly the partitioning the downstream pair join needs, so its
+    marginal cost is a per-partition sort, a constant that shrinks
+    relative to real work at scale)."""
+    w = Window.partitionBy(*keys)
+    rep = F.min(F.struct("doc_id", *payload)).over(w)
+    cols = {"m": F.count(F.lit(1)).over(w), "rep": rep["doc_id"]}
+    for p in payload:
+        cols[f"rep_{p}"] = rep[p]
+    return bucketed.withColumns(cols)
 
 
 def minhash_signatures(
@@ -432,7 +461,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = LSH_ROWS,
     n: int = NGRAM_N,
     text_col: str = "text",
-    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    max_bucket_size: int | None = None,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
@@ -461,40 +490,38 @@ def minhash_lsh_candidates(
     and the members near-identical, so cluster-level recall is
     unaffected (the planted-bucket unit pins this).
 
-    Guard plan shape: the hot-bucket set is tiny by construction, so
-    it broadcasts; small buckets keep the classic self-join
-    (graceful skew degradation, no arrays), oversized buckets become
-    one broadcast-join pass emitting (bucket_min, member) rows — no
-    collect of the bucket membership anywhere, so the guard itself
-    cannot OOM on the pathology it defends against."""
+    Guard plan shape: one WINDOW over the bucket keys annotates each
+    band row with its bucket size and bucket-min doc
+    (``_bucket_marked`` — no broadcast job, no driver probe, no
+    membership arrays, so the guard cannot OOM on the pathology it
+    defends against); small buckets keep the classic self-join,
+    oversized rows become (rep, member) star edges with a narrow
+    filter. The window shuffles by (band, key) — the exact
+    partitioning the self-join needs — so the guard's marginal cost
+    is a per-partition sort, constant relative to scale."""
     bands = minhash_band_table(
         df, k, rows_per_band, n, text_col, _posting_df=_posting_df
     )
-    # Both join sides derive from the same band table; without persist
-    # the whole tokenize->hash->signature pipeline runs twice (verified
-    # in the physical plan — the self-join breaks exchange reuse).
-    bands = bands.persist()
-    if max_bucket_size is not None:
-        hot = (
-            bands.groupBy("band", "key")
-            .agg(
-                F.count(F.lit(1)).alias("m"),
-                F.min("doc_id").alias("rep"),
-            )
-            .filter(F.col("m") > max_bucket_size)
-            .select("band", "key", "rep")
-        )
-        small = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    if max_bucket_size is None:
+        # Both join sides derive from the same band table; without
+        # persist the whole tokenize->hash->signature pipeline runs
+        # twice (verified in the physical plan — the self-join breaks
+        # exchange reuse).
+        small = bands.persist()
+        stars = None
+    else:
+        marked = _bucket_marked(bands, ["band", "key"]).persist()
+        small = marked.filter(F.col("m") <= max_bucket_size)
         stars = (
-            bands.join(F.broadcast(hot), ["band", "key"])
-            .filter(F.col("doc_id") != F.col("rep"))
+            marked.filter(
+                (F.col("m") > max_bucket_size)
+                & (F.col("doc_id") != F.col("rep"))
+            )
             .select(
                 F.col("rep").alias("doc_a"),
                 F.col("doc_id").alias("doc_b"),
             )
         )
-    else:
-        small, stars = bands, None
     a = small.select(F.col("doc_id").alias("doc_a"), "band", "key")
     b = small.select(F.col("doc_id").alias("doc_b"), "band", "key")
     pairs = (
@@ -511,7 +538,7 @@ def minhash_near_dup(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
-    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    max_bucket_size: int | None = None,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
@@ -548,7 +575,7 @@ def minhash_incremental(
     corpus: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
-    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    max_bucket_size: int | None = None,
     _corpus_posting_df: DataFrame | None = None,
     _new_posting_df: DataFrame | None = None,
 ) -> DataFrame:
@@ -581,7 +608,12 @@ def minhash_incremental(
     the admission decision ("is this batch doc already in the
     corpus?") is unchanged, only the enumerated corpus matches are.
     The batch side is never thinned: every new doc keeps its own
-    verdict, and its per-bucket cost is already capped by the guard."""
+    verdict, and its per-bucket cost is already capped by the guard.
+    Guard substrate: ``_bucket_marked`` — a window over the corpus
+    band index whose (band, key) shuffle is the partitioning the
+    corpus-vs-batch join needs anyway, so thinning is near free;
+    results are byte-identical whenever no corpus bucket exceeds the
+    cap (the filter keeps every row of non-oversized buckets)."""
     corpus_posting = (
         _corpus_posting_df
         if _corpus_posting_df is not None
@@ -599,17 +631,17 @@ def minhash_incremental(
         new_docs, text_col=text_col, _posting_df=new_posting
     )
     if max_bucket_size is not None:
-        hot = (
-            corpus_bands.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("m"), F.min("doc_id").alias("rep"))
-            .filter(F.col("m") > max_bucket_size)
-            .select("band", "key", "rep")
+        # Window-marked guard (see _bucket_marked): the window's
+        # (band, key) shuffle is the partitioning the corpus-vs-batch
+        # join needs anyway, so thinning is near free.
+        corpus_bands = (
+            _bucket_marked(corpus_bands, ["band", "key"])
+            .filter(
+                (F.col("m") <= max_bucket_size)
+                | (F.col("doc_id") == F.col("rep"))
+            )
+            .select("doc_id", "band", "key")
         )
-        corpus_bands = corpus_bands.join(
-            F.broadcast(hot), ["band", "key"], "left_outer"
-        ).filter(
-            F.col("rep").isNull() | (F.col("doc_id") == F.col("rep"))
-        ).select("doc_id", "band", "key")
     cands = (
         corpus_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
@@ -665,7 +697,7 @@ def simhash_near_dup(
     df: DataFrame,
     max_distance: int = 3,
     text_col: str = "text",
-    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    max_bucket_size: int | None = None,
     _posting_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_distance.
@@ -686,15 +718,19 @@ def simhash_near_dup(
     reported only through the representative. At a sane cap such
     buckets are degenerate boilerplate groups, so cluster-level
     recall is preserved (planted-bucket unit pins the bound and the
-    equivalence when the cap doesn't fire)."""
+    equivalence when the cap doesn't fire). Guard substrate:
+    ``_bucket_marked`` — a window over (chunk, val), whose shuffle is
+    the partitioning the self-join needs anyway."""
     n_chunks = max_distance + 1
     width = SIMHASH_BITS // n_chunks
     mask = (1 << width) - 1
     # Both sides of the chunk self-join derive from the fingerprint
-    # table; one side broadcasts, so exchange reuse can't kick in and
-    # without persist the posting->48-vote pipeline runs twice.
-    # (doc_id, simhash) is 16 bytes/doc — cache-friendly at any scale.
-    fp = simhash_fingerprints(df, text_col, _posting_df=_posting_df).persist()
+    # table; without persist (of the fingerprints, or of the marked
+    # chunk table when the guard is on) the posting->48-vote pipeline
+    # runs twice. 16 bytes/doc + chunk cols — cache-friendly anywhere.
+    fp = simhash_fingerprints(df, text_col, _posting_df=_posting_df)
+    if max_bucket_size is None:
+        fp = fp.persist()
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -713,25 +749,17 @@ def simhash_near_dup(
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
     if max_bucket_size is not None:
-        # min(struct) orders by doc_id first: bucket-min doc + its hash.
-        hot = (
-            chunks.groupBy("chunk", "val")
-            .agg(
-                F.count(F.lit(1)).alias("m"),
-                F.min(F.struct("doc_id", "simhash")).alias("rep"),
-            )
-            .filter(F.col("m") > max_bucket_size)
-            .select("chunk", "val", "rep.doc_id", "rep.simhash")
-            .withColumnsRenamed({"doc_id": "rep_id", "simhash": "rep_sh"})
-        )
-        small = chunks.join(F.broadcast(hot), ["chunk", "val"], "left_anti")
+        marked = _bucket_marked(chunks, ["chunk", "val"], "simhash").persist()
+        small = marked.filter(F.col("m") <= max_bucket_size)
         stars = (
-            chunks.join(F.broadcast(hot), ["chunk", "val"])
-            .filter(F.col("doc_id") != F.col("rep_id"))
+            marked.filter(
+                (F.col("m") > max_bucket_size)
+                & (F.col("doc_id") != F.col("rep"))
+            )
             .select(
-                F.col("rep_id").alias("doc_a"),
+                F.col("rep").alias("doc_a"),
                 F.col("doc_id").alias("doc_b"),
-                F.col("rep_sh").alias("sh_a"),
+                F.col("rep_simhash").alias("sh_a"),
                 F.col("simhash").alias("sh_b"),
             )
         )

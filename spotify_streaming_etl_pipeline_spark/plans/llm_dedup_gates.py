@@ -233,10 +233,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dup(_docs(spark, sf_dir), threshold=0.8)
 
 
-@query(
-    "simhash_dedup",
-    f"""
-    WITH {_NG_CTE},
+# SimHash fingerprint CTE chain (g -> h -> fp), shared by the simhash
+# gates below.
+_SIMHASH_FP = f"""
     h AS (
         SELECT doc_id,
                list_transform(ng, gr -> {_H48.format(x="gr")}) AS gh
@@ -249,7 +248,13 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                         THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
         FROM h
-    )
+    )"""
+
+
+@query(
+    "simhash_dedup",
+    f"""
+    WITH {_NG_CTE}, {_SIMHASH_FP}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -258,6 +263,139 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup(_docs(spark, sf_dir), max_distance=3)
+
+
+@query(
+    "minhash_star_guard",
+    f"""
+    WITH {_NG_CTE}, {_MINHASH_BANDS},
+    stats AS (
+        SELECT band, key, count(*) AS m, min(doc_id) AS rep
+        FROM bands GROUP BY band, key
+    ),
+    mk AS (
+        SELECT b.doc_id, b.band, b.key, s.m, s.rep
+        FROM bands b JOIN stats s ON b.band = s.band AND b.key = s.key
+    ),
+    guarded AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM mk x JOIN mk y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        WHERE x.m <= 2
+        UNION ALL
+        SELECT rep AS doc_a, doc_id AS doc_b FROM mk
+        WHERE m > 2 AND doc_id <> rep
+    )
+    SELECT DISTINCT doc_a, doc_b FROM guarded
+    """,
+)
+def minhash_star_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-LSH-bucket star guard (llm/dedup.py:
+    minhash_lsh_candidates(max_bucket_size=...)) under oracle proof
+    with a cap the data EXCEEDS (2 < the sf0.01 max bucket of 3):
+    oversized buckets emit (bucket-min -> member) star edges, small
+    buckets keep the full pair join — the DuckDB oracle mirrors the
+    split hash-for-hash. Production cap is LSH_MAX_BUCKET; this gate
+    pins the firing path, the never-firing path is pinned byte-equal
+    to the unguarded plan by the planted-bucket unit."""
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), max_bucket_size=2)
+
+
+@query(
+    "simhash_star_guard",
+    f"""
+    WITH {_NG_CTE}, {_SIMHASH_FP},
+    ch AS (
+        SELECT doc_id, simhash, c AS chunk,
+               (simhash >> (12 * c)) & 4095 AS val
+        FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS c) t
+    ),
+    stats AS (
+        SELECT chunk, val, count(*) AS m, min(doc_id) AS rep,
+               arg_min(simhash, doc_id) AS rep_sh
+        FROM ch GROUP BY chunk, val
+    ),
+    mk AS (
+        SELECT ch.doc_id, ch.simhash, ch.chunk, ch.val, s.m, s.rep, s.rep_sh
+        FROM ch JOIN stats s ON ch.chunk = s.chunk AND ch.val = s.val
+    ),
+    pr AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.simhash AS sh_a, y.simhash AS sh_b
+        FROM mk x JOIN mk y
+          ON x.chunk = y.chunk AND x.val = y.val AND x.doc_id < y.doc_id
+        WHERE x.m <= 2
+        UNION ALL
+        SELECT rep, doc_id, rep_sh, simhash FROM mk
+        WHERE m > 2 AND doc_id <> rep
+    )
+    SELECT DISTINCT doc_a, doc_b,
+           cast(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pr WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_star_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash chunk-bucket star guard (llm/dedup.py:
+    simhash_near_dup(max_bucket_size=...)) with a firing cap: chunk
+    buckets over the cap reduce to representative star edges with
+    exact per-pair hamming. Same arg_min representative (bucket-min
+    doc id) on both engines."""
+    return dedup.simhash_near_dup(
+        _docs(spark, sf_dir), max_distance=3, max_bucket_size=2
+    )
+
+
+@query(
+    "incremental_star_guard",
+    f"""
+    WITH {_NG_CTE}, {_MINHASH_BANDS},
+    cb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 5 <> 0),
+    nb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 5 = 0),
+    stats AS (
+        SELECT band, key, count(*) AS m, min(doc_id) AS rep
+        FROM cb GROUP BY band, key
+    ),
+    cbg AS (
+        SELECT cb.doc_id, cb.band, cb.key
+        FROM cb JOIN stats s ON cb.band = s.band AND cb.key = s.key
+        WHERE s.m <= 1 OR cb.doc_id = s.rep
+    ),
+    ic AS (
+        SELECT DISTINCT c.doc_id AS doc_a, n.doc_id AS doc_b
+        FROM cbg c JOIN nb n ON c.band = n.band AND c.key = n.key
+        WHERE c.doc_id <> n.doc_id
+    ),
+    iv AS (
+        SELECT ic.doc_a, ic.doc_b,
+               round(len(list_intersect(a.ng, b.ng))::DOUBLE
+                     / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))),
+                     4) AS jaccard
+        FROM ic JOIN g a ON a.doc_id = ic.doc_a
+                JOIN g b ON b.doc_id = ic.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM iv WHERE jaccard >= 0.8
+    """,
+)
+def incremental_star_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-corpus-bucket guard on batch admission (llm/dedup.py:
+    minhash_incremental(max_bucket_size=...)) with a cap of 1, so
+    EVERY multi-member corpus bucket thins to its representative: a
+    colliding batch doc is reported as a duplicate of the bucket-min
+    corpus doc only. This is the guard streaming/admission.py runs
+    with (at LSH_MAX_BUCKET); the oracle mirrors the thinning before
+    the corpus-vs-batch band join and the exact-Jaccard verify."""
+    d = _docs(spark, sf_dir)
+    new_batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    posting = dedup._posting(d, "text").persist()
+    return dedup.minhash_incremental(
+        new_batch,
+        corpus,
+        threshold=0.8,
+        max_bucket_size=1,
+        _corpus_posting_df=posting.filter(F.col("doc_id") % 5 != 0),
+        _new_posting_df=posting.filter(F.col("doc_id") % 5 == 0),
+    )
 
 
 @query(

@@ -70,6 +70,9 @@ def admit_batch(
                 corpus,
                 threshold=threshold,
                 text_col=text_col,
+                # Ingest-time data is unaudited — exactly where a
+                # boilerplate mega-bucket appears. Star-guard it.
+                max_bucket_size=dedup.LSH_MAX_BUCKET,
                 _corpus_posting_df=corpus_posting,
                 _new_posting_df=batch_posting,
             )
@@ -83,7 +86,11 @@ def admit_batch(
         batch.select("doc_id"), "doc_id", "left_semi"
     )
     pairs = dedup.minhash_near_dup(
-        batch, threshold=threshold, text_col=text_col, _posting_df=surv_posting
+        batch,
+        threshold=threshold,
+        text_col=text_col,
+        max_bucket_size=dedup.LSH_MAX_BUCKET,
+        _posting_df=surv_posting,
     )
     clusters = dedup.dup_clusters(pairs)
     non_keepers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(

@@ -123,11 +123,11 @@ def test_lsh_giant_bucket_star_guard(spark):
         for r in dedup.minhash_lsh_candidates(df, max_bucket_size=None).collect()
     }
     assert len({p for p in full if p[0] >= 100 and p[1] <= 119}) == 190
-    default = {
+    unfired = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup.minhash_lsh_candidates(df).collect()
+        for r in dedup.minhash_lsh_candidates(df, max_bucket_size=512).collect()
     }
-    assert default == full  # default cap (512) never fires here
+    assert unfired == full  # cap above every bucket -> byte-identical
 
     # Verified pairs under the cap still cluster all 20 clones together.
     verified = dedup.minhash_near_dup(df, threshold=0.9, max_bucket_size=8)
@@ -161,11 +161,11 @@ def test_simhash_giant_bucket_star_guard(spark):
         for r in dedup.simhash_near_dup(df, max_bucket_size=None).collect()
     }
     assert len({p for p in full if p[0] >= 100}) == 190
-    default = {
+    unfired = {
         (r["doc_a"], r["doc_b"])
-        for r in dedup.simhash_near_dup(df).collect()
+        for r in dedup.simhash_near_dup(df, max_bucket_size=512).collect()
     }
-    assert default == full  # default cap (512) never fires here
+    assert unfired == full  # cap above every bucket -> byte-identical
 
 
 def test_incremental_hot_corpus_bucket_thins_to_rep(spark):
