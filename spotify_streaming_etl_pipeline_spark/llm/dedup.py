@@ -374,10 +374,13 @@ LSH_MAX_BUCKET = 512
 
 
 def _bucket_marked(
-    bucketed: DataFrame, keys: list[str], *payload: str
+    bucketed: DataFrame,
+    keys: list[str],
+    *payload: str,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Annotate every row of a bucketed table with its bucket size
-    ``m``, bucket-min doc ``rep``, and (``rep_<col>``) the
+    ``m``, bucket-min id ``rep``, and (``rep_<col>``) the
     representative's payload columns — the shared substrate of the
     giant-bucket star guards, as a WINDOW over the bucket keys rather
     than an aggregate + join-back or a driver probe: one shuffle, no
@@ -389,8 +392,8 @@ def _bucket_marked(
     marginal cost is a per-partition sort, a constant that shrinks
     relative to real work at scale)."""
     w = Window.partitionBy(*keys)
-    rep = F.min(F.struct("doc_id", *payload)).over(w)
-    cols = {"m": F.count(F.lit(1)).over(w), "rep": rep["doc_id"]}
+    rep = F.min(F.struct(id_col, *payload)).over(w)
+    cols = {"m": F.count(F.lit(1)).over(w), "rep": rep[id_col]}
     for p in payload:
         cols[f"rep_{p}"] = rep[p]
     return bucketed.withColumns(cols)

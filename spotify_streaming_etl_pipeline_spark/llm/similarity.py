@@ -393,27 +393,67 @@ def embedding_near_dup(
     threshold: float = 0.45,
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
     threshold), candidates restricted to same-LSH-bucket pairs — the
     embedding-space member of the dedup family. Same-bucket blocking
     makes pairwise work ~|corpus|²/2^n_planes; recall is the standard
-    hyperplane-LSH trade-off (raise with multi-probe at scale)."""
+    hyperplane-LSH trade-off (raise with multi-probe at scale).
+
+    ``max_bucket_size`` is the giant-bucket star guard shared with the
+    text dedup family (``llm.dedup._bucket_marked``): a degenerate
+    embedding bucket (augmentation copies, zero vectors, collapsed
+    encoder outputs) makes the self-join emit m(m-1)/2 rows from one
+    key; buckets over the cap instead emit (bucket-min, member) star
+    edges with the cosine still computed exactly per emitted pair —
+    connectivity within the bucket preserved, so duplicate-group
+    assembly is unaffected. Opt-in for the same measured reason as the
+    text guards (PLANS.md round-7 economics): the window costs a
+    constant ~0.5 s/query at sf0.1 that clean corpora don't need."""
+    from .dedup import _bucket_marked
+
     bucketed = emb.select(
         "vec_id",
         F.col(vec_col).alias("vec"),
         bucket_col(F.col(vec_col), n_planes).alias("bucket"),
     )
-    a = bucketed.select(
+    if max_bucket_size is not None:
+        marked = _bucket_marked(
+            bucketed, ["bucket"], "vec", id_col="vec_id"
+        ).persist()
+        small = marked.filter(F.col("m") <= max_bucket_size)
+        stars = (
+            marked.filter(
+                (F.col("m") > max_bucket_size)
+                & (F.col("vec_id") != F.col("rep"))
+            )
+            .select(
+                F.col("rep").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                F.col("rep_vec").alias("va"),
+                F.col("vec").alias("vb"),
+            )
+        )
+    else:
+        small, stars = bucketed, None
+    a = small.select(
         F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "bucket"
     )
-    b = bucketed.select(
+    b = small.select(
         F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
     )
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select("vec_a", "vec_b", "va", "vb")
+    )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
+    return (
+        pairs.select(
+            "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

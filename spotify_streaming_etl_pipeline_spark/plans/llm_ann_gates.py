@@ -270,6 +270,47 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(_emb(spark, sf_dir), threshold=0.45)
 
 
+@query(
+    "embedding_star_guard",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT bucket, count(*) AS m, min(vec_id) AS rep,
+               arg_min(embedding, vec_id) AS rep_vec
+        FROM b GROUP BY bucket
+    ),
+    mk AS (
+        SELECT b.vec_id, b.embedding, b.bucket, s.m, s.rep, s.rep_vec
+        FROM b JOIN stats s ON b.bucket = s.bucket
+    ),
+    p AS (
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+               {_cos_sql('a.embedding', 'c.embedding')} AS cosine
+        FROM mk a JOIN mk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE a.m <= 4
+        UNION ALL
+        SELECT rep AS vec_a, vec_id AS vec_b,
+               {_cos_sql('rep_vec', 'embedding')} AS cosine
+        FROM mk WHERE m > 4 AND vec_id <> rep
+    )
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.45
+    """,
+)
+def embedding_star_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-bucket star guard on the embedding-space dedup
+    (llm/similarity.py:embedding_near_dup(max_bucket_size=...)) with a
+    cap the sf0.01 bucket distribution EXCEEDS (4 < max observed 11):
+    oversized hyperplane buckets reduce to (bucket-min, member) star
+    edges, cosine computed exactly per emitted pair; the DuckDB oracle
+    mirrors the thinning with the same arg_min representative."""
+    return similarity.embedding_near_dup(
+        _emb(spark, sf_dir), threshold=0.45, max_bucket_size=4
+    )
+
+
 _PROBE_MASKS = "[" + ", ".join(
     str(m) for m in [0] + [1 << p for p in range(similarity.N_PLANES)]
 ) + "]"

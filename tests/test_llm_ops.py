@@ -240,6 +240,37 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
     assert all(r["q_id"] == 0 for r in out)
 
 
+def test_embedding_giant_bucket_star_guard(spark):
+    """20 identical embeddings share one hyperplane bucket; the cap
+    must reduce it to 19 star edges (cosine exact, 1.0 to the rep)
+    while a non-firing cap stays byte-identical to unguarded."""
+    base = [float((i * 7) % 13 - 6) for i in range(64)]
+    other = [float((i * 11) % 17 - 8) for i in range(64)]
+    rows = [(100 + i, base) for i in range(20)] + [(200, other)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.embedding_near_dup(
+            emb, threshold=0.9, max_bucket_size=8
+        ).collect()
+    }
+    star = {(100, 100 + i) for i in range(1, 20)}
+    assert {p for p in capped if p[0] >= 100 and p[1] <= 119} == star
+    assert all(capped[p] == 1.0 for p in star)
+    full = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup(emb, threshold=0.9).collect()
+    }
+    assert len({p for p in full if p[0] >= 100 and p[1] <= 119}) == 190
+    unfired = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup(
+            emb, threshold=0.9, max_bucket_size=512
+        ).collect()
+    }
+    assert unfired == full
+
+
 def test_lsh_bucket_deterministic(spark):
     emb = spark.createDataFrame(
         [(0, [float(i) for i in range(64)])], "vec_id: long, embedding: array<float>"
