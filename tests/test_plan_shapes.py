@@ -92,11 +92,17 @@ def test_minhash_verify_path_is_array_free(spark, sf_dir, queries):
     assert "ObjectHashAggregate" not in plan
 
 
-def test_doc_freq_cap_is_broadcast_anti_join(spark, sf_dir, queries):
-    """The df cap must apply as a broadcast anti-join on the tiny
-    hot-key set — never a full shuffle of the posting table."""
+def test_doc_freq_cap_is_bucket_fold(spark, sf_dir, queries):
+    """The df cap must apply through the posting_buckets fold (one
+    collect_list aggregation with a size filter, pairs from a
+    within-row explode) — no self-join of the posting table and no
+    separate hot-key anti-join pass (the r7 explode rewrite; the old
+    cap_doc_freq broadcast-anti-join form is kept only for callers
+    that need a thinned posting TABLE back)."""
     plan = _plan(queries["ngram_jaccard_capped"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "collect_list" in plan  # the bucket fold
+    assert "LeftAnti" not in plan  # no second cap pass
+    assert "CartesianProduct" not in plan
 
 
 def test_dedup_queries_have_no_cartesian(spark, sf_dir, queries):
@@ -105,6 +111,19 @@ def test_dedup_queries_have_no_cartesian(spark, sf_dir, queries):
                  "copurchase_pagerank", "embedding_covariance"):
         plan = _plan(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} degenerates to cartesian"
+
+
+def test_star_guards_are_window_marked_not_broadcast(spark, sf_dir, queries):
+    """The giant-bucket guards must stay in their measured shape: ONE
+    Window over the bucket keys (no broadcast hot-set job, no driver
+    probe, no collect_list membership arrays) and no cartesian fallback
+    on the thinned self-join."""
+    for name in ("minhash_star_guard", "simhash_star_guard",
+                 "incremental_star_guard", "embedding_star_guard"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "Window" in plan, f"{name} lost its _bucket_marked window"
+        assert "CartesianProduct" not in plan, f"{name} degenerates to cartesian"
+        assert "collect_list" not in plan, f"{name} materializes bucket arrays"
 
 
 def test_docs_scan_fans_out(spark, sf_dir, queries):
