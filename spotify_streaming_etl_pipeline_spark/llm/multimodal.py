@@ -16,10 +16,13 @@ all feed the feature stages, tested on real byte strings, and
 channel count) feeds ``wav_features`` the same way, and
 ``avi_frames`` / ``mp4_frames`` walk the RIFF/AVI chunk tree and the
 ISO-BMFF sample tables (stsz/stsc/stco/co64/stss) to sample real
-video frame payloads without decoding them. The remaining surfaces
-(JPEG pixel decode, compressed audio, mkv/webm demux) raise
-NotImplementedError from ``decode_image`` / ``sample_frames``
-because their codecs aren't in this container — nothing fabricates
+video frame payloads without decoding them. Baseline JPEG decodes for
+real too (``llm/jpeg.py``: DQT/DHT/DRI marker walk, byte-stuffed
+Huffman entropy decode, dequant + exact IDCT, JFIF YCbCr->RGB) behind
+``jpeg_features``. The remaining surfaces (progressive/subsampled
+JPEG, compressed audio, mkv/webm demux) raise NotImplementedError
+from ``decode_image`` / ``decode_jpeg`` / ``sample_frames`` because
+their codecs aren't in this container — nothing fabricates
 pseudo-frames;
 ``extract_blob_features`` computes a deterministic byte-level feature
 set (length, first byte, md5) so the Spark-side plumbing — schema,
@@ -37,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -488,6 +492,88 @@ def png_features(media: DataFrame) -> DataFrame:
 
     return media.select("doc_id", "blob").mapInPandas(
         _png_batch, schema=PNG_FEATURE_SCHEMA
+    )
+
+
+JPEG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Real baseline JPEG pixel decode in the standard multimodal
+    plumbing (same contract as ``png_features``): Arrow-batched
+    mapInPandas, blobs decoded with ``llm.jpeg.decode_jpeg`` into
+    (width, height, channels, mean pixel), poison blobs — corrupt
+    streams, progressive scans, truncated entropy data — null out
+    instead of killing the task (dead-letter contract). Mean is a
+    DOUBLE (rounded to 4) because decoded pixel means are generally
+    fractional, unlike the constant-pixel PNG/BMP/GIF corpora."""
+
+    def _jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from .jpeg import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    img = decode_jpeg(blob)
+                    mean = round(
+                        sum(img["pixels"]) / max(1, len(img["pixels"])), 4
+                    )
+                    rows.append(
+                        (doc_id, img["width"], img["height"],
+                         img["channels"], mean)
+                    )
+                except (ValueError, NotImplementedError, IndexError,
+                        struct.error):
+                    rows.append((doc_id, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "mean_pixel"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _jpeg_batch, schema=JPEG_FEATURE_SCHEMA
+    )
+
+
+def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-JPEG corpus from doc ids (the synthesized-
+    real-bytes gate discipline): grayscale baseline JPEGs of solid
+    8x8 blocks — block b (row-major) holds value base + b with
+    base = (doc_id*17) % 200 — encoded through the full entropy
+    pipeline (``llm.jpeg.encode_jpeg``, flat-8 quant). Solid blocks
+    make the DC round-trip EXACT (DC = 8*(v-128) quantized by 8), so
+    ``jpeg_features`` decodes means that are exact rational functions
+    of doc_id: base + (n_blocks - 1) / 2."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                wb, hb = 1 + i % 3, 1 + i % 2
+                base = (i * 17) % 200
+                img = [
+                    [base + (y // 8) * wb + (x // 8) for x in range(8 * wb)]
+                    for y in range(8 * hb)
+                ]
+                blobs.append(encode_jpeg([img]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
     )
 
 
@@ -1052,12 +1138,17 @@ def decode_image(blob: bytes) -> object:
             return decode_bmp(blob)
         if bytes(blob[:6]) in (b"GIF87a", b"GIF89a"):
             return decode_gif(blob)
+        if bytes(blob[:2]) == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(blob)
         raise NotImplementedError(
             "decode for this format requires an image library (e.g. Pillow); "
-            "only PNG, BMP, and GIF decode via the built-in pure-python "
-            "paths. Plug a real decoder into the mapInPandas batch function "
-            "(extract_blob_features / png_features) — the Spark plumbing "
-            "(schema, Arrow batching, partitioning) is decoder-agnostic."
+            "only PNG, BMP, GIF, and baseline JPEG decode via the built-in "
+            "pure-python paths. Plug a real decoder into the mapInPandas "
+            "batch function (extract_blob_features / png_features) — the "
+            "Spark plumbing (schema, Arrow batching, partitioning) is "
+            "decoder-agnostic."
         ) from None
 
 

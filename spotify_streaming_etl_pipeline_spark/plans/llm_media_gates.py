@@ -118,6 +118,32 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jpeg_image_features",
+    """
+    SELECT doc_id,
+           cast(8 * (1 + doc_id % 3) AS BIGINT) AS width,
+           cast(8 * (1 + doc_id % 2) AS BIGINT) AS height,
+           cast(1 AS BIGINT) AS channels,
+           round((doc_id * 17) % 200
+                 + ((1 + doc_id % 3) * (1 + doc_id % 2) - 1) / 2.0,
+                 4) AS mean_pixel
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode behind an oracle gate: synthesize a
+    genuine baseline JPEG per doc — full entropy pipeline: forward
+    DCT, flat-8 quantization, zigzag RLE, canonical Huffman from DHT,
+    byte stuffing (llm/jpeg.py:encode_jpeg via synth_jpeg_corpus) —
+    then decode through ``jpeg_features`` (marker walk, Huffman,
+    dequant, exact IDCT). Solid 8x8 blocks make the DC round-trip
+    exact, so DuckDB predicts width/height/channels and the
+    fractional mean (base + (n_blocks-1)/2) arithmetically."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.jpeg_features(multimodal.synth_jpeg_corpus(d))
+
+
+@query(
     "gif_image_features",
     """
     SELECT doc_id,

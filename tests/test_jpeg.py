@@ -1,0 +1,127 @@
+"""Unit tests for the pure-python baseline JPEG codec (llm/jpeg.py):
+exact solid-block round-trips, bounded lossy error, restart markers,
+4:4:4 color conversion, honest NotImplementedError boundaries, and the
+dead-letter contract of the Spark feature stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spotify_streaming_etl_pipeline_spark.llm import multimodal
+from spotify_streaming_etl_pipeline_spark.llm.jpeg import (
+    _ZZ,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _solid_image(wb: int, hb: int, base: int) -> np.ndarray:
+    img = np.zeros((hb * 8, wb * 8), dtype=int)
+    for by in range(hb):
+        for bx in range(wb):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                base + by * wb + bx
+            )
+    return img
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(_ZZ) == list(range(64))
+    # spec anchors: DC first, then (0,1), (1,0), (2,0), (1,1), (0,2)
+    assert _ZZ[:6] == [0, 1, 8, 16, 9, 2]
+    assert _ZZ[-1] == 63
+
+
+def test_solid_blocks_roundtrip_exactly():
+    img = _solid_image(3, 2, 41)
+    out = decode_jpeg(encode_jpeg([img]))
+    assert (out["width"], out["height"], out["channels"]) == (24, 16, 1)
+    assert np.array(out["pixels"]).reshape(16, 24).tolist() == img.tolist()
+
+
+def test_lossy_roundtrip_error_is_bounded():
+    """With a flat-1 quant table the only loss is coefficient rounding
+    (each of 64 coefs by <= 0.5), which bounds per-pixel error by the
+    basis-magnitude sum — assert a conservative <= 3."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 16))
+    dec = np.array(
+        decode_jpeg(encode_jpeg([img], quant=[1] * 64))["pixels"]
+    ).reshape(24, 16)
+    assert np.abs(dec - img).max() <= 3
+
+
+def test_restart_markers_reset_predictors():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 32))
+    plain = decode_jpeg(encode_jpeg([img], quant=[1] * 64))["pixels"]
+    rst = decode_jpeg(
+        encode_jpeg([img], quant=[1] * 64, restart_interval=3)
+    )["pixels"]
+    assert rst == plain
+
+
+def test_color_444_converts_ycbcr_to_rgb():
+    y, cb, cr = 120, 100, 140
+    planes = [np.full((8, 8), v) for v in (y, cb, cr)]
+    out = decode_jpeg(encode_jpeg(planes))
+    assert out["channels"] == 3
+    px = np.array(out["pixels"]).reshape(8, 8, 3)
+    exp = [
+        int(np.clip(round(y + 1.402 * (cr - 128)), 0, 255)),
+        int(np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255)),
+        int(np.clip(round(y + 1.772 * (cb - 128)), 0, 255)),
+    ]
+    assert px[0, 0].tolist() == exp
+    assert (px == px[0, 0]).all()  # solid in, solid out
+
+
+def test_progressive_and_subsampled_refuse_honestly():
+    blob = bytearray(encode_jpeg([_solid_image(1, 1, 50)]))
+    i = blob.find(b"\xff\xc0")
+    prog = bytearray(blob)
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(blob)
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nf(1) then cid, HV, tq —
+    # set the HV byte to 0x22 (2x2 sampling).
+    sub[i + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(sub))
+
+
+def test_truncated_and_garbage_blobs_raise_cleanly():
+    blob = encode_jpeg([_solid_image(2, 2, 60)])
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg at all")
+
+
+def test_decode_image_routes_jpeg():
+    img = _solid_image(1, 1, 77)
+    out = multimodal.decode_image(encode_jpeg([img]))
+    # Pillow absent in this container -> the pure-python path; either
+    # way the decoded content must match.
+    if isinstance(out, dict):
+        assert out["width"] == 8 and set(out["pixels"]) == {77}
+
+
+def test_jpeg_features_dead_letters_poison_blobs(spark):
+    rows = [(0,), (1,)]
+    docs = spark.createDataFrame(rows, "doc_id: long")
+    media = multimodal.synth_jpeg_corpus(docs)
+    poisoned = media.unionByName(
+        spark.createDataFrame(
+            [(99, bytearray(b"\xff\xd8garbage"))], "doc_id: long, blob: binary"
+        )
+    )
+    got = {
+        r["doc_id"]: (r["width"], r["mean_pixel"])
+        for r in multimodal.jpeg_features(poisoned).collect()
+    }
+    assert got[99] == (None, None)  # poison nulls out, task survives
+    assert got[0][0] == 8 and got[0][1] == 0.0  # doc 0: base 0, 1 block
+    assert got[1][0] == 16 and got[1][1] == 18.5  # base 17, 4 blocks

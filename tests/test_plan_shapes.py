@@ -40,7 +40,8 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
     in the media queries, where Python IS the decoder."""
     media_queries = {"multimodal_features", "wav_audio_features",
                      "bmp_image_features", "png_image_features",
-                     "gif_image_features", "video_frame_summary"}
+                     "gif_image_features", "jpeg_image_features",
+                     "video_frame_summary"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
