@@ -979,10 +979,10 @@ FRAME_FEATURE_SCHEMA = StructType(
 
 def video_frame_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
     """Frame-sampling summary through the standard multimodal plumbing:
-    ``sample_frames`` demuxes each blob (RIFF/AVI chunk walk or
-    ISO-BMFF sample tables) and the stage reports frame count, total
-    payload bytes, and the first frame's first byte; undemuxable blobs
-    null out (dead-letter contract)."""
+    ``sample_frames`` demuxes each blob (RIFF/AVI chunk walk, ISO-BMFF
+    sample tables, or EBML/Matroska cluster walk) and the stage
+    reports frame count, total payload bytes, and the first frame's
+    first byte; undemuxable blobs null out (dead-letter contract)."""
 
     def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1063,6 +1063,49 @@ def synth_video_corpus(docs: DataFrame) -> DataFrame:
                     bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
                 ]
                 blobs.append(_avi(frames) if i % 2 == 0 else _mp4(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def synth_mkv_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic Matroska corpus from doc ids: a real EBML stream
+    (EBML header element, Segment, one Cluster with a Timestamp and
+    one keyframe SimpleBlock per frame — marker-bit varint ids and
+    minimal-length size varints throughout), SAME frame payload
+    formula as ``synth_video_corpus`` so the mkv walk is gated by the
+    same arithmetic oracle: frame j of doc i is
+    bytes([(i + j) % 256]) * (10 + j), frame count 3 + i % 6."""
+
+    def _size(n: int) -> bytes:
+        for ln in range(1, 9):
+            if n < (1 << (7 * ln)) - 1:
+                return (n | (1 << (7 * ln))).to_bytes(ln, "big")
+        raise ValueError("EBML size too large")
+
+    def _elem(eid: bytes, body: bytes) -> bytes:
+        return eid + _size(len(body)) + body
+
+    def _mkv(frames: list[bytes]) -> bytes:
+        header = _elem(_EBML_SIG, _elem(b"\x42\x86", b"\x01"))  # EBMLVersion
+        blocks = b"".join(
+            _elem(b"\xa3", b"\x81" + b"\x00\x00" + b"\x80" + f)
+            for f in frames
+        )
+        cluster = _elem(b"\x1f\x43\xb6\x75", _elem(b"\xe7", b"\x00") + blocks)
+        return header + _elem(b"\x18\x53\x80\x67", cluster)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                frames = [
+                    bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
+                ]
+                blobs.append(_mkv(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.select("doc_id").mapInPandas(
@@ -1354,19 +1397,111 @@ def mp4_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
     return frames
 
 
+_EBML_SIG = b"\x1a\x45\xdf\xa3"  # EBML header element id (mkv/webm)
+
+
+def _ebml_vint(blob: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-length integer at ``pos`` -> (value,
+    next_pos). Element IDs keep their length-marker bit (Matroska ids
+    are conventionally quoted with it); data sizes strip it."""
+    first = blob[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (no length marker in 8 bits)")
+    length = 9 - first.bit_length()
+    if pos + length > len(blob):
+        raise ValueError("EBML varint overruns the buffer")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for b in blob[pos + 1 : pos + length]:
+        v = (v << 8) | b
+    return v, pos + length
+
+
+def _ebml_elements(blob: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for each EBML element
+    in [start, end). An all-ones size means "unknown" (streamed
+    Matroska): the element extends to its container's end."""
+    pos = start
+    while pos < end:
+        eid, p = _ebml_vint(blob, pos, keep_marker=True)
+        size, body = _ebml_vint(blob, p, keep_marker=False)
+        if size == (1 << (7 * (body - p))) - 1:
+            body_end = end
+        else:
+            body_end = body + size
+        if body_end > end:
+            raise ValueError("EBML element overruns its container")
+        yield eid, body, body_end
+        pos = body_end
+
+
+def mkv_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
+    """REAL pure-stdlib Matroska/WebM keyframe sampling: EBML varint
+    walk down Segment -> Cluster -> SimpleBlock / BlockGroup. A
+    SimpleBlock is a keyframe iff its header flag 0x80 is set; a
+    BlockGroup's Block is a keyframe iff the group carries no
+    ReferenceBlock. Frame PAYLOADS are returned as stored (compressed
+    video samples) — sampling never decodes what it skips. Laced
+    blocks (Xiph/EBML/fixed lacing packs several frames per block)
+    raise NotImplementedError rather than mis-splitting payloads;
+    unknown-size elements (live-streamed Matroska) are handled."""
+    blob = bytes(blob)
+    if blob[:4] != _EBML_SIG:
+        raise ValueError("not an EBML (mkv/webm) byte string")
+    frames: list[bytes] = []
+
+    def block(body: int, body_end: int) -> tuple[bool, bytes]:
+        _track, p = _ebml_vint(blob, body, keep_marker=False)
+        p += 2  # int16 timestamp relative to the cluster
+        flags = blob[p]
+        p += 1
+        if flags & 0x06:
+            raise NotImplementedError(
+                "laced Matroska blocks (multiple frames per block) need "
+                "lace-size parsing; refusing to mis-split payloads"
+            )
+        return bool(flags & 0x80), blob[p:body_end]
+
+    for eid, body, bend in _ebml_elements(blob, 0, len(blob)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for eid2, b2, e2 in _ebml_elements(blob, body, bend):
+            if eid2 != 0x1F43B675:  # Cluster
+                continue
+            for eid3, b3, e3 in _ebml_elements(blob, b2, e2):
+                if len(frames) >= max_frames * every:
+                    break
+                if eid3 == 0xA3:  # SimpleBlock
+                    key, payload = block(b3, e3)
+                    if key:
+                        frames.append(payload)
+                elif eid3 == 0xA0:  # BlockGroup
+                    payload, has_ref = None, False
+                    for eid4, b4, e4 in _ebml_elements(blob, b3, e3):
+                        if eid4 == 0xA1:  # Block (flag bits reserved)
+                            payload = block(b4, e4)[1]
+                        elif eid4 == 0xFB:  # ReferenceBlock -> delta frame
+                            has_ref = True
+                    if payload is not None and not has_ref:
+                        frames.append(payload)
+    return frames[::every][:max_frames]
+
+
 def sample_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
     """Frame sampling for opaque video payloads: REAL container walks
-    for AVI (``avi_frames``, RIFF chunk tree) and mp4/mov
-    (``mp4_frames``, ISO-BMFF sample tables).  Unknown containers
-    (mkv/webm need an EBML demuxer) raise NotImplementedError — a
-    sampler must never fabricate pseudo-frames from byte slices."""
+    for AVI (``avi_frames``, RIFF chunk tree), mp4/mov
+    (``mp4_frames``, ISO-BMFF sample tables), and mkv/webm
+    (``mkv_frames``, EBML cluster walk).  Unknown containers raise
+    NotImplementedError — a sampler must never fabricate pseudo-frames
+    from byte slices."""
     if bytes(blob[:4]) == b"RIFF" and bytes(blob[8:12]) == b"AVI ":
         return avi_frames(blob, every=every, max_frames=max_frames)
     if len(blob) >= 12 and bytes(blob[4:8]) == b"ftyp":
         return mp4_frames(blob, every=every, max_frames=max_frames)
+    if bytes(blob[:4]) == _EBML_SIG:
+        return mkv_frames(blob, every=every, max_frames=max_frames)
     raise NotImplementedError(
-        "sample_frames demuxes AVI (RIFF) and mp4/mov (ISO-BMFF); other "
-        "containers need a real demuxer (mkv/webm: EBML). Plug one into "
-        "the mapInPandas batch function — the Spark plumbing is "
+        "sample_frames demuxes AVI (RIFF), mp4/mov (ISO-BMFF), and "
+        "mkv/webm (EBML); other containers need a real demuxer. Plug one "
+        "into the mapInPandas batch function — the Spark plumbing is "
         "container-agnostic."
     )

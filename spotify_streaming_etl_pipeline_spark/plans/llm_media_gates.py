@@ -188,3 +188,29 @@ def video_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     on half the rows."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return multimodal.video_frame_features(multimodal.synth_video_corpus(d))
+
+
+@query(
+    "mkv_frame_summary",
+    """
+    SELECT doc_id,
+           cast(3 + doc_id % 6 AS BIGINT) AS n_frames,
+           cast(10 * (3 + doc_id % 6)
+                + (3 + doc_id % 6) * (3 + doc_id % 6 - 1) / 2 AS BIGINT)
+               AS total_frame_bytes,
+           cast(doc_id % 256 AS BIGINT) AS first_frame_byte
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def mkv_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD real container demux behind the same arithmetic
+    oracle: every doc synthesizes a genuine Matroska stream —
+    marker-bit EBML varint ids, minimal-length size varints, Segment/
+    Cluster/SimpleBlock structure (llm/multimodal.py:
+    synth_mkv_corpus) — and ``video_frame_features`` routes it through
+    ``sample_frames`` to the EBML cluster walk (``mkv_frames``).
+    Identical frame-payload formula to ``video_frame_summary``, so the
+    oracle SQL is shared arithmetic and any varint/flag mis-parse
+    breaks the hash."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.video_frame_features(multimodal.synth_mkv_corpus(d))

@@ -989,6 +989,61 @@ def test_avi_frames_rejects_garbage():
         multimodal.avi_frames(b"RIFFxxxxWAVE")  # a WAV is not an AVI
 
 
+def _ebml_size(n: int) -> bytes:
+    for ln in range(1, 9):
+        if n < (1 << (7 * ln)) - 1:
+            return (n | (1 << (7 * ln))).to_bytes(ln, "big")
+    raise ValueError
+
+
+def _ebml(eid: bytes, body: bytes) -> bytes:
+    return eid + _ebml_size(len(body)) + body
+
+
+def _encode_mkv(blocks: bytes, unknown_size: bool = False) -> bytes:
+    header = _ebml(multimodal._EBML_SIG, _ebml(b"\x42\x86", b"\x01"))
+    cluster = _ebml(b"\x1f\x43\xb6\x75", _ebml(b"\xe7", b"\x00") + blocks)
+    if unknown_size:
+        return header + b"\x18\x53\x80\x67" + b"\xff" + cluster
+    return header + _ebml(b"\x18\x53\x80\x67", cluster)
+
+
+def test_mkv_frames_keyframe_selection():
+    """SimpleBlock keyframes (flag 0x80) and BlockGroups WITHOUT a
+    ReferenceBlock are kept; delta SimpleBlocks and referenced
+    BlockGroups are skipped — the Matroska keyness rules."""
+    f0, f1, f2 = b"frame-zero", b"group-key-frame", b"frame-two!"
+    blocks = (
+        _ebml(b"\xa3", b"\x81\x00\x00\x80" + f0)
+        + _ebml(b"\xa3", b"\x81\x00\x00\x00" + b"DELTA-SB")
+        + _ebml(b"\xa0", _ebml(b"\xa1", b"\x81\x00\x00\x00" + f1))
+        + _ebml(
+            b"\xa0",
+            _ebml(b"\xa1", b"\x81\x00\x00\x00" + b"DELTA-BG")
+            + _ebml(b"\xfb", b"\x81"),
+        )
+        + _ebml(b"\xa3", b"\x81\x00\x00\x80" + f2)
+    )
+    got = multimodal.mkv_frames(_encode_mkv(blocks))
+    assert got == [f0, f1, f2]
+    assert multimodal.mkv_frames(_encode_mkv(blocks), every=2) == [f0, f2]
+    assert multimodal.sample_frames(_encode_mkv(blocks), max_frames=2) == [f0, f1]
+
+
+def test_mkv_frames_unknown_size_segment_and_refusals():
+    f0 = b"streamed-frame"
+    blocks = _ebml(b"\xa3", b"\x81\x00\x00\x80" + f0)
+    assert multimodal.mkv_frames(_encode_mkv(blocks, unknown_size=True)) == [f0]
+    with pytest.raises(NotImplementedError, match="lace"):
+        multimodal.mkv_frames(
+            _encode_mkv(_ebml(b"\xa3", b"\x81\x00\x00\x86xx"))
+        )
+    with pytest.raises(ValueError):
+        multimodal.mkv_frames(b"not ebml at all")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"unknowncontainerbytes")
+
+
 def test_decode_image_dispatches_bmp():
     try:
         import PIL  # noqa: F401

@@ -41,7 +41,7 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
     media_queries = {"multimodal_features", "wav_audio_features",
                      "bmp_image_features", "png_image_features",
                      "gif_image_features", "jpeg_image_features",
-                     "video_frame_summary"}
+                     "video_frame_summary", "mkv_frame_summary"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
