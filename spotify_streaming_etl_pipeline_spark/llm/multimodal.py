@@ -12,18 +12,19 @@ Decode status: PNG, BMP, and GIF decode are REAL and dependency-free —
 padding and bottom-up order handled), and ``decode_gif`` (full
 variable-width LZW, global/local palettes, four-pass de-interlace)
 all feed the feature stages, tested on real byte strings, and
-``decode_wav`` (struct; RIFF chunk walk, 8/16-bit integer PCM, any
-channel count) feeds ``wav_features`` the same way, and
-``avi_frames`` / ``mp4_frames`` walk the RIFF/AVI chunk tree and the
-ISO-BMFF sample tables (stsz/stsc/stco/co64/stss) to sample real
-video frame payloads without decoding them. Baseline JPEG decodes for
-real too (``llm/jpeg.py``: DQT/DHT/DRI marker walk, byte-stuffed
-Huffman entropy decode, dequant + exact IDCT, JFIF YCbCr->RGB) behind
+``decode_wav`` (struct; RIFF chunk walk; 8/16-bit integer PCM any
+channel count, G.711 mu-law/A-law companding expansion, mono IMA
+ADPCM) feeds ``wav_features`` the same way, and ``avi_frames`` /
+``mp4_frames`` / ``mkv_frames`` walk the RIFF/AVI chunk tree, the
+ISO-BMFF sample tables (stsz/stsc/stco/co64/stss), and the EBML
+cluster tree (Matroska keyness rules) to sample real video frame
+payloads without decoding them. Baseline JPEG decodes for real too
+(``llm/jpeg.py``: DQT/DHT/DRI marker walk, byte-stuffed Huffman
+entropy decode, dequant + exact IDCT, JFIF YCbCr->RGB) behind
 ``jpeg_features``. The remaining surfaces (progressive/subsampled
-JPEG, compressed audio, mkv/webm demux) raise NotImplementedError
-from ``decode_image`` / ``decode_jpeg`` / ``sample_frames`` because
-their codecs aren't in this container — nothing fabricates
-pseudo-frames;
+JPEG, mp3/FLAC, laced Matroska blocks, multi-channel ADPCM) raise
+NotImplementedError because their codecs aren't in this container —
+nothing fabricates pseudo-frames;
 ``extract_blob_features`` computes a deterministic byte-level feature
 set (length, first byte, md5) so the Spark-side plumbing — schema,
 batch shape, partitioning — is oracle-testable end to end regardless
@@ -577,15 +578,81 @@ def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ulaw_expand(b: int) -> int:
+    """G.711 mu-law companding expansion: one byte -> linear 16-bit."""
+    u = ~b & 0xFF
+    s = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    return -s if u & 0x80 else s
+
+
+def _alaw_expand(b: int) -> int:
+    """G.711 A-law companding expansion: one byte -> linear 16-bit.
+    The transmitted sign bit 1 means POSITIVE in A-law (0xD5 -> +8,
+    0x55 -> -8) — the opposite of what the even-bit XOR suggests."""
+    a = b ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    s = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return s if a & 0x80 else -s
+
+
+# IMA/DVI ADPCM tables (public spec constants). The step table's
+# defining property — geometric ~1.1x growth from 7 to 32767 over 89
+# entries — is asserted by a unit test so a transcription typo cannot
+# survive (a self-consistent encode/decode round-trip alone would).
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> list[int]:
+    """Mono IMA ADPCM block decode: each block is a 4-byte header
+    (int16 predictor = sample 0, uint8 step index, reserved) followed
+    by 4-bit nibbles, low nibble first."""
+    import struct
+
+    out: list[int] = []
+    for bs in range(0, len(data) - block_align + 1, block_align):
+        pred, index, _ = struct.unpack_from("<hBB", data, bs)
+        index = max(0, min(88, index))
+        out.append(pred)
+        for byte in data[bs + 4 : bs + block_align]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[index]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
+                out.append(pred)
+    return out
+
+
 def decode_wav(blob: bytes) -> dict:
     """REAL pure-stdlib RIFF/WAVE decode (struct only): walks the
     chunk list (word-aligned), parses the ``fmt `` chunk, and returns
-    integer PCM — 8-bit unsigned (offset-128 centered on return) and
-    16-bit signed little-endian, any channel count. Returns
-    {"sample_rate", "channels", "bits", "n_samples", "samples"} with
-    samples as a flat channel-interleaved list of centered ints and
-    n_samples = frames per channel. Compressed WAVs (a-law, mp3-in-
-    RIFF, ...) raise NotImplementedError — they need a real codec."""
+    integer samples for integer PCM (8-bit unsigned offset-128
+    centered on return / 16-bit signed LE, any channel count) AND the
+    compressed-in-RIFF codecs: G.711 A-law (format 6) and mu-law
+    (format 7) companding expansion to linear 16-bit, and mono
+    IMA/DVI ADPCM (format 0x11) block decode. Returns {"sample_rate",
+    "channels", "bits", "n_samples", "samples"} with samples as a
+    flat channel-interleaved list of centered ints and n_samples =
+    frames per channel. Remaining compressed WAVs (mp3-in-RIFF,
+    multi-channel ADPCM, ...) raise NotImplementedError — they need a
+    real codec."""
     import struct
 
     if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
@@ -612,20 +679,42 @@ def decode_wav(blob: bytes) -> dict:
     )
     if block_align == 0:
         raise ValueError("WAVE fmt chunk declares block_align=0")
-    if audio_format != 1:
+    if audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise ValueError(f"G.711 WAVE declares {bits}-bit samples")
+        expand = _alaw_expand if audio_format == 6 else _ulaw_expand
+        n_samples = len(data) // block_align
+        data = data[: n_samples * block_align]
+        samples = [expand(b) for b in data]
+    elif audio_format == 0x11:  # IMA/DVI ADPCM
+        if channels != 1:
+            raise NotImplementedError(
+                "multi-channel IMA ADPCM (per-channel 4-byte interleave)"
+            )
+        if block_align < 5:
+            raise ValueError("IMA ADPCM block_align too small")
+        samples = _ima_adpcm_decode(data, block_align)
+        n_samples = len(samples)
+    elif audio_format != 1:
         raise NotImplementedError(
-            f"decode_wav supports integer PCM (format 1); got {audio_format}"
+            "decode_wav supports integer PCM (1), G.711 a-law/mu-law "
+            f"(6/7), and mono IMA ADPCM (0x11); got {audio_format}"
         )
-    if bits not in (8, 16):
-        raise NotImplementedError(f"decode_wav supports 8/16-bit PCM; got {bits}")
-    n_samples = len(data) // block_align
-    data = data[: n_samples * block_align]
-    if bits == 8:
-        samples = [b - 128 for b in data]  # 8-bit WAV is unsigned
     else:
-        samples = list(
-            struct.unpack(f"<{len(data) // 2}h", data[: (len(data) // 2) * 2])
-        )
+        if bits not in (8, 16):
+            raise NotImplementedError(
+                f"decode_wav supports 8/16-bit PCM; got {bits}"
+            )
+        n_samples = len(data) // block_align
+        data = data[: n_samples * block_align]
+        if bits == 8:
+            samples = [b - 128 for b in data]  # 8-bit WAV is unsigned
+        else:
+            samples = list(
+                struct.unpack(
+                    f"<{len(data) // 2}h", data[: (len(data) // 2) * 2]
+                )
+            )
     return {
         "sample_rate": rate,
         "channels": channels,
@@ -769,6 +858,39 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
                 fmt = struct.pack(
                     "<HHIIHH", 1, channels, rate, rate * block, block, bits
                 )
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                blobs.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def synth_g711_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic G.711-compressed RIFF/WAVE corpus from doc ids:
+    even docs get mu-law (format 7), odd docs A-law (format 6), every
+    payload a CONSTANT companded byte v = doc_id % 256 — so the
+    expanded linear samples all share one magnitude and the integer
+    RMS ``wav_features`` computes equals |expand(v)| exactly, which
+    DuckDB reproduces with the same bit arithmetic. This gates the
+    companding tables themselves, not just the RIFF walk."""
+    import struct
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                fmt_tag = 7 if i % 2 == 0 else 6
+                n = 80 + (i % 5) * 20
+                data = bytes([i % 256]) * n
+                fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 8000, 1, 8)
                 chunks = (
                     b"fmt " + struct.pack("<I", len(fmt)) + fmt
                     + b"data" + struct.pack("<I", len(data)) + data

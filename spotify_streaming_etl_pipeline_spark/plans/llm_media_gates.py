@@ -118,6 +118,52 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g711_audio_features",
+    """
+    WITH v AS (
+        SELECT doc_id, doc_id % 256 AS b,
+               80 + (doc_id % 5) * 20 AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    mag AS (
+        SELECT doc_id, n,
+               CASE WHEN doc_id % 2 = 0 THEN
+                   -- mu-law expansion magnitude of byte b
+                   ((((255 - b) % 16) * 8 + 132)
+                    * (1 << (((255 - b) // 16) % 8))) - 132
+               ELSE
+                   -- A-law expansion magnitude of byte b
+                   CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                        THEN (xor(b, 85) % 16) * 16 + 8
+                        ELSE ((xor(b, 85) % 16) * 16 + 264)
+                             * (1 << ((xor(b, 85) // 16) % 8 - 1))
+                   END
+               END AS m
+        FROM v
+    )
+    SELECT doc_id,
+           cast(8000 AS BIGINT) AS sample_rate,
+           cast(1 AS BIGINT) AS channels,
+           cast(n AS BIGINT) AS n_samples,
+           cast(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+           cast(m AS BIGINT) AS rms
+    FROM mag
+    """,
+)
+def g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode behind an oracle gate: G.711
+    mu-law (even docs) and A-law (odd docs) WAVs with a constant
+    companded byte (llm/multimodal.py:synth_g711_corpus) decode
+    through ``wav_features``' companding expansion
+    (``_ulaw_expand``/``_alaw_expand``), and DuckDB reproduces the
+    expansion magnitude with the same bit arithmetic — constant
+    magnitude makes the integer RMS exactly |expand(byte)|. A wrong
+    bias, shift, or sign convention breaks the hash on every row."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.wav_features(multimodal.synth_g711_corpus(d))
+
+
+@query(
     "jpeg_image_features",
     """
     SELECT doc_id,

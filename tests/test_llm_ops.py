@@ -888,6 +888,108 @@ def test_decode_wav_rejects_garbage_and_compressed():
         multimodal.decode_wav(bytes(blob))
 
 
+def _encode_wav_raw(fmt_tag: int, channels: int, rate: int,
+                    block_align: int, bits: int, data: bytes) -> bytes:
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * block_align,
+        block_align, bits,
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_g711_known_values():
+    """Spec anchor bytes: mu-law 0xFF and 0x7F are +/-0, mu-law 0x00
+    is the most negative value (-32124); A-law 0xD5 is +8 and 0x55 is
+    -8 (A-law has no true zero; transmitted sign bit 1 = positive),
+    A-law 0x2A is the most negative, 0xAA the most positive."""
+    w = multimodal.decode_wav(
+        _encode_wav_raw(7, 1, 8000, 1, 8, bytes([0xFF, 0x7F, 0x00, 0x80]))
+    )
+    assert w["samples"] == [0, 0, -32124, 32124]
+    a = multimodal.decode_wav(
+        _encode_wav_raw(6, 1, 8000, 1, 8, bytes([0xD5, 0x55, 0x2A, 0xAA]))
+    )
+    assert a["samples"] == [8, -8, -32256, 32256]
+
+
+def test_ima_adpcm_hand_vector_and_tables():
+    """One hand-computed block (pred 100, index 0, nibbles 1 then 8:
+    step 7 -> diff 1 up, then diff 0 down) plus the step-table
+    invariants that a self-consistent round-trip could never check:
+    89 entries, 7 -> 32767, strictly increasing at the spec's ~1.1x
+    geometric rate."""
+    import struct
+
+    data = struct.pack("<hBB", 100, 0, 0) + bytes([0x81])
+    w = multimodal.decode_wav(_encode_wav_raw(0x11, 1, 8000, 5, 4, data))
+    assert w["samples"] == [100, 101, 101]
+    t = multimodal._IMA_STEPS
+    assert len(t) == 89 and t[0] == 7 and t[-1] == 32767
+    assert all(b > a for a, b in zip(t, t[1:]))
+    assert all(1.05 <= b / a <= 1.16 for a, b in zip(t, t[1:]))
+    assert multimodal._IMA_INDEX == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def test_ima_adpcm_tracks_a_ramp():
+    """Encode a slow ramp with a reference IMA encoder (mirrors the
+    spec's encode loop against the same tables) and assert the decoder
+    reconstructs it within the codec's step-size error envelope."""
+    import struct
+
+    src = [int(20 * i) for i in range(197)]  # slow ramp, 1 block
+    pred, index = src[0], 0
+    nibbles = []
+    for x in src[1:]:
+        step = multimodal._IMA_STEPS[index]
+        diff = x - pred
+        nib = 8 if diff < 0 else 0
+        diff = abs(diff)
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        # decoder-mirror reconstruction to keep predictors in lockstep
+        d = step >> 3
+        if nib & 1:
+            d += step >> 2
+        if nib & 2:
+            d += step >> 1
+        if nib & 4:
+            d += step
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + multimodal._IMA_INDEX[nib & 7]))
+        nibbles.append(nib)
+    body = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    block = struct.pack("<hBB", src[0], 0, 0) + body
+    w = multimodal.decode_wav(
+        _encode_wav_raw(0x11, 1, 8000, len(block), 4, block)
+    )
+    assert len(w["samples"]) == len(src)
+    err = max(abs(a - b) for a, b in zip(w["samples"], src))
+    assert err <= 3 * max(multimodal._IMA_STEPS[:12])  # tight envelope
+
+
+def test_adpcm_stereo_refuses_honestly():
+    import struct
+
+    data = struct.pack("<hBB", 0, 0, 0) + b"\x00\x00\x00\x00"
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        multimodal.decode_wav(_encode_wav_raw(0x11, 2, 8000, 8, 4, data))
+
+
 def test_wav_features_mapinpandas(spark):
     """Real audio decode through the Arrow-batched Spark plumbing:
     exact integer RMS for a constant-amplitude square wave, and a
