@@ -32,26 +32,60 @@ def fuzzy_pairs(
     text_col: str,
     max_distance: int = 2,
     block_fn: Callable[[Column], Column] = last_token,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """(name_a, name_b, distance): distinct values of ``text_col``
     whose edit distance is <= max_distance, candidates blocked by
-    ``block_fn``. name_a < name_b canonicalizes the pair."""
+    ``block_fn``. name_a < name_b canonicalizes the pair.
+
+    ``max_block_size`` is the hot-block guard, with the standard
+    entity-resolution EXCLUSION semantics (same contract as
+    ``llm.dedup.cap_doc_freq`` / ``plans.quality.cap_basket_size``):
+    a block bigger than the cap means the blocking key carries no
+    discriminative signal there — comparing everything to everything
+    inside it is exactly the n² the blocking exists to avoid — so
+    oversized blocks leave the comparison space entirely; re-block
+    them with a more discriminative key (prefix, multiple passes)
+    when their pairs matter. Plan forms mirror
+    ``llm.dedup.ngram_jaccard_pairs``: capped, blocks fold to one
+    ``collect_set`` row with the cap as a free ``size() <= cap``
+    filter on the exact count and pairs from a within-row double
+    explode (ONE shuffle, arrays bounded by the cap); uncapped, the
+    classic blocked self-join remains — an unbounded collect would
+    trade graceful skew degradation for an OOM-able array."""
     names = (
         df.select(F.col(text_col).alias("name"))
         .filter(F.col("name").isNotNull())
         .distinct()
         .withColumn("blk", block_fn(F.col("name")))
     )
-    a = names.select(F.col("name").alias("name_a"), "blk")
-    b = names.select(F.col("name").alias("name_b"), "blk")
+    if max_block_size is not None:
+        buckets = (
+            names.groupBy("blk")
+            .agg(F.collect_set("name").alias("ns"))
+            .filter(
+                (F.size("ns") >= 2) & (F.size("ns") <= max_block_size)
+            )
+        )
+        pairs = (
+            buckets.select(F.explode("ns").alias("name_a"), "ns")
+            .select("name_a", F.explode("ns").alias("name_b"))
+            .filter(F.col("name_a") < F.col("name_b"))
+        )
+    else:
+        a = names.select(F.col("name").alias("name_a"), "blk")
+        b = names.select(F.col("name").alias("name_b"), "blk")
+        pairs = (
+            a.join(b, "blk")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b")
+        )
     return (
-        a.join(b, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
         # bounded levenshtein (Spark 3.5+): the DP early-terminates
         # once the distance exceeds the threshold (returns -1), so
         # in-block compares don't pay full O(len_a x len_b) on pairs
         # that blow past the bound in the first rows.
-        .withColumn(
+        pairs.withColumn(
             "distance",
             F.levenshtein(
                 F.col("name_a"), F.col("name_b"), max_distance

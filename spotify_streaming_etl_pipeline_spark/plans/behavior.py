@@ -656,6 +656,48 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_pairs_capped",
+    """
+    WITH names AS (
+        SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+    ),
+    blocked AS (
+        SELECT name, length(name) AS blk FROM names
+    ),
+    kept AS (
+        SELECT name, blk FROM blocked
+        QUALIFY count(*) OVER (PARTITION BY blk) <= 10
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           cast(levenshtein(a.name, b.name) AS BIGINT) AS distance
+    FROM kept a JOIN kept b
+      ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def fuzzy_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-block exclusion guard on blocked fuzzy matching
+    (operators/fuzzy.py:fuzzy_pairs(max_block_size=...)) with
+    length-band blocking and a cap the sf0.01 distribution STRADDLES
+    (distinct-name length blocks are sized 20/16/14/8/4/2; cap 10
+    keeps three and excludes three, so both paths execute): the
+    capped path folds each surviving block to one bucket row
+    (exact-count size filter, within-row pair explode — ONE shuffle,
+    no join) and DuckDB mirrors the exclusion with a windowed block
+    count. Entity-resolution exclusion semantics: an oversized block
+    means the blocking key isn't discriminative there; its members
+    leave the comparison space rather than paying block² inside it."""
+    from ..operators.fuzzy import fuzzy_pairs
+
+    return fuzzy_pairs(
+        load_table(spark, sf_dir, "part"),
+        "p_name",
+        block_fn=F.length,
+        max_block_size=10,
+    )
+
+
+@query(
     "incremental_monthly_agg",
     """
     SELECT cast(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)

@@ -168,6 +168,30 @@ def test_fuzzy_pairs_semantics(spark):
     assert got == [("red bolt", "ted bolt", 1)]
 
 
+def test_fuzzy_pairs_hot_block_exclusion(spark):
+    """max_block_size applies entity-resolution EXCLUSION semantics:
+    a planted oversized block (a blocking key with no discriminative
+    signal) leaves the comparison space entirely; small blocks keep
+    identical pairs through the explode form, and a non-firing cap is
+    byte-identical to the unguarded join form."""
+    from spotify_streaming_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    hot = [(f"name{i:03d} widget",) for i in range(50)]  # one 50-block
+    cold = [("red bolt",), ("ted bolt",), ("red hammer",)]
+    df = spark.createDataFrame(hot + cold, "p_name string")
+    capped = sorted(
+        map(tuple, fuzzy_pairs(df, "p_name", max_block_size=10).collect())
+    )
+    assert capped == [("red bolt", "ted bolt", 1)]  # widget block gone
+    unfired = sorted(
+        map(tuple, fuzzy_pairs(df, "p_name", max_block_size=100).collect())
+    )
+    full = sorted(map(tuple, fuzzy_pairs(df, "p_name").collect()))
+    assert unfired == full
+    assert ("red bolt", "ted bolt", 1) in full
+    assert any(a.endswith("widget") for a, _, _ in full)  # join form kept them
+
+
 def test_session_funnel_requires_same_session(spark):
     """A purchase in a LATER session than its view/click must not
     count, even though the cross-session funnel would count it."""
