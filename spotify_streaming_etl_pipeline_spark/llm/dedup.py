@@ -633,10 +633,27 @@ def minhash_incremental(
     new_bands = minhash_band_table(
         new_docs, text_col=text_col, _posting_df=new_posting
     )
+    cands = incremental_band_candidates(
+        corpus_bands, new_bands, max_bucket_size=max_bucket_size
+    )
+    return pair_jaccard(corpus_posting, cands, posting_b=new_posting).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def incremental_band_candidates(
+    corpus_bands: DataFrame,
+    new_bands: DataFrame,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """(doc_a = corpus id, doc_b = new id): candidate pairs from a
+    corpus band INDEX joined by a batch band table — the join stage
+    shared by ``minhash_incremental`` (bands computed in-flight) and
+    ``dedup_index.check_batch_against_index`` (bands loaded from the
+    materialized index). ``max_bucket_size`` applies the window-marked
+    hot-corpus-bucket thinning (see ``_bucket_marked``); its (band,
+    key) shuffle is the partitioning the join needs anyway."""
     if max_bucket_size is not None:
-        # Window-marked guard (see _bucket_marked): the window's
-        # (band, key) shuffle is the partitioning the corpus-vs-batch
-        # join needs anyway, so thinning is near free.
         corpus_bands = (
             _bucket_marked(corpus_bands, ["band", "key"])
             .filter(
@@ -645,7 +662,7 @@ def minhash_incremental(
             )
             .select("doc_id", "band", "key")
         )
-    cands = (
+    return (
         corpus_bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
         .join(
             new_bands.select(F.col("doc_id").alias("doc_b"), "band", "key"),
@@ -654,9 +671,6 @@ def minhash_incremental(
         .select("doc_a", "doc_b")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
-    )
-    return pair_jaccard(corpus_posting, cands, posting_b=new_posting).filter(
-        F.col("jaccard") >= threshold
     )
 
 

@@ -346,6 +346,57 @@ def simhash_star_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "index_incremental_near_dup",
+    f"""
+    WITH {_NG_CTE}, {_MINHASH_BANDS},
+    ic AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+    ),
+    iv AS (
+        SELECT ic.doc_a, ic.doc_b,
+               round(len(list_intersect(a.ng, b.ng))::DOUBLE
+                     / (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng))),
+                     4) AS jaccard
+        FROM ic JOIN g a ON a.doc_id = ic.doc_a
+                JOIN g b ON b.doc_id = ic.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM iv WHERE jaccard >= 0.8
+    """,
+)
+def index_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED-index admission path end to end (llm/
+    dedup_index.py): the corpus (doc_id % 5 != 0) is written to a
+    parquet posting + band index as TWO batch partitions, then the
+    new batch (doc_id % 5 == 0) is checked against the loaded index —
+    and must hash-identically reproduce the in-flight
+    ``incremental_near_dup`` SQL, proving the stored index is the
+    same computation. Every run REWRITES the same index path with the
+    same batch ids, so the dynamic-partition idempotent-retry
+    contract is exercised on each execution, not just in units."""
+    import hashlib
+    import tempfile
+
+    from ..llm import dedup_index
+
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    path = "{}/spark_graft_dedup_index_{}".format(
+        tempfile.gettempdir(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    dedup_index.write_dedup_index(
+        corpus.filter(F.col("doc_id") % 2 == 0), path, batch_id=0
+    )
+    dedup_index.write_dedup_index(
+        corpus.filter(F.col("doc_id") % 2 != 0), path, batch_id=1
+    )
+    return dedup_index.check_batch_against_index(
+        spark, d.filter(F.col("doc_id") % 5 == 0), path, threshold=0.8
+    )
+
+
+@query(
     "incremental_star_guard",
     f"""
     WITH {_NG_CTE}, {_MINHASH_BANDS},
