@@ -70,6 +70,75 @@ def mix_sources(
     return df.filter(keep_expr(F.col(id_col), rate))
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "tmix",
+) -> DataFrame:
+    """Temperature-scaled source mixing — the standard multilingual /
+    multi-domain LLM recipe: sampling weight w_i ∝ n_i^alpha, so
+    alpha=1 preserves natural proportions and alpha→0 approaches
+    uniform-over-sources, boosting small sources without hand-tuning
+    a rate per source (`mix_sources` is the manual-rates sibling).
+
+    Take rate per source (in basis points, deterministic by id hash):
+    r_i = min(10000, floor(T * w_i / n_i * 10000)) with T =
+    ``target_total`` (default: the current total, pure reallocation).
+    A filter can only DOWN-sample — small sources whose temperature
+    share exceeds their size cap at 100% (rate 10000); training-time
+    epoch repetition handles genuine upsampling, not row duplication
+    here (duplicated rows would re-enter dedup and skew token counts).
+
+    Plan shape: per-source counts are one map-side-combined
+    aggregation; the weight normalization runs as a window over the
+    TINY stats table (one row per source — single-partition by
+    construction, never over data rows); rates broadcast-join back;
+    the keep decision is a narrow hash filter. No data-row shuffle
+    anywhere."""
+    from pyspark.sql import Window
+
+    stats = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    total = (
+        F.lit(target_total)
+        if target_total is not None
+        else F.sum("n").over(wall)
+    )
+    rates = (
+        stats.withColumn("pw", F.pow(F.col("n"), F.lit(alpha)))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.lit(10000),
+                F.floor(
+                    total
+                    * (F.col("pw") / F.sum("pw").over(wall))
+                    / F.col("n")
+                    * 10000
+                ),
+            ),
+        )
+        .select(source_col, "rate_bp")
+    )
+    keep = (
+        F.pmod(
+            portable_hash48(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+            F.lit(10000),
+        )
+        < F.col("rate_bp")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(keep)
+        .drop("rate_bp")
+    )
+
+
 def dataset_split(
     df: DataFrame,
     id_col: str = "doc_id",

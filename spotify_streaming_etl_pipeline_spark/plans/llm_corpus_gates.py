@@ -159,6 +159,50 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_mixture",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 < 7 THEN 'A'
+                    WHEN doc_id % 10 < 9 THEN 'B'
+                    ELSE 'C' END AS source
+        FROM documents
+    ),
+    stats AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+    rates AS (
+        SELECT source,
+               least(10000, floor(
+                   (SELECT sum(n) FROM stats)
+                   * (power(n, 0.5)
+                      / (SELECT sum(power(n, 0.5)) FROM stats))
+                   / n * 10000)) AS rate_bp
+        FROM stats
+    )
+    SELECT d.doc_id, d.source
+    FROM d JOIN rates USING (source)
+    WHERE ({_H48.format(x="'tmix:' || doc_id::VARCHAR")}) % 10000 < rate_bp
+    """,
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing (llm/curation.py:temperature_mix,
+    alpha = 0.5) over a deliberately skewed 70/20/10 source recoding:
+    weights ∝ sqrt(n) flatten the distribution — the big source
+    down-samples hardest, the smallest caps at 100% — and DuckDB
+    reproduces the whole chain (per-source counts, power-law
+    normalization, basis-point floor, hash keep-filter) exactly."""
+    from ..llm.curation import temperature_mix
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, "A")
+        .when(F.col("doc_id") % 10 < 9, "B")
+        .otherwise("C")
+        .alias("source"),
+    )
+    return temperature_mix(d, alpha=0.5).select("doc_id", "source")
+
+
+@query(
     "dataset_split",
     f"""
     SELECT doc_id, source,

@@ -349,6 +349,31 @@ def test_mix_sources_rates_and_determinism(spark):
     assert out1.filter("source = 'b'").count() == 1000  # 100% kept
 
 
+def test_temperature_mix_flattens_toward_small_sources(spark):
+    """alpha=1 preserves natural proportions (everything kept when T =
+    total); alpha=0.5 down-samples the dominant source while the small
+    source caps at 100%; the hash keep-set is deterministic."""
+    from spotify_streaming_etl_pipeline_spark.llm.curation import temperature_mix
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    natural = temperature_mix(df, alpha=1.0)
+    assert natural.count() == 5000  # T*w_i/n_i == 1 for every source
+
+    mixed = temperature_mix(df, alpha=0.5)
+    n_small = mixed.filter("source = 'small'").count()
+    n_big = mixed.filter("source = 'big'").count()
+    assert n_small == 500  # small source capped at 100%
+    # expected big rate: T*w_big/n_big = (sqrt(4500)+sqrt(500))-normed
+    import math
+
+    w_big = math.sqrt(4500) / (math.sqrt(4500) + math.sqrt(500))
+    exp_big = 5000 * w_big / 4500
+    assert abs(n_big / 4500 - exp_big) < 0.05  # ~84% +- hash noise
+    again = sorted(r["doc_id"] for r in temperature_mix(df, alpha=0.5).collect())
+    assert again == sorted(r["doc_id"] for r in mixed.collect())
+
+
 def test_resize_blobs_fixed_payload(spark, docs):
     media = multimodal.attach_blob(docs)
     out = multimodal.resize_blobs(media, target_bytes=32).collect()
