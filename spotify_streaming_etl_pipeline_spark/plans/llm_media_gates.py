@@ -118,6 +118,32 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "flac_audio_features",
+    """
+    SELECT doc_id,
+           cast(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+           cast(1 AS BIGINT) AS channels,
+           cast(100 + (doc_id % 5) * 30 AS BIGINT) AS n_samples,
+           cast((100 + (doc_id % 5) * 30) * 1000
+                // (8000 * (1 + doc_id % 3)) AS BIGINT) AS duration_ms,
+           cast(50 + doc_id % 70 AS BIGINT) AS rms
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode behind an oracle gate: synthesize a genuine
+    FLAC stream per doc — square wave through a FIXED order-1
+    subframe with Rice-coded residuals, the full entropy path
+    (llm/flac.py via multimodal.synth_flac_corpus) — decode through
+    ``flac_features`` (frame walk, Rice, prediction, RMS) and let
+    DuckDB predict every feature arithmetically (square-wave RMS ==
+    amplitude, exact in integers). A Rice parameter, zigzag, warmup,
+    or predictor regression breaks the hash on every row."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.flac_features(multimodal.synth_flac_corpus(d))
+
+
+@query(
     "g711_audio_features",
     """
     WITH v AS (

@@ -1,0 +1,84 @@
+"""Units for the fixed-subset FLAC codec (llm/flac.py): lossless
+round-trips across subframe types, bit depths, and stereo
+decorrelation modes; honest refusals; and the Spark feature stage's
+dead-letter contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from spotify_streaming_etl_pipeline_spark.llm import multimodal
+from spotify_streaming_etl_pipeline_spark.llm.flac import (
+    decode_flac,
+    encode_flac,
+)
+
+
+def test_constant_subframe_roundtrip():
+    out = decode_flac(encode_flac([[300] * 100], sample_rate=16000))
+    assert out["samples"] == [300] * 100
+    assert (out["sample_rate"], out["channels"], out["bits"]) == (16000, 1, 16)
+    assert out["n_samples"] == 100
+
+
+def test_fixed_orders_are_lossless():
+    sig = [int(1000 * math.sin(i / 7) + 20 * i) for i in range(192)]
+    for order in (0, 1, 2):
+        dec = decode_flac(encode_flac([sig], fixed_order=order))
+        assert dec["samples"] == sig, f"order {order}"
+
+
+def test_verbatim_8bit_with_negatives():
+    sig = [(-1) ** i * (i % 120) for i in range(64)]
+    dec = decode_flac(encode_flac([sig], bits=8))
+    assert dec["samples"] == sig and dec["bits"] == 8
+
+
+def test_all_stereo_decorrelation_modes_lossless():
+    left = [int(900 * math.sin(i / 5)) + 100 for i in range(96)]
+    right = [int(700 * math.cos(i / 9)) - 50 for i in range(96)]
+    want = [v for pair in zip(left, right) for v in pair]
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        dec = decode_flac(
+            encode_flac([left, right], fixed_order=2, stereo_mode=mode)
+        )
+        assert dec["samples"] == want, mode
+        assert dec["channels"] == 2
+
+
+def test_lpc_and_garbage_refuse_honestly():
+    with pytest.raises(ValueError, match="stream marker"):
+        decode_flac(b"not a flac stream")
+    blob = bytearray(encode_flac([[int(20 * i) for i in range(100)]],
+                                 fixed_order=1))
+    # subframe header byte: frame starts at 4 (marker) + 4 (meta hdr)
+    # + 34 (STREAMINFO+md5); the frame header is exactly 8 bytes here,
+    # so byte 50 is [pad|type(6)|wasted]; type 0x20 = LPC order 1.
+    blob[50] = 0x20 << 1
+    with pytest.raises(NotImplementedError, match="LPC"):
+        decode_flac(bytes(blob))
+
+
+def test_truncated_stream_raises_cleanly():
+    blob = encode_flac([[int(20 * i) for i in range(100)]], fixed_order=1)
+    with pytest.raises(ValueError):
+        decode_flac(blob[: len(blob) - 30])
+
+
+def test_flac_features_dead_letters_poison(spark):
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id: long")
+    media = multimodal.synth_flac_corpus(docs)
+    poisoned = media.unionByName(
+        spark.createDataFrame(
+            [(99, bytearray(b"fLaCgarbage"))], "doc_id: long, blob: binary"
+        )
+    )
+    got = {
+        r["doc_id"]: (r["rms"], r["sample_rate"])
+        for r in multimodal.flac_features(poisoned).collect()
+    }
+    assert got[99] == (None, None)
+    assert got[0] == (50, 8000)  # amp 50, rate 8000
+    assert got[1] == (51, 16000)  # amp 51, rate 16000
