@@ -1217,8 +1217,20 @@ def test_decode_image_contract():
     decoded = multimodal.decode_image(png)
     if not has_pil:
         assert decoded["width"] == 2
-        with pytest.raises(NotImplementedError, match="mapInPandas"):
+        # JPEG bytes now route to the real baseline decoder, so fake
+        # marker soup is a corrupt-stream ValueError, not a
+        # missing-codec NotImplementedError...
+        with pytest.raises(ValueError):
             multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+        # ...and a REAL baseline jpeg decodes to pixels.
+        from spotify_streaming_etl_pipeline_spark.llm.jpeg import encode_jpeg
+
+        img = [[77] * 8 for _ in range(8)]
+        out = multimodal.decode_image(encode_jpeg([img]))
+        assert out["width"] == 8 and set(out["pixels"]) == {77}
+        # genuinely unknown formats still point at the pluggable stage
+        with pytest.raises(NotImplementedError, match="mapInPandas"):
+            multimodal.decode_image(b"II*\x00 a tiff, say")
 
 
 # --- split / quota / chunking -----------------------------------------------
