@@ -118,6 +118,46 @@ def png_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mp3_stream_summary",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               3 + doc_id % 5 AS n,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS rate
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           cast(n AS BIGINT) AS n_frames,
+           cast(rate AS BIGINT) AS sample_rate,
+           cast(CASE WHEN doc_id % 2 = 0 THEN 112
+                ELSE round((112.0 * ceil(n / 2.0)
+                            + 128.0 * floor(n / 2.0)) / n)
+                END AS BIGINT) AS bitrate_kbps,
+           cast(n * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+           cast(doc_id % 2 AS BIGINT) AS vbr_flag
+    FROM base
+    """,
+)
+def mp3_stream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III header walk behind an oracle gate
+    (llm/multimodal.py:mp3_stream_info via synth_mp3_corpus): genuine
+    frame headers — sync bits, bitrate/sample-rate indices, spec
+    frame-length stepping, an ID3v2 synchsafe prefix on odd docs, VBR
+    via alternating bitrate indices — walked frame by frame, with
+    DuckDB predicting frame count, rate, mean bitrate, duration, and
+    the VBR flag arithmetically. Payload DECODE is the honest
+    boundary (huffman + IMDCT); duration/bitrate auditing at corpus
+    scale needs only this walk."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    feats = multimodal.mp3_features(multimodal.synth_mp3_corpus(d))
+    return feats.select(
+        "doc_id", "n_frames", "sample_rate", "bitrate_kbps",
+        "duration_ms", F.col("vbr").cast("long").alias("vbr_flag"),
+    )
+
+
+@query(
     "flac_audio_features",
     """
     SELECT doc_id,

@@ -1015,6 +1015,40 @@ def test_adpcm_stereo_refuses_honestly():
         multimodal.decode_wav(_encode_wav_raw(0x11, 2, 8000, 8, 4, data))
 
 
+def _mp3_frame(br_idx: int, rate_idx: int) -> bytes:
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (br_idx << 12) | (rate_idx << 10)
+    flen = 144 * multimodal._MP3_BITRATES[br_idx] * 1000 // multimodal._MP3_RATES[rate_idx]
+    return h.to_bytes(4, "big") + b"\x00" * (flen - 4)
+
+
+def test_mp3_stream_info_cbr_and_vbr():
+    cbr = _mp3_frame(8, 0) * 4  # 4x 112kbps @ 44100
+    m = multimodal.mp3_stream_info(cbr)
+    assert (m["n_frames"], m["sample_rate"], m["bitrate_kbps"], m["vbr"]) == (
+        4, 44100, 112, False)
+    assert m["duration_ms"] == 4 * 1152 * 1000 // 44100
+    vbr = _mp3_frame(8, 1) + _mp3_frame(9, 1) + _mp3_frame(8, 1)
+    m2 = multimodal.mp3_stream_info(vbr)
+    assert m2["vbr"] is True and m2["bitrate_kbps"] == round((112 + 128 + 112) / 3)
+
+
+def test_mp3_stream_info_id3_prefix_and_refusals():
+    tag = b"X" * 200
+    ss = bytes([(200 >> 21) & 0x7F, (200 >> 14) & 0x7F,
+                (200 >> 7) & 0x7F, 200 & 0x7F])
+    blob = b"ID3\x03\x00\x00" + ss + tag + _mp3_frame(8, 0)
+    assert multimodal.mp3_stream_info(blob)["n_frames"] == 1
+    with pytest.raises(ValueError):
+        multimodal.mp3_stream_info(b"definitely not mpeg audio")
+    desync = _mp3_frame(8, 0) + b"\x00\x01\x02\x03"
+    with pytest.raises(ValueError, match="sync"):
+        multimodal.mp3_stream_info(desync)
+    mpeg2 = bytearray(_mp3_frame(8, 0))
+    mpeg2[1] &= ~0x08  # clear the version-id bit -> MPEG-2
+    with pytest.raises(NotImplementedError, match="MPEG-1"):
+        multimodal.mp3_stream_info(bytes(mpeg2))
+
+
 def test_wav_features_mapinpandas(spark):
     """Real audio decode through the Arrow-batched Spark plumbing:
     exact integer RMS for a constant-amplitude square wave, and a
