@@ -158,6 +158,68 @@ def mask_pii(text: Column) -> Column:
     return out
 
 
+#: HTML entities decoded by ``html_to_text`` (ordered: &amp; last so
+#: double-escaped entities don't decode twice).
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """HTML -> text extraction as pure codegen expressions — the first
+    stage of every web-crawl corpus: drop script/style/noscript blocks
+    wholesale (their content is never prose), drop comments, replace
+    every remaining tag with a space (so '<p>a</p><p>b' keeps a word
+    boundary), decode the common entities, collapse whitespace, trim.
+
+    This is the regex tier of HTML cleaning — boilerplate REMOVAL
+    (nav/footer link soup) belongs to the quality-scoring stage
+    downstream (`quality_metrics`: link-ish density shows up as
+    punct/stopword ratios); a DOM-accurate extractor is a library
+    swap inside a mapInPandas batch, same plumbing. Patterns are RE2-
+    compatible, so the DuckDB oracle runs the identical chain ('g'
+    flag on every replace)."""
+    out = F.regexp_replace(
+        html, r"(?is)<(script|style|noscript)[^>]*>.*?</\1>", " "
+    )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+#: Query parameters stripped by ``canonical_url`` (tracking noise that
+#: makes byte-identical pages look distinct).
+TRACKING_PARAMS = r"(utm_[a-z]+|gclid|fbclid|msclkid|ref_src)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL form for web-corpus dedup/grouping: drop the
+    fragment, lowercase scheme+host, drop default ports (:80/:443),
+    strip tracking query parameters (``TRACKING_PARAMS``), tidy the
+    leftover ?/& punctuation, and drop a trailing path slash. Pure
+    codegen expressions; paths and meaningful query values keep their
+    case. The DuckDB oracle mirrors the chain exactly (same RE2
+    patterns, 'g' flags)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(1_000_000))
+    prefix = F.lower(prefix)
+    prefix = F.regexp_replace(prefix, r":(443|80)$", "")
+    rest = F.regexp_replace(rest, rf"(?i){TRACKING_PARAMS}=[^&#]*&?", "")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"/(\?|$)", "$1")
+    return F.concat(prefix, rest)
+
+
 def doc_fingerprint(text: Column, window: int = 16) -> Column:
     """Rolling-window document fingerprint: min portable hash over all
     ``window``-char substrings (winnowing global minimum). Near-identical

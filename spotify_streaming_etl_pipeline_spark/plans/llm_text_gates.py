@@ -343,3 +343,76 @@ def substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.overlap import substring_overlap_pairs
 
     return substring_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
+@query(
+    "html_text_extract",
+    """
+    SELECT doc_id,
+           'Title ' || doc_id || ' Para & text ' || doc_id AS text
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (llm/text.py:html_to_text) over
+    synthesized real markup — script/style blocks whose CONTENT
+    contains tags (the trap naive strippers fall into), comments,
+    entities, nbsp — with the oracle predicting the extracted text by
+    direct string construction, never re-running the regex chain: an
+    INDEPENDENT statement of what extraction must produce (and the
+    script-block pattern uses a Java-regex backreference RE2 could
+    not mirror anyway)."""
+    from ..llm.text import html_to_text
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><script>var x='<p>';</script>"
+              "<style>p{color:red}</style></head><body><!-- c -->"
+              "<h1>Title "),
+        sid,
+        F.lit("</h1><p>Para &amp; text&nbsp;"),
+        sid,
+        F.lit("</p></body></html>"),
+    )
+    return d.select("doc_id", html_to_text(html).alias("text"))
+
+
+@query(
+    "url_canonical_groups",
+    """
+    SELECT 'https://www.site' || (doc_id // 4) || '.com/a/b?x=1'
+               AS canonical,
+           cast(count(*) AS BIGINT) AS n
+    FROM documents WHERE doc_id < 200
+    GROUP BY 1
+    """,
+)
+def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup (llm/text.py:
+    canonical_url): four per-group variants — uppercase host, :443
+    default port + fragment, a utm_ tracking parameter, a trailing
+    path slash — must all collapse to one canonical form, so every
+    group counts exactly 4. The oracle constructs the canonical
+    strings and counts arithmetically; a missed variant shows up as a
+    split group and breaks the hash."""
+    from ..llm.text import canonical_url
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    base = (F.col("doc_id") / 4).cast("long").cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.Site"), base,
+                                F.lit(".COM/a/b?x=1")))
+        .when(v == 1, F.concat(F.lit("https://www.site"), base,
+                               F.lit(".com:443/a/b?x=1#frag")))
+        .when(v == 2, F.concat(F.lit("https://www.site"), base,
+                               F.lit(".com/a/b?utm_source=tw&x=1")))
+        .otherwise(F.concat(F.lit("https://www.site"), base,
+                            F.lit(".com/a/b/?x=1")))
+    )
+    return (
+        d.select(canonical_url(url).alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -335,6 +335,54 @@ def test_quality_filter_keeps_upper_quantile(spark):
     assert kept.agg({"score": "min"}).collect()[0][0] >= cut
 
 
+def test_html_to_text_traps(spark):
+    """Tags inside script bodies must not resurrect; comments,
+    entities, and nbsp decode; plain text passes through."""
+    from spotify_streaming_etl_pipeline_spark.llm.text import html_to_text
+
+    rows = [
+        (0, "<script>if(a<b){x='<p>evil</p>'}</script><p>kept &amp; well</p>"),
+        (1, "<!-- <h1>commented out</h1> --><div>one&nbsp;two</div>"),
+        (2, "no markup at all"),
+        (3, "<STYLE media='x'>.a{content:'<b>'}</STYLE>bare"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, html: string")
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", html_to_text(F.col("html")).alias("t")
+        ).collect()
+    }
+    assert got[0] == "kept & well"
+    assert got[1] == "one two"
+    assert got[2] == "no markup at all"
+    assert got[3] == "bare"
+
+
+def test_canonical_url_variants_collapse(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import canonical_url
+
+    urls = [
+        "https://www.Example.COM/a/b?x=1",
+        "HTTPS://WWW.example.com:443/a/b?x=1#section",
+        "https://www.example.com/a/b?utm_source=tw&x=1",
+        "https://www.example.com/a/b/?x=1&utm_campaign=z",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    got = {r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == {"https://www.example.com/a/b?x=1"}
+    # case-sensitive paths and meaningful params survive; scheme-less
+    # strings pass through (minus fragment/tracking), never mangled
+    more = [
+        ("https://h.io/CaseSensitive/Path?Q=Vv", "https://h.io/CaseSensitive/Path?Q=Vv"),
+        ("http://example.com:80/", "http://example.com"),
+        ("example.com/x?gclid=1#f", "example.com/x"),
+    ]
+    dm = spark.createDataFrame(more, "url: string, want: string")
+    for r in dm.select(canonical_url(F.col("url")).alias("c"), "want").collect():
+        assert r["c"] == r["want"]
+
+
 def test_mix_sources_rates_and_determinism(spark):
     from spotify_streaming_etl_pipeline_spark.llm.curation import mix_sources
 
