@@ -525,3 +525,79 @@ def test_jaccard_and_containment_match_python_set_model(spark, word_lists):
     }
     assert got_j == want_j
     assert got_c == want_c
+
+
+@PROPS
+@given(
+    st.lists(
+        st.integers(min_value=-30000, max_value=30000),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from([None, 0, 1, 2]),
+)
+def test_flac_roundtrip_is_lossless(spark, sig, order):
+    """FLAC encode->decode is the identity for every signal and every
+    subset subframe type (constant collapses handled by the encoder,
+    verbatim when order is None, fixed 0-2 otherwise) — pure-Python
+    property, no Spark job needed."""
+    from spotify_streaming_etl_pipeline_spark.llm.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    dec = decode_flac(encode_flac([sig], fixed_order=order))
+    assert dec["samples"] == sig
+    assert dec["n_samples"] == len(sig)
+
+
+@PROPS
+@given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=3),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=12, max_size=12),
+)
+def test_jpeg_solid_blocks_roundtrip_exactly(spark, wb, hb, vals):
+    """Solid 8x8 blocks under the flat-8 quant table survive the full
+    JPEG entropy pipeline bit-exactly, for every grid shape."""
+    from spotify_streaming_etl_pipeline_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = [
+        [vals[(y // 8) * wb + (x // 8)] for x in range(8 * wb)]
+        for y in range(8 * hb)
+    ]
+    out = decode_jpeg(encode_jpeg([img]))
+    assert (out["width"], out["height"]) == (8 * wb, 8 * hb)
+    assert out["pixels"] == [v for row in img for v in row]
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ019-._~", min_size=1, max_size=8
+)
+
+
+@PROPS
+@given(
+    st.sampled_from(["http", "https", "HTTPS"]),
+    _URL_CHARS,
+    st.sampled_from(["", ":443", ":80", ":8080"]),
+    st.lists(_URL_CHARS, min_size=0, max_size=3),
+    st.sampled_from(["", "?x=1", "?utm_source=a&x=1", "?gclid=z"]),
+    st.sampled_from(["", "#frag"]),
+)
+def test_canonical_url_is_idempotent(spark, scheme, host, port, segs, q, frag):
+    """canonical_url(canonical_url(u)) == canonical_url(u) for every
+    generated URL — the law that makes it safe to store canonical
+    forms and re-canonicalize mixed corpora."""
+    from spotify_streaming_etl_pipeline_spark.llm.text import canonical_url
+
+    url = f"{scheme}://{host}{port}/" + "/".join(segs) + q + frag
+    df = spark.createDataFrame([(url,)], "url: string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    row = once.select(
+        "c", canonical_url(F.col("c")).alias("c2")
+    ).first()
+    assert row["c2"] == row["c"]
