@@ -872,6 +872,35 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def decode_audio(blob: bytes) -> dict:
+    """Audio decode dispatch by container magic — the audio sibling of
+    ``decode_image`` / ``sample_frames``: RIFF/WAVE routes to
+    ``decode_wav`` (integer PCM, G.711, mono IMA ADPCM), fLaC to
+    ``llm.flac.decode_flac`` (fixed-prediction subset). Both return
+    the same {"sample_rate", "channels", "bits", "n_samples",
+    "samples"} dict. mp3 bytes are rejected toward ``mp3_stream_info``
+    (header-walk QA exists; PCM decode honestly does not); anything
+    else raises NotImplementedError."""
+    head = bytes(blob[:4])
+    if head == b"RIFF":
+        return decode_wav(blob)
+    if head == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(blob)
+    if head[:3] == b"ID3" or (len(blob) >= 2 and blob[0] == 0xFF
+                              and (blob[1] & 0xE0) == 0xE0):
+        raise NotImplementedError(
+            "mp3 PCM decode needs a real codec; mp3_stream_info gives "
+            "the header-walk duration/bitrate audit without one"
+        )
+    raise NotImplementedError(
+        "decode_audio handles RIFF/WAVE and FLAC; plug a codec into the "
+        "mapInPandas batch function for other containers — the Spark "
+        "plumbing is container-agnostic"
+    )
+
+
 def flac_features(media: DataFrame) -> DataFrame:
     """Real FLAC decode in the standard multimodal plumbing (same
     output contract as ``wav_features``): Arrow-batched mapInPandas,

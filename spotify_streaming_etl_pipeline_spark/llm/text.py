@@ -204,10 +204,13 @@ def canonical_url(url: Column) -> Column:
     """Canonical URL form for web-corpus dedup/grouping: drop the
     fragment, lowercase scheme+host, drop default ports (:80/:443),
     strip tracking query parameters (``TRACKING_PARAMS``), tidy the
-    leftover ?/& punctuation, and drop a trailing path slash. Pure
-    codegen expressions; paths and meaningful query values keep their
-    case. The DuckDB oracle mirrors the chain exactly (same RE2
-    patterns, 'g' flags)."""
+    leftover ?/& punctuation, drop a trailing path slash, and SORT the
+    remaining query parameters (?b=2&a=1 == ?a=1&b=2 — parameter order
+    is presentation, not identity). Pure codegen expressions; paths
+    and meaningful query values keep their case. The DuckDB oracle
+    mirrors the chain exactly (same RE2 patterns, 'g' flags,
+    list_sort for the parameter sort). Idempotent by construction
+    (property-pinned)."""
     u = F.regexp_replace(url, r"#.*$", "")
     prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
     rest = F.substring(u, F.length(prefix) + 1, F.lit(1_000_000))
@@ -217,6 +220,14 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"/(\?|$)", "$1")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sorted_query = F.array_join(
+        F.array_sort(F.split(query, "&")), "&"
+    )
+    rest = F.when(
+        query == "", path
+    ).otherwise(F.concat(path, F.lit("?"), sorted_query))
     return F.concat(prefix, rest)
 
 

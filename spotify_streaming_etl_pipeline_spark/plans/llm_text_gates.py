@@ -381,7 +381,7 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "url_canonical_groups",
     """
-    SELECT 'https://www.site' || (doc_id // 4) || '.com/a/b?x=1'
+    SELECT 'https://www.site' || (doc_id // 4) || '.com/a/b?a=2&x=1'
                AS canonical,
            cast(count(*) AS BIGINT) AS n
     FROM documents WHERE doc_id < 200
@@ -390,12 +390,13 @@ def html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization for web-corpus dedup (llm/text.py:
-    canonical_url): four per-group variants — uppercase host, :443
-    default port + fragment, a utm_ tracking parameter, a trailing
-    path slash — must all collapse to one canonical form, so every
-    group counts exactly 4. The oracle constructs the canonical
-    strings and counts arithmetically; a missed variant shows up as a
-    split group and breaks the hash."""
+    canonical_url): four per-group variants — uppercase host,
+    REORDERED query parameters + :443 default port + fragment, a utm_
+    tracking parameter, a trailing path slash — must all collapse to
+    one canonical form (parameters sorted), so every group counts
+    exactly 4. The oracle constructs the canonical strings and counts
+    arithmetically; a missed variant shows up as a split group and
+    breaks the hash."""
     from ..llm.text import canonical_url
 
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -403,13 +404,13 @@ def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("doc_id") % 4
     url = (
         F.when(v == 0, F.concat(F.lit("https://www.Site"), base,
-                                F.lit(".COM/a/b?x=1")))
+                                F.lit(".COM/a/b?x=1&a=2")))
         .when(v == 1, F.concat(F.lit("https://www.site"), base,
-                               F.lit(".com:443/a/b?x=1#frag")))
+                               F.lit(".com:443/a/b?a=2&x=1#frag")))
         .when(v == 2, F.concat(F.lit("https://www.site"), base,
-                               F.lit(".com/a/b?utm_source=tw&x=1")))
+                               F.lit(".com/a/b?utm_source=tw&x=1&a=2")))
         .otherwise(F.concat(F.lit("https://www.site"), base,
-                            F.lit(".com/a/b/?x=1")))
+                            F.lit(".com/a/b/?x=1&a=2")))
     )
     return (
         d.select(canonical_url(url).alias("canonical"))

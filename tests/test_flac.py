@@ -67,6 +67,26 @@ def test_truncated_stream_raises_cleanly():
         decode_flac(blob[: len(blob) - 30])
 
 
+def test_decode_audio_dispatch():
+    """decode_audio routes by container magic: FLAC and WAV decode to
+    the same dict shape; mp3 bytes point at the header-walk QA;
+    unknown containers refuse toward the pluggable stage."""
+    flac_blob = encode_flac([[250] * 40], sample_rate=32000)
+    out = multimodal.decode_audio(flac_blob)
+    assert out["samples"] == [250] * 40 and out["sample_rate"] == 32000
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 3) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 3) + bytes([128, 138, 118]))
+    assert multimodal.decode_audio(wav)["samples"] == [0, 10, -10]
+    with pytest.raises(NotImplementedError, match="mp3_stream_info"):
+        multimodal.decode_audio(b"ID3\x03\x00\x00\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError, match="container-agnostic"):
+        multimodal.decode_audio(b"OggS vorbis-ish")
+
+
 def test_flac_features_dead_letters_poison(spark):
     docs = spark.createDataFrame([(0,), (1,)], "doc_id: long")
     media = multimodal.synth_flac_corpus(docs)

@@ -363,14 +363,14 @@ def test_canonical_url_variants_collapse(spark):
     from spotify_streaming_etl_pipeline_spark.llm.text import canonical_url
 
     urls = [
-        "https://www.Example.COM/a/b?x=1",
-        "HTTPS://WWW.example.com:443/a/b?x=1#section",
-        "https://www.example.com/a/b?utm_source=tw&x=1",
-        "https://www.example.com/a/b/?x=1&utm_campaign=z",
+        "https://www.Example.COM/a/b?x=1&a=2",
+        "HTTPS://WWW.example.com:443/a/b?a=2&x=1#section",
+        "https://www.example.com/a/b?utm_source=tw&x=1&a=2",
+        "https://www.example.com/a/b/?x=1&a=2&utm_campaign=z",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url: string")
     got = {r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()}
-    assert got == {"https://www.example.com/a/b?x=1"}
+    assert got == {"https://www.example.com/a/b?a=2&x=1"}  # params sorted
     # case-sensitive paths and meaningful params survive; scheme-less
     # strings pass through (minus fragment/tracking), never mangled
     more = [
