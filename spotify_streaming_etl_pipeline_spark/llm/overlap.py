@@ -83,3 +83,69 @@ def substring_overlap_pairs(
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         )
     return shared.filter(F.col("n_shared") >= min_shared)
+
+
+WINNOW_W = 8  # winnowing window: hashes per selection window
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = WINDOW,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, h) distinct: WINNOWING fingerprint selection
+    (Schleimer-Wilkerson-Aiken) — the minimum hash of every run of
+    ``w`` consecutive substring hashes. Unlike mod-p selection
+    (density ~1/p but no worst case: an adversarial/unlucky stretch
+    can select nothing), winnowing GUARANTEES every shared substring
+    of length >= window + w - 1 chars contributes a shared
+    fingerprint, at density ~2/(w+1).
+
+    Relational form: position-keeping ``window_hashes`` -> one
+    sliding-window min per position (ROWS CURRENT..w-1 FOLLOWING; the
+    trailing partial windows add only hashes already in the doc, so
+    the guarantee and the distinct set semantics are unaffected) ->
+    distinct. One window shuffle partitioned by doc_id — scales with
+    docs, not corpus size; the DuckDB oracle runs the identical frame."""
+    from pyspark.sql import Window as W
+
+    wh = window_hashes(df, text_col, window, with_pos=True)
+    frame = (
+        W.partitionBy("doc_id").orderBy("i").rowsBetween(W.currentRow, w - 1)
+    )
+    return (
+        wh.select("doc_id", F.min("h").over(frame).alias("h")).distinct()
+    )
+
+
+def winnowed_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    window: int = WINDOW,
+    w: int = WINNOW_W,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): document pairs sharing at least
+    ``min_shared`` winnowed fingerprints — the guaranteed-recall
+    sibling of ``substring_overlap_pairs``, same df-capped bucket-fold
+    pairing (``dedup.posting_buckets`` + ``bucket_shared_counts``)."""
+    from .dedup import bucket_shared_counts, posting_buckets
+
+    sel = winnowed_fingerprints(df, text_col, window, w)
+    if max_doc_freq is not None:
+        buckets = posting_buckets(
+            sel.withColumnRenamed("h", "h1"), max_doc_freq
+        )
+        shared = bucket_shared_counts(buckets)
+    else:
+        a = sel.select(F.col("doc_id").alias("doc_a"), "h")
+        b = sel.select(F.col("doc_id").alias("doc_b"), "h")
+        shared = (
+            a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        )
+    return shared.filter(F.col("n_shared") >= min_shared)

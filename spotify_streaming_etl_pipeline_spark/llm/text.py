@@ -251,27 +251,28 @@ def doc_fingerprint(text: Column, window: int = 16) -> Column:
 
 
 def window_hashes(
-    df: DataFrame, text_col: str = "text", window: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """(doc_id, h): the 48-bit hash of EVERY ``window``-char sliding
-    substring, one row per offset — the shared substrate of the
-    min-hash fingerprint (below) and mod-p overlap selection
-    (llm/overlap.py). Docs shorter than ``window`` produce no rows.
-    All relational: explode offsets, substring, md5 — whole-stage
-    codegen end to end."""
+    """(doc_id, h) — or (doc_id, i, h) with ``with_pos`` — the 48-bit
+    hash of EVERY ``window``-char sliding substring, one row per
+    offset: the shared substrate of the min-hash fingerprint (below),
+    mod-p overlap selection, and winnowing (llm/overlap.py, which
+    needs the positions). Docs shorter than ``window`` produce no
+    rows. All relational: explode offsets, substring, md5 —
+    whole-stage codegen end to end."""
     c = F.col(text_col)
-    return (
-        df.filter(F.length(c) >= window)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length(c) - (window - 1))).alias("i"),
-            c.alias("_t"),
-        )
-        .select(
-            "doc_id",
-            portable_hash48(F.substring(F.col("_t"), F.col("i"), window)).alias("h"),
-        )
+    exploded = df.filter(F.length(c) >= window).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length(c) - (window - 1))).alias("i"),
+        c.alias("_t"),
     )
+    h = portable_hash48(F.substring(F.col("_t"), F.col("i"), window)).alias("h")
+    if with_pos:
+        return exploded.select("doc_id", "i", h)
+    return exploded.select("doc_id", h)
 
 
 def fingerprint_table(

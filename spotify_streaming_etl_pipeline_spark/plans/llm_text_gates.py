@@ -417,3 +417,41 @@ def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "winnowed_overlap",
+    f"""
+    WITH wh AS (
+        SELECT doc_id, i,
+               {_H48.format(x="substring(text, i, 16)")} AS h
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - 14)) AS i
+            FROM documents WHERE length(text) >= 16
+        )
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS h
+        FROM wh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(count(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def winnowed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (llm/overlap.py:
+    winnowed_overlap_pairs) — the GUARANTEED-recall sibling of mod-p
+    selection: the min hash of every 8-hash sliding window, so any
+    shared verbatim passage of >= 23 chars must share a fingerprint
+    (mod-p has no such worst-case bound). The DuckDB oracle runs the
+    identical window frame (ROWS CURRENT..7 FOLLOWING per doc) and
+    the same pairing, hash for hash."""
+    from ..llm.overlap import winnowed_overlap_pairs
+
+    return winnowed_overlap_pairs(_docs(spark, sf_dir), min_shared=2)

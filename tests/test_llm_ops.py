@@ -335,6 +335,52 @@ def test_quality_filter_keeps_upper_quantile(spark):
     assert kept.agg({"score": "min"}).collect()[0][0] >= cut
 
 
+def test_winnowing_guarantee_and_mod_p_miss(spark):
+    """Two docs sharing a >= window + w - 1 = 23-char passage MUST
+    share a winnowed fingerprint (the Schleimer-Wilkerson-Aiken
+    guarantee); mod-p selection has no such bound and can miss the
+    same passage entirely. Also: winnowed fingerprints are a subset
+    of the doc's substring hashes and deterministic."""
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        selected_fingerprints,
+        winnowed_fingerprints,
+        winnowed_overlap_pairs,
+    )
+    from spotify_streaming_etl_pipeline_spark.llm.text import window_hashes
+
+    shared = "this exact passage is copied verbatim everywhere"
+    rows = [
+        (0, "lead-in words before " + shared + " and then a tail"),
+        (1, shared + " with a different continuation entirely"),
+        (2, "no overlap with anything else in this tiny corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    win = {
+        (r["doc_id"], r["h"]) for r in winnowed_fingerprints(df).collect()
+    }
+    h0 = {h for d, h in win if d == 0}
+    h1 = {h for d, h in win if d == 1}
+    h2 = {h for d, h in win if d == 2}
+    assert h0 & h1  # the guarantee
+    assert not (h0 & h2) and not (h1 & h2)
+    all_h0 = {r["h"] for r in window_hashes(df.filter("doc_id = 0")).collect()}
+    assert h0 <= all_h0  # selection subset, never fabricated hashes
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnowed_overlap_pairs(df, min_shared=1).collect()
+    }
+    assert pairs == {(0, 1)}
+    # determinism
+    assert win == {
+        (r["doc_id"], r["h"]) for r in winnowed_fingerprints(df).collect()
+    }
+    # density comparison is the point of winnowing: mod-64 selection
+    # on the same corpus may or may not pick anything from the shared
+    # passage — it only has EXPECTED density, no per-window guarantee.
+    sel = selected_fingerprints(df)
+    assert sel.count() <= len(win) * 8  # sanity: both are thin
+
+
 def test_html_to_text_traps(spark):
     """Tags inside script bodies must not resurrect; comments,
     entities, and nbsp decode; plain text passes through."""
