@@ -1,23 +1,23 @@
 """REAL FLAC decode, dependency-free (stdlib only).
 
-``decode_flac`` is a genuine FLAC bitstream decoder for the fixed-
-prediction subset: stream marker + STREAMINFO metadata walk, frame
-headers (sync code, UTF-8-coded frame numbers, block-size / sample-
-rate / sample-size codes, CRC-8 skipped-but-consumed), and per-channel
-subframes of type CONSTANT, VERBATIM, and FIXED orders 0-4 with
+``decode_flac`` is a genuine FLAC bitstream decoder: stream marker +
+STREAMINFO metadata walk, frame headers (sync code, UTF-8-coded frame
+numbers, block-size / sample-rate / sample-size codes, CRC-8
+skipped-but-consumed), and per-channel subframes of EVERY type —
+CONSTANT, VERBATIM, FIXED orders 0-4, and LPC any order (quantized
+coefficients, signed shift, arithmetic-shift prediction) — with
 partitioned-Rice residual coding (including the 5-bit escape to
 unencoded residuals) plus wasted-bits shifts and the three stereo
-decorrelation modes (left/side, right/side, mid/side). Honest
-boundaries (explicit ``NotImplementedError``): LPC subframes (the
-encoder-choice path that needs arbitrary-precision coefficient
-handling) and sample sizes other than 8/16 bits.
+decorrelation modes (left/side, right/side, mid/side). The one honest
+boundary left (``NotImplementedError``): sample sizes other than
+8/16 bits.
 
 ``encode_flac`` is the matching subset encoder (constant subframes
-for solid signals, verbatim, and fixed order 0-2 with single-
-partition Rice), emitting spec-conformant streams any FLAC decoder
-reads — the synthesis substrate for the oracle gate and the units,
-the same synthesized-real-bytes discipline as llm/jpeg.py and the
-PNG/GIF/WAV corpora.
+for solid signals, verbatim, fixed order 0-2, and explicit-coefficient
+LPC, all with single-partition Rice), emitting spec-conformant
+streams any FLAC decoder reads — the synthesis substrate for the
+oracle gate and the units, the same synthesized-real-bytes discipline
+as llm/jpeg.py and the PNG/GIF/WAV corpora.
 
 Reference parity note: the reference pipeline has no media handling
 (BASELINE.md); this closes the compressed-audio half of the codec
@@ -153,11 +153,21 @@ def _subframe(r: _Bits, n: int, bps: int) -> list[int]:
                 c * samples[i - 1 - j] for j, c in enumerate(coefs)
             )
             samples.append(resid[i - order] + pred)
-    elif stype >= 32:
-        raise NotImplementedError(
-            "LPC subframes need arbitrary-order coefficient decoding; "
-            "this decoder covers the fixed-prediction subset"
-        )
+    elif stype >= 32:  # LPC, order = stype - 31
+        order = stype - 31
+        warm = [_signed(r.read(eff), eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC coefficient precision (1111)")
+        shift = _signed(r.read(5), 5)
+        if shift < 0:
+            raise ValueError("negative LPC quantization shift")
+        coefs = [_signed(r.read(prec), prec) for _ in range(order)]
+        resid = _rice_residuals(r, n, order)
+        samples = list(warm)
+        for i in range(order, n):
+            acc = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            samples.append(resid[i - order] + (acc >> shift))
     else:
         raise ValueError(f"reserved subframe type {stype}")
     if wasted:
@@ -308,12 +318,48 @@ def _write_utf8_coded(w: _BitW, v: int) -> None:
     w.write(0x80 | (v & 0x3F), 8)
 
 
+def _write_rice(w: _BitW, resid: list[int]) -> None:
+    w.write(0, 2)  # RICE method
+    w.write(0, 4)  # partition order 0 -> single partition
+    mean = max(1, sum(abs(x) for x in resid) // max(1, len(resid)))
+    param = min(14, max(0, (2 * mean).bit_length() - 1))
+    w.write(param, 4)
+    for x in resid:
+        zz = ((-x) << 1) - 1 if x < 0 else (x << 1)
+        q, low = zz >> param, zz & ((1 << param) - 1)
+        w.write(0, q)  # q zero bits
+        w.write(1, 1)  # terminator
+        if param:
+            w.write(low, param)
+
+
 def _write_subframe(
-    w: _BitW, ch: list[int], bits: int, fixed_order: int | None
+    w: _BitW,
+    ch: list[int],
+    bits: int,
+    fixed_order: int | None,
+    lpc: tuple[list[int], int, int] | None = None,
 ) -> None:
     n = len(ch)
     w.write(0, 1)  # padding
-    if len(set(ch)) == 1:
+    if lpc is not None:
+        coefs, shift, prec = lpc
+        order = len(coefs)
+        w.write(31 + order, 6)
+        w.write(0, 1)
+        for s in ch[:order]:
+            w.write(s & ((1 << bits) - 1), bits)
+        w.write(prec - 1, 4)
+        w.write(shift & 0x1F, 5)
+        for c in coefs:
+            w.write(c & ((1 << prec) - 1), prec)
+        resid = [
+            ch[i]
+            - (sum(c * ch[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, n)
+        ]
+        _write_rice(w, resid)
+    elif len(set(ch)) == 1:
         w.write(0, 6)  # CONSTANT
         w.write(0, 1)  # no wasted bits
         w.write(ch[0] & ((1 << bits) - 1), bits)
@@ -333,18 +379,7 @@ def _write_subframe(
             ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
             for i in range(order, n)
         ]
-        w.write(0, 2)  # RICE method
-        w.write(0, 4)  # partition order 0 -> single partition
-        mean = max(1, sum(abs(x) for x in resid) // max(1, len(resid)))
-        param = min(14, max(0, (2 * mean).bit_length() - 1))
-        w.write(param, 4)
-        for x in resid:
-            zz = ((-x) << 1) - 1 if x < 0 else (x << 1)
-            q, low = zz >> param, zz & ((1 << param) - 1)
-            w.write(0, q)  # q zero bits
-            w.write(1, 1)  # terminator
-            if param:
-                w.write(low, param)
+        _write_rice(w, resid)
 
 
 def encode_flac(
@@ -353,6 +388,7 @@ def encode_flac(
     bits: int = 16,
     fixed_order: int | None = None,
     stereo_mode: str = "independent",
+    lpc: tuple[list[int], int, int] | None = None,
 ) -> bytes:
     """Subset FLAC encoder: one frame holding all samples. Solid
     channels emit CONSTANT subframes; otherwise ``fixed_order`` (0-2)
@@ -397,7 +433,7 @@ def encode_flac(
             mid = [(l + r) >> 1 for l, r in zip(left, right)]
             subs = [(mid, bits), (side, bits + 1)]
     for ch, eff_bits in subs:
-        _write_subframe(w, ch, eff_bits, fixed_order)
+        _write_subframe(w, ch, eff_bits, fixed_order, lpc=lpc)
     w.align()
     w.write(0, 16)  # frame CRC-16 (decoder consumes, doesn't verify)
     frame = bytes(w.out)

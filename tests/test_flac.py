@@ -48,17 +48,26 @@ def test_all_stereo_decorrelation_modes_lossless():
         assert dec["channels"] == 2
 
 
-def test_lpc_and_garbage_refuse_honestly():
+def test_lpc_subframes_are_lossless():
+    """LPC decode (quantized coefficients + arithmetic-shift
+    prediction) is exact for ANY coefficients — residuals encode
+    whatever the predictor leaves — across orders and shifts."""
+    sig = [int(1500 * math.sin(i / 6) + 9 * i) for i in range(200)]
+    for coefs, shift, prec in ([[2], 1, 4], [[3, -1], 1, 5],
+                               [[5, -4, 1], 2, 6], [[-1], 0, 4]):
+        dec = decode_flac(encode_flac([sig], lpc=(coefs, shift, prec)))
+        assert dec["samples"] == sig, (coefs, shift)
+    left = sig[:100]
+    right = [(-3 * x) // 2 for x in sig[:100]]
+    dec = decode_flac(
+        encode_flac([left, right], stereo_mode="mid_side", lpc=([3, -1], 1, 5))
+    )
+    assert dec["samples"] == [v for p in zip(left, right) for v in p]
+
+
+def test_garbage_refuses_honestly():
     with pytest.raises(ValueError, match="stream marker"):
         decode_flac(b"not a flac stream")
-    blob = bytearray(encode_flac([[int(20 * i) for i in range(100)]],
-                                 fixed_order=1))
-    # subframe header byte: frame starts at 4 (marker) + 4 (meta hdr)
-    # + 34 (STREAMINFO+md5); the frame header is exactly 8 bytes here,
-    # so byte 50 is [pad|type(6)|wasted]; type 0x20 = LPC order 1.
-    blob[50] = 0x20 << 1
-    with pytest.raises(NotImplementedError, match="LPC"):
-        decode_flac(bytes(blob))
 
 
 def test_truncated_stream_raises_cleanly():
