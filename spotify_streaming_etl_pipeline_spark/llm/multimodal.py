@@ -876,7 +876,7 @@ def decode_audio(blob: bytes) -> dict:
     """Audio decode dispatch by container magic — the audio sibling of
     ``decode_image`` / ``sample_frames``: RIFF/WAVE routes to
     ``decode_wav`` (integer PCM, G.711, mono IMA ADPCM), fLaC to
-    ``llm.flac.decode_flac`` (fixed-prediction subset). Both return
+    ``llm.flac.decode_flac`` (all subframe types incl. LPC). Both return
     the same {"sample_rate", "channels", "bits", "n_samples",
     "samples"} dict. mp3 bytes are rejected toward ``mp3_stream_info``
     (header-walk QA exists; PCM decode honestly does not); anything
@@ -907,7 +907,7 @@ def flac_features(media: DataFrame) -> DataFrame:
     blobs decoded with ``llm.flac.decode_flac`` (frame/subframe walk,
     partitioned-Rice residuals, fixed predictors, stereo
     decorrelation) into (sample_rate, channels, n_samples,
-    duration_ms, integer RMS); poison blobs — LPC streams, truncated
+    duration_ms, integer RMS); poison blobs — truncated
     bitstreams, non-FLAC bytes — null out (dead-letter contract)."""
     import math
 
