@@ -8,16 +8,18 @@ CONSTANT, VERBATIM, FIXED orders 0-4, and LPC any order (quantized
 coefficients, signed shift, arithmetic-shift prediction) — with
 partitioned-Rice residual coding (including the 5-bit escape to
 unencoded residuals) plus wasted-bits shifts and the three stereo
-decorrelation modes (left/side, right/side, mid/side). The one honest
-boundary left (``NotImplementedError``): sample sizes other than
-8/16 bits.
+decorrelation modes (left/side, right/side, mid/side) — every
+sample depth the spec's frame-header codes carry (8/12/16/20/24,
+plus STREAMINFO-declared depths to 32).
 
 ``encode_flac`` is the matching subset encoder (constant subframes
 for solid signals, verbatim, fixed order 0-2, and explicit-coefficient
 LPC, all with single-partition Rice), emitting spec-conformant
 streams any FLAC decoder reads — the synthesis substrate for the
 oracle gate and the units, the same synthesized-real-bytes discipline
-as llm/jpeg.py and the PNG/GIF/WAV corpora.
+as llm/jpeg.py and the PNG/GIF/WAV corpora. Sample depths 8-32 bits
+decode (the frame-header sample-size codes cover 8/12/16/20/24; the
+subframe math is depth-agnostic).
 
 Reference parity note: the reference pipeline has no media handling
 (BASELINE.md); this closes the compressed-audio half of the codec
@@ -176,7 +178,7 @@ def _subframe(r: _Bits, n: int, bps: int) -> list[int]:
 
 
 def decode_flac(blob: bytes) -> dict:
-    """Decode a fixed-subset FLAC stream. Returns {"sample_rate",
+    """Decode a FLAC stream. Returns {"sample_rate",
     "channels", "bits", "n_samples", "samples"} with samples flat
     channel-interleaved — the same contract as multimodal.decode_wav,
     so audio feature stages treat both containers identically."""
@@ -210,8 +212,8 @@ def decode_flac(blob: bytes) -> dict:
             break
     if info is None:
         raise ValueError("FLAC has no STREAMINFO block")
-    if info["bps"] not in (8, 16):
-        raise NotImplementedError("only 8/16-bit FLAC decodes here")
+    if info["bps"] not in (8, 12, 16, 20, 24, 32):
+        raise ValueError(f"invalid FLAC sample depth {info['bps']}")
 
     frames: list[list[int]] = []
     got = 0
@@ -415,7 +417,7 @@ def encode_flac(
     w.write(7, 4)  # block size: 16-bit at end
     w.write(0, 4)  # sample rate: from STREAMINFO
     w.write(ch_codes[stereo_mode], 4)
-    w.write({8: 1, 16: 4}[bits], 3)
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bits], 3)
     w.write(0, 1)
     _write_utf8_coded(w, 0)  # frame 0
     w.write(n - 1, 16)

@@ -1,4 +1,4 @@
-"""Units for the fixed-subset FLAC codec (llm/flac.py): lossless
+"""Units for the FLAC codec (llm/flac.py): lossless
 round-trips across subframe types, bit depths, and stereo
 decorrelation modes; honest refusals; and the Spark feature stage's
 dead-letter contract."""
@@ -111,3 +111,23 @@ def test_flac_features_dead_letters_poison(spark):
     assert got[99] == (None, None)
     assert got[0] == (50, 8000)  # amp 50, rate 8000
     assert got[1] == (51, 16000)  # amp 51, rate 16000
+
+
+def test_all_sample_depths_roundtrip():
+    """The subframe math is depth-agnostic; 12/20/24-bit streams (the
+    frame-header sample-size codes beyond 8/16) round-trip exactly,
+    including LPC and side-channel (bits+1) paths."""
+    sig24 = [int(4_000_000 * math.sin(i / 6)) + 1000 * i for i in range(150)]
+    for bits, sig in ((12, [int(1800 * math.sin(i / 5)) for i in range(100)]),
+                      (20, [int(400_000 * math.sin(i / 7)) for i in range(100)]),
+                      (24, sig24)):
+        dec = decode_flac(encode_flac([sig], bits=bits, fixed_order=2))
+        assert dec["samples"] == sig and dec["bits"] == bits
+    dec = decode_flac(encode_flac([sig24], bits=24, lpc=([3, -1], 1, 5)))
+    assert dec["samples"] == sig24
+    left, right = sig24[:80], [x // 3 for x in sig24[:80]]
+    dec = decode_flac(
+        encode_flac([left, right], bits=24, stereo_mode="left_side",
+                    fixed_order=1)
+    )
+    assert dec["samples"] == [v for p in zip(left, right) for v in p]
