@@ -1352,16 +1352,25 @@ _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
 _MP3_RATES = [44100, 48000, 32000, 0]
 
 
+# MPEG-2/2.5 Layer III tables (public spec constants).
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 144, 160, 0]
+_MP3_RATES_V2 = [22050, 24000, 16000, 0]
+_MP3_RATES_V25 = [11025, 12000, 8000, 0]
+
+
 def mp3_stream_info(blob: bytes) -> dict:
-    """REAL pure-stdlib MPEG-1 Layer III header walk — the corpus-QA
+    """REAL pure-stdlib MPEG Layer III header walk — the corpus-QA
     primitive for audio duration/bitrate audits WITHOUT a PCM decode
     (the jpeg_dimensions pattern): frame-by-frame sync parse (11-bit
-    sync, version/layer bits, bitrate + sample-rate indices, padding
-    bit), frame length = 144*bitrate/rate + pad, 1152 samples per
-    frame. Returns {"n_frames", "sample_rate", "bitrate_kbps" (mean,
-    rounded — VBR streams vary per frame), "duration_ms", "vbr"}.
-    PCM decode of the payloads is the honest codec boundary (huffman
-    + IMDCT + synthesis filterbank); nothing here fabricates audio."""
+    sync, version/layer bits, per-version bitrate + sample-rate
+    tables, padding bit). MPEG-1 frames carry 1152 samples and step
+    144*bitrate/rate + pad bytes; MPEG-2 and MPEG-2.5 carry 576 and
+    step 72*bitrate/rate + pad. Returns {"n_frames", "sample_rate",
+    "bitrate_kbps" (mean, rounded — VBR streams vary per frame),
+    "duration_ms", "vbr"}. PCM decode of the payloads is the honest
+    codec boundary (huffman + IMDCT + synthesis filterbank); nothing
+    here fabricates audio."""
     blob = bytes(blob)
     pos = 0
     if blob[:3] == b"ID3":  # ID3v2 container prefix: 4-byte synchsafe size
@@ -1373,37 +1382,46 @@ def mp3_stream_info(blob: bytes) -> dict:
         pos = 10 + size
     n_frames = 0
     rate = None
+    spf = None  # samples per frame (version-fixed)
     bitrates = []
     while pos + 4 <= len(blob):
         h = int.from_bytes(blob[pos : pos + 4], "big")
         if (h >> 21) & 0x7FF != 0x7FF:
             raise ValueError("lost MPEG frame sync mid-stream")
-        version = (h >> 19) & 3
+        version = (h >> 19) & 3  # 0=MPEG-2.5, 2=MPEG-2, 3=MPEG-1
         layer = (h >> 17) & 3
-        if version != 3 or layer != 1:  # MPEG-1, Layer III
+        if version == 1 or layer != 1:  # reserved version / not Layer III
             raise NotImplementedError(
-                "only MPEG-1 Layer III headers parse here (MPEG-2/2.5 "
-                "use different tables)"
+                "only Layer III headers parse here (Layers I/II use "
+                "different frame formulas)"
             )
-        br = _MP3_BITRATES[(h >> 12) & 0xF]
-        sr = _MP3_RATES[(h >> 10) & 3]
+        if version == 3:
+            br = _MP3_BITRATES[(h >> 12) & 0xF]
+            sr = _MP3_RATES[(h >> 10) & 3]
+            samples, step = 1152, 144
+        else:
+            br = _MP3_BITRATES_V2[(h >> 12) & 0xF]
+            sr = (_MP3_RATES_V2 if version == 2 else _MP3_RATES_V25)[
+                (h >> 10) & 3
+            ]
+            samples, step = 576, 72
         pad = (h >> 9) & 1
         if not br or not sr:
             raise ValueError("free-format/reserved bitrate or sample rate")
         if rate is None:
-            rate = sr
-        elif sr != rate:
-            raise ValueError("sample rate changes mid-stream")
+            rate, spf = sr, samples
+        elif sr != rate or samples != spf:
+            raise ValueError("sample rate/version changes mid-stream")
         bitrates.append(br)
         n_frames += 1
-        pos += 144 * br * 1000 // sr + pad
+        pos += step * br * 1000 // sr + pad
     if n_frames == 0:
         raise ValueError("not an MPEG audio stream (no frame sync)")
     return {
         "n_frames": n_frames,
         "sample_rate": rate,
         "bitrate_kbps": round(sum(bitrates) / n_frames),
-        "duration_ms": n_frames * 1152 * 1000 // rate,
+        "duration_ms": n_frames * spf * 1000 // rate,
         "vbr": len(set(bitrates)) > 1,
     }
 

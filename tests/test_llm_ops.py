@@ -1109,9 +1109,15 @@ def test_adpcm_stereo_refuses_honestly():
         multimodal.decode_wav(_encode_wav_raw(0x11, 2, 8000, 8, 4, data))
 
 
-def _mp3_frame(br_idx: int, rate_idx: int) -> bytes:
-    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (br_idx << 12) | (rate_idx << 10)
-    flen = 144 * multimodal._MP3_BITRATES[br_idx] * 1000 // multimodal._MP3_RATES[rate_idx]
+def _mp3_frame(br_idx: int, rate_idx: int, version: int = 3) -> bytes:
+    h = (0x7FF << 21) | (version << 19) | (1 << 17) | (br_idx << 12) | (rate_idx << 10)
+    if version == 3:
+        br, sr, step = (multimodal._MP3_BITRATES[br_idx],
+                        multimodal._MP3_RATES[rate_idx], 144)
+    else:
+        rates = multimodal._MP3_RATES_V2 if version == 2 else multimodal._MP3_RATES_V25
+        br, sr, step = multimodal._MP3_BITRATES_V2[br_idx], rates[rate_idx], 72
+    flen = step * br * 1000 // sr
     return h.to_bytes(4, "big") + b"\x00" * (flen - 4)
 
 
@@ -1137,10 +1143,28 @@ def test_mp3_stream_info_id3_prefix_and_refusals():
     desync = _mp3_frame(8, 0) + b"\x00\x01\x02\x03"
     with pytest.raises(ValueError, match="sync"):
         multimodal.mp3_stream_info(desync)
-    mpeg2 = bytearray(_mp3_frame(8, 0))
-    mpeg2[1] &= ~0x08  # clear the version-id bit -> MPEG-2
-    with pytest.raises(NotImplementedError, match="MPEG-1"):
-        multimodal.mp3_stream_info(bytes(mpeg2))
+    layer2 = bytearray(_mp3_frame(8, 0))
+    layer2[1] = (layer2[1] & ~0x06) | 0x04  # layer bits -> Layer II
+    with pytest.raises(NotImplementedError, match="Layer III"):
+        multimodal.mp3_stream_info(bytes(layer2))
+
+
+def test_mp3_stream_info_mpeg2_and_25():
+    """MPEG-2 (22.05/24/16 kHz) and MPEG-2.5 (11.025/12/8 kHz) Layer
+    III: 576 samples per frame, 72*bitrate/rate stepping, the
+    low-bitrate table."""
+    m2 = multimodal.mp3_stream_info(_mp3_frame(9, 1, version=2) * 5)
+    assert (m2["n_frames"], m2["sample_rate"], m2["bitrate_kbps"]) == (
+        5, 24000, 80)  # V2 idx 9 = 80 kbps
+    assert m2["duration_ms"] == 5 * 576 * 1000 // 24000
+    m25 = multimodal.mp3_stream_info(_mp3_frame(5, 2, version=0) * 3)
+    assert (m25["n_frames"], m25["sample_rate"], m25["bitrate_kbps"]) == (
+        3, 8000, 40)  # V2.5 idx 5 = 40 kbps, rate idx 2 = 8000
+    # mixed versions mid-stream are a corrupt-stream error
+    with pytest.raises(ValueError, match="mid-stream"):
+        multimodal.mp3_stream_info(
+            _mp3_frame(8, 0) + _mp3_frame(9, 1, version=2)
+        )
 
 
 def test_wav_features_mapinpandas(spark):
