@@ -77,19 +77,50 @@ def test_color_444_converts_ycbcr_to_rgb():
     assert (px == px[0, 0]).all()  # solid in, solid out
 
 
-def test_progressive_and_subsampled_refuse_honestly():
+def test_progressive_refuses_honestly():
     blob = bytearray(encode_jpeg([_solid_image(1, 1, 50)]))
     i = blob.find(b"\xff\xc0")
     prog = bytearray(blob)
     prog[i + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(prog))
-    sub = bytearray(blob)
-    # SOF0 payload: len(2) prec(1) h(2) w(2) nf(1) then cid, HV, tq —
-    # set the HV byte to 0x22 (2x2 sampling).
-    sub[i + 2 + 2 + 1 + 2 + 2 + 1 + 1] = 0x22
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(sub))
+
+
+def test_chroma_subsampling_decodes():
+    """4:2:0 and 4:2:2 — the dominant real-world JPEG shapes — decode
+    through the MCU-interleaved path: solid colors round-trip exactly
+    (box-average downsample of a constant is the constant; DC exact;
+    replication upsample exact), per-8x8-block luma detail survives
+    under neutral chroma, and restart intervals compose."""
+    y = np.zeros((16, 24), dtype=int)
+    for by in range(2):
+        for bx in range(3):
+            y[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = 60 + by * 10 + bx * 5
+    gray128 = np.full((16, 24), 128)
+    for sampling in ([(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]):
+        out = decode_jpeg(
+            encode_jpeg([y, gray128, gray128], sampling=sampling)
+        )
+        px = np.array(out["pixels"]).reshape(16, 24, 3)
+        assert (px[..., 0] == y).all(), sampling  # luma exact
+        assert (px[..., 1] == y).all()  # neutral chroma -> gray
+    # solid color 4:2:0 reproduces the exact 4:4:4 conversion result
+    planes = [np.full((16, 16), v) for v in (120, 100, 140)]
+    full = decode_jpeg(encode_jpeg(planes))["pixels"]
+    sub = decode_jpeg(
+        encode_jpeg(planes, sampling=[(2, 2), (1, 1), (1, 1)])
+    )["pixels"]
+    assert sub == full
+    # restarts under subsampling
+    rst = decode_jpeg(
+        encode_jpeg([y, gray128, gray128],
+                    sampling=[(2, 2), (1, 1), (1, 1)], restart_interval=1)
+    )["pixels"]
+    plain = decode_jpeg(
+        encode_jpeg([y, gray128, gray128],
+                    sampling=[(2, 2), (1, 1), (1, 1)])
+    )["pixels"]
+    assert rst == plain
 
 
 def test_truncated_and_garbage_blobs_raise_cleanly():
