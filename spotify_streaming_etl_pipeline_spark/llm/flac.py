@@ -102,6 +102,9 @@ _BLOCKSIZES = {
     13: 8192, 14: 16384, 15: 32768,
 }
 
+# Frame-header sample-size codes (0 = from STREAMINFO; 3 reserved).
+_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
 
 def _rice_residuals(r: _Bits, n: int, pred_order: int) -> list[int]:
     """Partitioned-Rice residual section (both RICE and RICE2 coding
@@ -242,7 +245,21 @@ def decode_flac(blob: bytes) -> dict:
         elif sr_code in (13, 14):
             r.read(16)
         r.read(8)  # CRC-8 of the header (consumed, not verified)
-        bps = info["bps"]
+        # Sample-size code: 0 = "get from STREAMINFO"; non-zero codes
+        # carry the frame's own depth, which for a conformant stream
+        # must agree with STREAMINFO — a mismatch would silently
+        # mis-scale every sample, so it is a hard error here.
+        if ss_code == 0:
+            bps = info["bps"]
+        elif ss_code in _SAMPLE_SIZES:
+            bps = _SAMPLE_SIZES[ss_code]
+            if bps != info["bps"]:
+                raise ValueError(
+                    f"frame sample depth {bps} contradicts "
+                    f"STREAMINFO depth {info['bps']}"
+                )
+        else:
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
         if ch_code < 8:
             chans = [ _subframe(r, n, bps) for _ in range(ch_code + 1) ]
         elif ch_code == 8:  # left/side
@@ -417,7 +434,13 @@ def encode_flac(
     w.write(7, 4)  # block size: 16-bit at end
     w.write(0, 4)  # sample rate: from STREAMINFO
     w.write(ch_codes[stereo_mode], 4)
-    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bits], 3)
+    ss_codes = {d: c for c, d in _SAMPLE_SIZES.items()}
+    if bits not in ss_codes:
+        raise ValueError(
+            f"unsupported FLAC sample depth {bits} "
+            f"(supported: {sorted(ss_codes)})"
+        )
+    w.write(ss_codes[bits], 3)
     w.write(0, 1)
     _write_utf8_coded(w, 0)  # frame 0
     w.write(n - 1, 16)

@@ -125,23 +125,32 @@ def extract_blob_features(media: DataFrame) -> DataFrame:
     )
 
 
-def resize_blobs(media: DataFrame, target_bytes: int = 256) -> DataFrame:
-    """'Resize' every blob to a fixed payload size via mapInPandas —
-    the plumbing shape of a real image-resize stage (Arrow batches in,
-    binary column out, schema declared). The transform itself is a
-    deterministic fake (truncate / zero-pad) because Pillow is absent;
-    swap the inner function for `PIL.Image.resize` bytes unchanged."""
+def resize_blobs(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """REAL image-resize stage via mapInPandas (Arrow batches in,
+    binary column out): every blob is decoded with the in-repo codecs
+    (PNG/BMP/GIF/baseline JPEG), nearest-neighbor resampled to
+    (width, height), and re-encoded as PNG (``resize_image``) — the
+    thumbnail-normalization step of a multimodal training pipeline.
+    Poison blobs (unrecognized signature, corrupt stream, unsupported
+    subformat) null out instead of killing the task — the same
+    dead-letter contract as ``png_features``/``jpeg_features``."""
 
     def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def fake_resize(b: bytes) -> bytes:
-            b = bytes(b)[:target_bytes]
-            return b + b"\x00" * (target_bytes - len(b))
+        import struct
+        import zlib
+
+        def _safe(b: bytes) -> bytes | None:
+            try:
+                return resize_image(b, width, height)
+            except (ValueError, NotImplementedError, IndexError,
+                    KeyError, struct.error, zlib.error):
+                return None
 
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "blob": pdf["blob"].map(fake_resize),
+                    "blob": pdf["blob"].map(_safe),
                 }
             )
 
@@ -237,6 +246,88 @@ def decode_png(blob: bytes) -> dict:
         out += cur
         prev = cur
     return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """REAL pure-stdlib PNG encoder (zlib + struct), the inverse of
+    ``decode_png``: 8-bit non-interlaced gray / gray+alpha / RGB /
+    RGBA, filter-0 scanlines, valid chunk CRCs. ``pixels`` is
+    row-major packed bytes (len == width*height*channels) — the exact
+    shape the decoders emit, so decode -> transform -> encode chains
+    compose losslessly."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color is None:
+        raise ValueError(f"encode_png supports 1-4 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match width*height*channels")
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _decode_raster(blob: bytes) -> dict:
+    """Dispatch bytes to the pure in-repo raster decoders by magic
+    signature (PNG / BMP / GIF / baseline JPEG) — the
+    library-independent path ``resize_image`` builds on. Returns the
+    common {"width","height","channels","pixels"} contract."""
+    b = bytes(blob)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
+    raise ValueError(
+        "unrecognized raster signature (PNG/BMP/GIF/JPEG decode here)"
+    )
+
+
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """REAL image resize with zero external dependencies: decode via
+    the in-repo codecs (``_decode_raster``), nearest-neighbor resample
+    to (width, height) with floor index mapping sx = x*src_w // width
+    (deterministic, oracle-expressible), re-encode as PNG — the
+    canonical normalization format (lossless, carries 1-4 channels),
+    regardless of input format. Channel count is preserved."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize target must be positive")
+    img = _decode_raster(blob)
+    sw, sh, ch = img["width"], img["height"], img["channels"]
+    px = img["pixels"]  # packed bytes, or a list of ints (JPEG)
+    xs = [(x * sw) // width * ch for x in range(width)]
+    out = bytearray()
+    for y in range(height):
+        row = (y * sh) // height * sw * ch
+        for sx in xs:
+            o = row + sx
+            for c in range(ch):
+                out.append(px[o + c])
+    return encode_png(width, height, ch, bytes(out))
 
 
 def decode_bmp(blob: bytes) -> dict:
@@ -535,7 +626,7 @@ def jpeg_features(media: DataFrame) -> DataFrame:
                          img["channels"], mean)
                     )
                 except (ValueError, NotImplementedError, IndexError,
-                        struct.error):
+                        KeyError, struct.error):
                     rows.append((doc_id, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -1122,6 +1213,34 @@ def synth_png_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_gradient_png_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic GRADIENT PNG corpus from doc ids (the resize
+    gate's substrate): 8-bit grayscale, pixel(x, y) = base + x + y
+    with base = (doc_id*7) % 200 and dims (8 + doc_id%5*4) x
+    (6 + doc_id%3*2) — max value 231, no mod wrap, so a
+    nearest-neighbor resample's pixel values (and their integer mean)
+    are exact arithmetic functions of doc_id. A constant-pixel corpus
+    could not certify the resample index map; a gradient can."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = 8 + (i % 5) * 4
+                h = 6 + (i % 3) * 2
+                base = (i * 7) % 200
+                px = bytes(
+                    base + x + y for y in range(h) for x in range(w)
+                )
+                blobs.append(encode_png(w, h, 1, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     """Minimal GIF-variant LZW encoder: literal codes only, mirroring
     the decoder's table growth (one append per code after the first)
@@ -1385,6 +1504,14 @@ def mp3_stream_info(blob: bytes) -> dict:
     spf = None  # samples per frame (version-fixed)
     bitrates = []
     while pos + 4 <= len(blob):
+        # End-of-stream tags: real-world mp3s ubiquitously carry a
+        # 128-byte ID3v1 trailer ("TAG") and/or an APE tag after the
+        # last frame — after at least one valid frame these end the
+        # walk cleanly instead of failing the whole stream.
+        if n_frames and blob[pos : pos + 3] == b"TAG":
+            break
+        if n_frames and blob[pos : pos + 8] == b"APETAGEX":
+            break
         h = int.from_bytes(blob[pos : pos + 4], "big")
         if (h >> 21) & 0x7FF != 0x7FF:
             raise ValueError("lost MPEG frame sync mid-stream")

@@ -207,18 +207,27 @@ def canonical_url(url: Column) -> Column:
     leftover ?/& punctuation, drop a trailing path slash, and SORT the
     remaining query parameters (?b=2&a=1 == ?a=1&b=2 — parameter order
     is presentation, not identity). Pure codegen expressions; paths
-    and meaningful query values keep their case. The DuckDB oracle
-    mirrors the chain exactly (same RE2 patterns, 'g' flags,
-    list_sort for the parameter sort). Idempotent by construction
+    and meaningful query values keep their case. The tracking strip is
+    anchored to a ?/& boundary, so parameter names that merely END in
+    a tracked name (xgclid=) and values containing one (q=utm_x%3D1
+    decoded) survive untouched. Idempotent by construction
     (property-pinned)."""
     u = F.regexp_replace(url, r"#.*$", "")
     prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
     rest = F.substring(u, F.length(prefix) + 1, F.lit(1_000_000))
     prefix = F.lower(prefix)
     prefix = F.regexp_replace(prefix, r":(443|80)$", "")
-    rest = F.regexp_replace(rest, rf"(?i){TRACKING_PARAMS}=[^&#]*&?", "")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    # Anchor the tracking-param strip to a ?/& boundary and re-emit
+    # the delimiter — an unanchored pattern would mangle parameters
+    # whose NAME merely ends in a tracked name ("xgclid=") or whose
+    # VALUE contains one ("q=utm_x=1"). The delimiter stays in the
+    # output (not consumed by &?) so back-to-back tracking params each
+    # still see their own anchor; the leftover ?&/&& runs are tidied
+    # below.
+    rest = F.regexp_replace(rest, rf"(?i)([?&]){TRACKING_PARAMS}=[^&#]*", "$1")
+    rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/(\?|$)", "$1")
     path = F.regexp_replace(rest, r"\?.*$", "")
     query = F.regexp_extract(rest, r"\?(.*)$", 1)

@@ -58,6 +58,12 @@ def fuzzy_pairs(
         .filter(F.col("name").isNotNull())
         .distinct()
         .withColumn("blk", block_fn(F.col("name")))
+        # A null blocking key means "no block": the equi-join form
+        # drops such rows implicitly (null never equi-matches), so the
+        # capped form must drop them explicitly too — otherwise a
+        # custom block_fn returning null would pair all null-keyed
+        # rows in one bucket under the cap and none without it.
+        .filter(F.col("blk").isNotNull())
     )
     if max_block_size is not None:
         buckets = (

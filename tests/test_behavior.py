@@ -192,6 +192,31 @@ def test_fuzzy_pairs_hot_block_exclusion(spark):
     assert any(a.endswith("widget") for a, _, _ in full)  # join form kept them
 
 
+def test_fuzzy_pairs_null_block_key_agrees_across_plan_forms(spark):
+    """A block_fn returning null means 'no block' in BOTH plan forms:
+    the equi-join drops null keys implicitly, so the capped collect_set
+    path must drop them explicitly too — null-keyed rows never pair."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [("red bolt",), ("ted bolt",), ("stray",), ("strays",)],
+        "p_name string",
+    )
+
+    def nullable_block(c):
+        # single-token names get a NULL blocking key
+        return F.when(F.size(F.split(c, " ")) > 1,
+                      F.element_at(F.split(c, " "), -1))
+
+    join_form = sorted(map(tuple, fuzzy_pairs(
+        df, "p_name", block_fn=nullable_block).collect()))
+    capped_form = sorted(map(tuple, fuzzy_pairs(
+        df, "p_name", block_fn=nullable_block, max_block_size=10).collect()))
+    assert join_form == capped_form == [("red bolt", "ted bolt", 1)]
+
+
 def test_session_funnel_requires_same_session(spark):
     """A purchase in a LATER session than its view/click must not
     count, even though the cross-session funnel would count it."""

@@ -131,3 +131,31 @@ def test_all_sample_depths_roundtrip():
                     fixed_order=1)
     )
     assert dec["samples"] == [v for p in zip(left, right) for v in p]
+    # 32-bit: the full advertised depth range round-trips (ss code 7)
+    sig32 = [int(9e8 * math.sin(i / 6)) for i in range(64)]
+    dec32 = decode_flac(encode_flac([sig32], bits=32, fixed_order=2))
+    assert dec32["samples"] == sig32 and dec32["bits"] == 32
+
+
+def test_frame_sample_size_code_is_decoded_and_checked():
+    """The frame header's 3-bit sample-size code is decoded, not
+    ignored: a frame whose code contradicts STREAMINFO is a hard
+    ValueError (silently trusting STREAMINFO would mis-scale every
+    sample); an unsupported encoder depth is a ValueError, never a
+    bare KeyError."""
+    blob = bytearray(encode_flac([[300] * 100], bits=16))
+    # frame starts right after 4-byte marker + 4-byte block header +
+    # 34-byte STREAMINFO; the ss code is bits 20-22 of the 4-byte
+    # frame header (after 14 sync + 2 reserved/strategy + 4 bs + 4 sr
+    # + 4 ch): byte 3 of the frame, bits 3-1.
+    fpos = 4 + 4 + 34
+    b3 = blob[fpos + 3]
+    assert (b3 >> 1) & 7 == 4  # encoder wrote code 4 = 16-bit
+    blob[fpos + 3] = (b3 & ~0x0E) | (1 << 1)  # code 1 = 8-bit
+    with pytest.raises(ValueError, match="contradicts"):
+        decode_flac(bytes(blob))
+    blob[fpos + 3] = (b3 & ~0x0E) | (3 << 1)  # code 3 = reserved
+    with pytest.raises(ValueError, match="reserved"):
+        decode_flac(bytes(blob))
+    with pytest.raises(ValueError, match="unsupported"):
+        encode_flac([[1, 2, 3]], bits=10)

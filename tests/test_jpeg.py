@@ -131,6 +131,32 @@ def test_truncated_and_garbage_blobs_raise_cleanly():
         decode_jpeg(b"not a jpeg at all")
 
 
+def test_undeclared_table_and_component_refs_raise_valueerror():
+    """Malformed streams whose SOS/SOF reference tables or component
+    ids never declared must raise ValueError — not KeyError or the
+    RuntimeError PEP 479 makes of StopIteration — so jpeg_features'
+    dead-letter except clause catches them instead of the task dying."""
+    blob = encode_jpeg([_solid_image(1, 1, 50)])
+    sos = blob.find(b"\xff\xda")
+    sof = blob.find(b"\xff\xc0")
+    assert sos > 0 and sof > 0
+    # SOS component id nobody declared
+    bad_cid = bytearray(blob)
+    bad_cid[sos + 5] = 99
+    with pytest.raises(ValueError, match="component id"):
+        decode_jpeg(bytes(bad_cid))
+    # SOS Huffman table selector nobody declared
+    bad_huff = bytearray(blob)
+    bad_huff[sos + 6] = 0x33  # DC table 3 / AC table 3
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(bytes(bad_huff))
+    # SOF quant table selector nobody declared
+    bad_qt = bytearray(blob)
+    bad_qt[sof + 12] = 3
+    with pytest.raises(ValueError, match="quant"):
+        decode_jpeg(bytes(bad_qt))
+
+
 def test_decode_image_routes_jpeg():
     img = _solid_image(1, 1, 77)
     out = multimodal.decode_image(encode_jpeg([img]))

@@ -423,6 +423,16 @@ def test_canonical_url_variants_collapse(spark):
         ("https://h.io/CaseSensitive/Path?Q=Vv", "https://h.io/CaseSensitive/Path?Q=Vv"),
         ("http://example.com:80/", "http://example.com"),
         ("example.com/x?gclid=1#f", "example.com/x"),
+        # boundary anchoring: names merely ENDING in a tracked name and
+        # values CONTAINING one are not tracking params — keep them
+        ("https://h.io/p?xgclid=7&b=2", "https://h.io/p?b=2&xgclid=7"),
+        ("https://h.io/p?aref_src=k", "https://h.io/p?aref_src=k"),
+        ("https://h.io/p?q=utm_x=1&b=2", "https://h.io/p?b=2&q=utm_x=1"),
+        # back-to-back tracking params all strip (each sees its own
+        # ?/& anchor; the leftover delimiter runs tidy away)
+        ("https://h.io/p?utm_a=1&utm_b=2&c=3", "https://h.io/p?c=3"),
+        ("https://h.io/p?a=1&utm_b=2&utm_c=3&d=4", "https://h.io/p?a=1&d=4"),
+        ("https://h.io/p?utm_a=1&utm_b=2", "https://h.io/p"),
     ]
     dm = spark.createDataFrame(more, "url: string, want: string")
     for r in dm.select(canonical_url(F.col("url")).alias("c"), "want").collect():
@@ -468,16 +478,62 @@ def test_temperature_mix_flattens_toward_small_sources(spark):
     assert again == sorted(r["doc_id"] for r in mixed.collect())
 
 
-def test_resize_blobs_fixed_payload(spark, docs):
-    media = multimodal.attach_blob(docs)
-    out = multimodal.resize_blobs(media, target_bytes=32).collect()
-    assert len(out) == 5
-    for r in out:
-        assert len(r["blob"]) == 32
-    # truncation keeps the prefix; short docs zero-pad
-    by_id = {r["doc_id"]: bytes(r["blob"]) for r in out}
-    assert by_id[0].startswith(b"the quick brown fox")
-    assert by_id[4].startswith(b"tiny\x00")
+def test_resize_image_nearest_neighbor_exact():
+    """Real resize: decode -> floor-index NN resample -> PNG re-encode.
+    On a horizontal-gradient source the resampled pixels are an exact
+    arithmetic function of the index map sx = x*sw//tw."""
+    sw, sh = 10, 6
+    src = bytes((x + 2 * y) % 256 for y in range(sh) for x in range(sw))
+    blob = multimodal.encode_png(sw, sh, 1, src)
+    out = multimodal.decode_png(multimodal.resize_image(blob, 4, 3))
+    assert (out["width"], out["height"], out["channels"]) == (4, 3, 1)
+    want = bytes(
+        ((x * sw) // 4 + 2 * ((y * sh) // 3)) % 256
+        for y in range(3)
+        for x in range(4)
+    )
+    assert out["pixels"] == want
+    # upscale replicates (every source pixel appears >= once)
+    up = multimodal.decode_png(multimodal.resize_image(blob, 20, 6))
+    assert up["width"] == 20 and set(up["pixels"]) <= set(src)
+    # channel count preserved: RGB stays RGB
+    rgb = bytes(v for v in range(30) for _ in range(3))
+    blob3 = multimodal.encode_png(10, 3, 3, rgb)
+    out3 = multimodal.decode_png(multimodal.resize_image(blob3, 5, 3))
+    assert out3["channels"] == 3 and out3["width"] == 5
+    with pytest.raises(ValueError):
+        multimodal.resize_image(b"not an image", 4, 4)
+    with pytest.raises(ValueError):
+        multimodal.resize_image(blob, 0, 4)
+
+
+def test_resize_blobs_real_thumbnails(spark):
+    """resize_blobs is a REAL decode->NN-resample->PNG stage now: PNG,
+    BMP, GIF, and JPEG corpora all come out as decodable (width,
+    height) PNG thumbnails with the source's channel count; poison
+    blobs null out (dead-letter contract)."""
+    docs = spark.createDataFrame([(0,), (1,)], "doc_id: long")
+    for synth, ch in [
+        (multimodal.synth_png_corpus, 1),
+        (multimodal.synth_bmp_corpus, None),
+        (multimodal.synth_gif_corpus, None),
+        (multimodal.synth_jpeg_corpus, 1),
+    ]:
+        media = synth(docs)
+        out = multimodal.resize_blobs(media, width=5, height=4).collect()
+        assert len(out) == 2
+        for r in out:
+            img = multimodal.decode_png(bytes(r["blob"]))
+            assert (img["width"], img["height"]) == (5, 4)
+            if ch is not None:
+                assert img["channels"] == ch
+    poisoned = spark.createDataFrame(
+        [(9, bytearray(b"\x89PNGbroken")), (10, bytearray(b"junk"))],
+        "doc_id: long, blob: binary",
+    )
+    got = {r["doc_id"]: r["blob"] for r in
+           multimodal.resize_blobs(poisoned, width=3, height=3).collect()}
+    assert got[9] is None and got[10] is None
 
 
 def test_repetition_stats_detects_boilerplate(spark):
@@ -1147,6 +1203,20 @@ def test_mp3_stream_info_id3_prefix_and_refusals():
     layer2[1] = (layer2[1] & ~0x06) | 0x04  # layer bits -> Layer II
     with pytest.raises(NotImplementedError, match="Layer III"):
         multimodal.mp3_stream_info(bytes(layer2))
+
+
+def test_mp3_stream_info_trailing_tags():
+    """The ubiquitous end-of-stream tags — 128-byte ID3v1 'TAG' and
+    APE ('APETAGEX') trailers — end the walk cleanly instead of
+    raising 'lost sync'; a leading TAG with zero frames still fails."""
+    id3v1 = b"TAG" + b"\x00" * 125
+    m = multimodal.mp3_stream_info(_mp3_frame(8, 0) * 3 + id3v1)
+    assert m["n_frames"] == 3
+    ape = b"APETAGEX" + b"\x00" * 24
+    m2 = multimodal.mp3_stream_info(_mp3_frame(8, 0) * 2 + ape)
+    assert m2["n_frames"] == 2
+    with pytest.raises(ValueError):
+        multimodal.mp3_stream_info(id3v1)
 
 
 def test_mp3_stream_info_mpeg2_and_25():
