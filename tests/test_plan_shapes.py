@@ -40,7 +40,7 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
     in the media queries, where Python IS the decoder."""
     media_queries = {"multimodal_features", "wav_audio_features",
                      "g711_audio_features", "flac_audio_features",
-                     "mp3_stream_summary",
+                     "mp3_stream_summary", "resized_image_features",
                      "bmp_image_features", "png_image_features",
                      "gif_image_features", "jpeg_image_features",
                      "video_frame_summary", "mkv_frame_summary"}
@@ -127,6 +127,21 @@ def test_star_guards_are_window_marked_not_broadcast(spark, sf_dir, queries):
         assert "Window" in plan, f"{name} lost its _bucket_marked window"
         assert "CartesianProduct" not in plan, f"{name} degenerates to cartesian"
         assert "collect_list" not in plan, f"{name} materializes bucket arrays"
+
+
+def test_incremental_near_dup_unguarded_plan_is_classic(spark, sf_dir, queries):
+    """The r7 guard refactor (incremental_band_candidates +
+    _bucket_marked) must cost NOTHING when max_bucket_size=None — the
+    registered unguarded query keeps the pre-guard plan: no Window
+    (guard bookkeeping), no collect_list arrays, no cartesian, and the
+    candidate stage is a plain shuffled equi-join on (band, key).
+    (The shingle stage's lead() window is part of the classic plan.)
+    A/B-verified round 8: the executed plan is string-identical
+    (normalized expr ids) to the round-6 build's."""
+    plan = _plan(queries["incremental_near_dup"](spark, sf_dir))
+    assert "windowspecdefinition(band" not in plan  # no guard window
+    assert "collect_list" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_docs_scan_fans_out(spark, sf_dir, queries):
