@@ -346,6 +346,79 @@ def simhash_star_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "admission_decisions",
+    f"""
+    WITH RECURSIVE {_NG_CTE.lstrip()}, {_MINHASH_BANDS},
+    rejc AS (
+        SELECT DISTINCT y.doc_id
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        JOIN g a ON a.doc_id = x.doc_id
+        JOIN g b2 ON b2.doc_id = y.doc_id
+        WHERE x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0
+          AND round(len(list_intersect(a.ng, b2.ng))::DOUBLE
+                / (len(a.ng) + len(b2.ng) - len(list_intersect(a.ng, b2.ng))),
+                4) >= 0.8
+    ),
+    surv AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT doc_id FROM rejc)
+    ),
+    sp AS (
+        SELECT c.doc_a, c.doc_b
+        FROM (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            WHERE x.doc_id IN (SELECT doc_id FROM surv)
+              AND y.doc_id IN (SELECT doc_id FROM surv)
+        ) c
+        JOIN g a ON a.doc_id = c.doc_a
+        JOIN g b2 ON b2.doc_id = c.doc_b
+        WHERE round(len(list_intersect(a.ng, b2.ng))::DOUBLE
+                / (len(a.ng) + len(b2.ng) - len(list_intersect(a.ng, b2.ng))),
+                4) >= 0.8
+    ),
+    e AS (SELECT doc_a AS u, doc_b AS v FROM sp
+          UNION SELECT doc_b, doc_a FROM sp),
+    reach AS (
+        SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.v AS u, r.lbl FROM reach r JOIN e ON e.u = r.u
+    ),
+    comp AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY u),
+    nk AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id IN (SELECT doc_id FROM rejc)
+                    THEN 'rejected_corpus_dup'
+                WHEN b.doc_id IN (SELECT doc_id FROM nk)
+                    THEN 'rejected_batch_dup'
+                ELSE 'admitted' END AS decision
+    FROM documents b WHERE b.doc_id % 5 = 0
+    """,
+)
+def admission_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming admission sink's DECISION TABLE, oracle-gated on
+    the exact code path the sink executes (streaming/admission.py:
+    _decide, shared by admit_batch): one row per batch doc with its
+    admit/reject verdict and reason. The oracle replays the whole
+    state machine in SQL — corpus-band rejection with exact-Jaccard
+    verify, survivor set, intra-batch LSH candidates, recursive-CTE
+    connected components, cluster-min keeper election. The mod-5
+    corpus/batch split keeps ids disjoint, so the redelivery decision
+    ('rejected_known_id') never fires here — it is unit-pinned by
+    test_redelivered_doc_id_not_duplicated_in_corpus instead."""
+    from ..streaming.admission import admission_decisions as decide
+
+    d = _docs(spark, sf_dir)
+    return decide(
+        d.filter(F.col("doc_id") % 5 == 0),
+        d.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.8,
+    )
+
+
+@query(
     "index_incremental_near_dup",
     f"""
     WITH {_NG_CTE}, {_MINHASH_BANDS},

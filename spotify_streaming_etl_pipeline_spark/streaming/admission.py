@@ -35,38 +35,45 @@ from ..llm import dedup
 from .aggregates import publish_snapshot, read_state
 
 
-def admit_batch(
+def _decide(
     batch: DataFrame,
     corpus: DataFrame | None,
-    threshold: float = 0.8,
-    text_col: str = "text",
-) -> DataFrame:
-    """The pure admission function (one microbatch against one corpus
-    state) — shared by the streaming sink and the batch/stream parity
-    test.  Returns the admitted rows of ``batch``.
+    threshold: float,
+    text_col: str,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The admission DECISION TABLE (doc_id, decision) for every
+    distinct batch doc — the single code path behind both the
+    streaming sink (``admit_batch``) and the oracle-gated batch form
+    (``admission_decisions``).  Decisions:
 
-    Cache hygiene: the posting tables are built HERE (once per side),
-    threaded through both detectors, and unpersisted before returning
-    — a long-running stream must not accumulate per-batch postings in
-    executor storage (the r5 ADVICE leak class).  The admitted result
-    is localCheckpoint-ed first so unpersisting cannot force a
-    recompute-without-cache of the whole pipeline."""
+    - ``rejected_known_id``   — the doc's id is already in the corpus
+      (at-least-once redelivery across DIFFERENT batch ids; its own
+      identity pair is excluded from the near-dup check by design, so
+      without this a redelivered unique doc would duplicate its corpus
+      row on every redelivery);
+    - ``rejected_corpus_dup`` — MinHash-verified Jaccard against a
+      current corpus doc clears the threshold (band join against the
+      corpus index, never the corpus pairwise);
+    - ``rejected_batch_dup``  — a non-keeper of an intra-batch
+      near-dup cluster (keeper = cluster-min id);
+    - ``admitted``            — everything else.
+
+    Returns (decisions, cleanup): callers MUST materialize decisions
+    (localCheckpoint) before unpersisting the cleanup postings."""
     batch = batch.dropDuplicates(["doc_id"])
+    ids = batch.select("doc_id")
     if corpus is not None:
-        # At-least-once redelivery across DIFFERENT batch ids: a doc
-        # whose id is already in the corpus must not be re-admitted
-        # (its own identity pair is excluded from the near-dup check
-        # by design, so without this anti-join a redelivered unique
-        # doc would duplicate its corpus row on every redelivery).
-        batch = batch.join(corpus.select("doc_id"), "doc_id", "left_anti")
-    batch_posting = dedup._posting(batch, text_col).persist()
+        fresh = batch.join(corpus.select("doc_id"), "doc_id", "left_anti")
+    else:
+        fresh = batch
+    batch_posting = dedup._posting(fresh, text_col).persist()
     cleanup = [batch_posting]
     if corpus is not None:
         corpus_posting = dedup._posting(corpus, text_col).persist()
         cleanup.append(corpus_posting)
-        rejected = (
+        corpus_dup = (
             dedup.minhash_incremental(
-                batch,
+                fresh,
                 corpus,
                 threshold=threshold,
                 text_col=text_col,
@@ -79,25 +86,96 @@ def admit_batch(
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        batch = batch.join(rejected, "doc_id", "left_anti")
+        surv = fresh.join(corpus_dup, "doc_id", "left_anti")
+    else:
+        corpus_dup = None
+        surv = fresh
     # survivors-only posting: a superset posting would cluster rejected
     # docs too and could steal keeper slots from admitted ones.
     surv_posting = batch_posting.join(
-        batch.select("doc_id"), "doc_id", "left_semi"
+        surv.select("doc_id"), "doc_id", "left_semi"
     )
     pairs = dedup.minhash_near_dup(
-        batch,
+        surv,
         threshold=threshold,
         text_col=text_col,
         max_bucket_size=dedup.LSH_MAX_BUCKET,
         _posting_df=surv_posting,
     )
     clusters = dedup.dup_clusters(pairs)
-    non_keepers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
+    non_keepers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+
+    def _mark(base: DataFrame, flagged: DataFrame | None, col: str) -> DataFrame:
+        if flagged is None:
+            return base.withColumn(col, F.lit(False))
+        return base.join(
+            flagged.select("doc_id").withColumn(col, F.lit(True)),
+            "doc_id",
+            "left",
+        ).withColumn(col, F.coalesce(F.col(col), F.lit(False)))
+
+    marked = _mark(ids, fresh, "is_fresh") if corpus is not None else ids
+    if corpus is None:
+        marked = marked.withColumn("is_fresh", F.lit(True))
+    marked = _mark(marked, corpus_dup, "is_corpus_dup")
+    marked = _mark(marked, non_keepers, "is_batch_dup")
+    decisions = marked.select(
+        "doc_id",
+        F.when(~F.col("is_fresh"), F.lit("rejected_known_id"))
+        .when(F.col("is_corpus_dup"), F.lit("rejected_corpus_dup"))
+        .when(F.col("is_batch_dup"), F.lit("rejected_batch_dup"))
+        .otherwise(F.lit("admitted"))
+        .alias("decision"),
     )
-    admitted = batch.join(non_keepers, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    return decisions, cleanup
+
+
+def admission_decisions(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Public decision-table form of the admission check — what a
+    corpus-QA audit reads ("why was doc X rejected?").  One row per
+    distinct batch doc: (doc_id, decision).  Oracle-gated
+    (plans/llm_dedup_gates.py:admission_table) on the same code path
+    the streaming sink executes."""
+    decisions, cleanup = _decide(batch, corpus, threshold, text_col)
+    out = decisions.localCheckpoint(eager=True)
+    for df in cleanup:
+        df.unpersist()
+    return out
+
+
+def admit_batch(
+    batch: DataFrame,
+    corpus: DataFrame | None,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The pure admission function (one microbatch against one corpus
+    state) — shared by the streaming sink and the batch/stream parity
+    test.  Returns the admitted rows of ``batch`` (the
+    decision == 'admitted' slice of ``_decide``).
+
+    Cache hygiene: the posting tables are built once per side inside
+    ``_decide``, threaded through both detectors, and unpersisted
+    before returning — a long-running stream must not accumulate
+    per-batch postings in executor storage (the r5 ADVICE leak class).
+    The admitted result is localCheckpoint-ed first so unpersisting
+    cannot force a recompute-without-cache of the whole pipeline."""
+    decisions, cleanup = _decide(batch, corpus, threshold, text_col)
+    admitted = (
+        batch.dropDuplicates(["doc_id"])
+        .join(
+            decisions.filter(F.col("decision") == "admitted"),
+            "doc_id",
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
     )
     for df in cleanup:
         df.unpersist()
