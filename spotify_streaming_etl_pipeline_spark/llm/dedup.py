@@ -182,7 +182,16 @@ def pair_jaccard(
     against ``posting`` and ``doc_b`` ids against ``posting_b``. Use
     this whenever the two pair sides come from different tables — a
     union would double-count the gram size of any doc_id present on
-    both sides and corrupt its Jaccard."""
+    both sides and corrupt its Jaccard.
+
+    The per-doc SIZES joins are hinted ``shuffle_hash``: sizes tables
+    grow with the corpus (one row per doc), so the planner's broadcast
+    choice — taken because a two-long-column agg output looks tiny —
+    is a plan that dies at scale: the driver builds a corpus-sized
+    HashedRelation (measured: OOM at sf10/500k docs inside a warm
+    bench session even with a 16 GiB driver). Shuffle-hash keeps the
+    build per-partition, and the sizes agg's hash(doc_id) partitioning
+    already matches the join key, so only the (small) pair side moves."""
     posting_b = posting if posting_b is None else posting_b
     pa = posting.select(F.col("doc_id").alias("doc_a"), "h1")
     pb = posting_b.select(F.col("doc_id").alias("doc_b"), "h1")
@@ -197,8 +206,8 @@ def pair_jaccard(
     sa = sizes_a.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        shared.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -273,8 +282,10 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # shuffle_hash, not broadcast: sizes grow with the corpus
+        # (see pair_jaccard's sizes-join note)
+        shared.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -345,8 +356,10 @@ def containment_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        # shuffle_hash, not broadcast: sizes grow with the corpus
+        # (see pair_jaccard's sizes-join note)
+        shared.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "containment",
             F.round(F.col("n_shared") / F.least("na", "nb"), 4),
