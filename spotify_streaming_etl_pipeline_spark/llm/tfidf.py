@@ -105,8 +105,11 @@ def tfidf_cosine_pairs(
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        # shuffle_hash, not broadcast: per-doc norms grow with the
+        # corpus (same class as dedup.pair_jaccard's sizes joins —
+        # the planner would broadcast a corpus-sized build)
+        dots.join(na.hint("shuffle_hash"), "doc_a")
+        .join(nb.hint("shuffle_hash"), "doc_b")
         .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
