@@ -388,6 +388,168 @@ def ivf_topk_hashseed(
     return _ivf_from_centroid_table(emb, cents, query_ids, k, n_probe, vec_col)
 
 
+def kmeans_lloyd(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    _dims_df: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell): Lloyd's k-means assignment after ``n_iter``
+    update rounds from the hash-seeded mean init of
+    ``ivf_topk_hashseed`` (centroid c0 = per-dim mean of vec_id %
+    n_clusters == c) — the deterministic, oracle-unrollable form of
+    KMeans training (same discipline as ``bpe_train`` /
+    ``copurchase_pagerank``: a fixed iteration count whose DuckDB
+    oracle replays every round).
+
+    Round shape (all relational, all codegen): assignment is the
+    exploded-dims join against the BROADCAST centroid table — linear
+    in corpus x n_clusters, never a pairwise shuffle; the update is
+    one per-(cell, dim) mean over the assigned dims. The centroid
+    table (n_clusters x dim rows) is ``localCheckpoint``-ed per round:
+    it is tiny, but its lineage contains the full previous assignment
+    — without truncation round N replays rounds 1..N-1 (the
+    ``dup_clusters`` lesson).  Rounding discipline: centroid
+    components and distances round to 4dp before comparison, ties
+    break on cell id — required for bit-exact SQL parity.
+
+    A cell that loses all members simply disappears from the centroid
+    table (no re-seeding) — deterministic on both engines.  At lake
+    scale the exploded-dims table is the big operand: it is built once
+    and persisted by the caller via ``_dims_df`` when shared with
+    other consumers."""
+    dims = (
+        _dims_df
+        if _dims_df is not None
+        else emb.select(
+            "vec_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        ).persist()
+    )
+    cents = (
+        dims.withColumn("cell", (F.col("vec_id") % n_clusters).cast("int"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+    )
+    for _ in range(n_iter):
+        cents = cents.localCheckpoint(eager=True)
+        assigned = _nearest_cell(dims, cents)
+        cents = (
+            dims.join(assigned, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+        )
+    cents = cents.localCheckpoint(eager=True)
+    return _nearest_cell(dims, cents)
+
+
+def _nearest_cell(dims: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid per vector from an exploded
+    (vec_id, dim, x) table and a (cell, dim, c) centroid table —
+    the assignment core shared by ``kmeans_lloyd`` and
+    ``_ivf_from_centroid_table`` (4dp-rounded distances, cell-id tie
+    break)."""
+    from pyspark.sql import Window
+
+    d2 = (
+        dims.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))), 4
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space
+    (``kmeans_lloyd``), then inside each cluster drop every vector
+    that has a SMALLER-ID near-identical neighbor (cosine >=
+    threshold) — one representative survives per epsilon-ball, with
+    the min-id convention standing in for the paper's arbitrary
+    keeper choice so the result is deterministic. Returns the full
+    decision table (vec_id, cell, kept).
+
+    Scale shape: pairwise cosine runs only WITHIN clusters (the whole
+    point of clustering first — expected cluster size corpus/k), via a
+    same-cell self-join carrying the vectors. ``max_cluster_size`` is
+    the degenerate-cluster star guard shared with
+    ``embedding_near_dup`` (collapsed encoder outputs put everything
+    in one cell): oversized clusters emit (cluster-min, member) star
+    edges with exact cosines instead of m(m-1)/2 pairs — every member
+    still gets a keep/drop verdict against the representative."""
+    from .dedup import _bucket_marked
+
+    assigned = kmeans_lloyd(emb, n_clusters, n_iter, vec_col)
+    v = emb.select("vec_id", F.col(vec_col).alias("vec")).join(
+        assigned, "vec_id"
+    )
+    if max_cluster_size is not None:
+        marked = _bucket_marked(v, ["cell"], "vec", id_col="vec_id").persist()
+        small = marked.filter(F.col("m") <= max_cluster_size)
+        stars = (
+            marked.filter(
+                (F.col("m") > max_cluster_size)
+                & (F.col("vec_id") != F.col("rep"))
+            )
+            .select(
+                F.col("rep").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                F.col("rep_vec").alias("va"),
+                F.col("vec").alias("vb"),
+            )
+        )
+    else:
+        small, stars = v, None
+    a = small.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), "cell"
+    )
+    b = small.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+    )
+    if stars is not None:
+        pairs = pairs.unionByName(stars)
+    dropped = (
+        pairs.select(
+            "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return (
+        v.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame,
     threshold: float = 0.45,

@@ -577,3 +577,94 @@ def quantization_ladder_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_overlap") * 1.0 / F.sum("k"), 4
         ).alias("recall_at_5"),
     )
+
+
+def _lloyd_ctes(n_clusters: int, n_iter: int) -> str:
+    """Unrolled Lloyd's-k-means CTE chain (dims -> c0 -> a0 -> c1 ->
+    ... -> a{n_iter}), mirroring ``similarity.kmeans_lloyd`` round for
+    round — the same whole-loop-unroll oracle discipline as
+    ``copurchase_pagerank`` and ``bpe_train_merges``. The final CTE
+    ``a{n_iter}`` is the assignment table."""
+    parts = [
+        """dims AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    )""",
+        f"""c0 AS (
+        SELECT cast(vec_id % {n_clusters} AS INT) AS cell, dim,
+               round(avg(x), 4) AS c
+        FROM dims GROUP BY 1, 2
+    )""",
+    ]
+    for r in range(n_iter + 1):
+        parts.append(f"""d{r} AS (
+        SELECT d.vec_id, ct.cell,
+               round(sum((d.x - ct.c) * (d.x - ct.c)), 4) AS d2
+        FROM dims d JOIN c{r} ct ON d.dim = ct.dim
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""a{r} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM d{r}
+        ) WHERE rn = 1
+    )""")
+        if r < n_iter:
+            parts.append(f"""c{r + 1} AS (
+        SELECT a.cell, d.dim, round(avg(d.x), 4) AS c
+        FROM dims d JOIN a{r} a ON a.vec_id = d.vec_id
+        GROUP BY 1, 2
+    )""")
+    return ",\n    ".join(parts)
+
+
+@query(
+    "kmeans_assignments",
+    f"""
+    WITH {_lloyd_ctes(8, 2)}
+    SELECT vec_id, cast(cell AS BIGINT) AS cell FROM a2
+    """,
+)
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (llm/similarity.py:kmeans_lloyd):
+    hash-seeded mean init, 2 update rounds, 4dp-rounded distances with
+    cell-id tie breaks. The DuckDB oracle unrolls every round — init
+    centroids, assign, re-mean, assign, re-mean, final assign — so a
+    regression anywhere in the loop (init, distance, tie break,
+    update) breaks the hash on the full 500-row assignment table."""
+    asg = similarity.kmeans_lloyd(_emb(spark, sf_dir), n_clusters=8, n_iter=2)
+    return asg.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+@query(
+    "semantic_dedup_decisions",
+    f"""
+    WITH {_lloyd_ctes(8, 2)},
+    p AS (
+        SELECT x.vec_id AS vec_b
+        FROM a2 x JOIN a2 y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        JOIN embeddings eb ON eb.vec_id = x.vec_id
+        JOIN embeddings ea ON ea.vec_id = y.vec_id
+        WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.45
+    ),
+    dropped AS (SELECT DISTINCT vec_b AS vec_id FROM p)
+    SELECT a2.vec_id, cast(a2.cell AS BIGINT) AS cell,
+           a2.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM a2
+    """,
+)
+def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (llm/similarity.py:semantic_dedup): k-means-cluster the
+    embedding space, then drop every vector with a smaller-id
+    near-identical neighbor (cosine >= 0.45 — a threshold the sf0.01
+    substrate provably crosses: 6 of 500 vectors drop) in the SAME
+    cluster. Full decision table hashed; the oracle replays the
+    unrolled k-means AND the within-cluster min-id drop rule."""
+    dec = similarity.semantic_dedup(
+        _emb(spark, sf_dir), n_clusters=8, n_iter=2, threshold=0.45
+    )
+    return dec.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "kept"
+    )

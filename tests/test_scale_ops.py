@@ -326,3 +326,76 @@ def test_salted_agg_min_max_and_empty_aggs(spark):
     assert salted == plain
     with pytest.raises(ValueError, match="at least one aggregate"):
         salted_agg(df, ["k"], count_alias=None)
+
+
+def _planted_vectors(spark, per_cluster=20,
+                     seps=((10.0, 0.0), (0.0, 10.0), (-10.0, -10.0))):
+    """3 well-separated planted clusters in the first 2 dims (rest 0),
+    ids INTERLEAVED so vec_id % 3 == planted cluster (the hash-seeded
+    init then starts at the true centroids), with small deterministic
+    within-cluster jitter."""
+    rows = []
+    for c, (cx, cy) in enumerate(seps):
+        for i in range(per_cluster):
+            vec = [cx + (i % 5) * 0.01, cy + (i % 3) * 0.01] + [0.0] * 62
+            rows.append((c + 3 * i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_kmeans_lloyd_stable_and_deterministic(spark):
+    """With the seed cells aligned to the planted clusters, 2 Lloyd
+    rounds must keep each planted cluster on one uniform, distinct
+    label (distance/tie-break/update stability) and the assignment
+    must be deterministic run to run."""
+    emb = _planted_vectors(spark)
+    asg = similarity.kmeans_lloyd(emb, n_clusters=3, n_iter=2)
+    got = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    labels = [{got[c + 3 * i] for i in range(20)} for c in range(3)]
+    assert all(len(s) == 1 for s in labels), labels
+    assert len(set.union(*labels)) == 3
+    again = {r["vec_id"]: r["cell"] for r in
+             similarity.kmeans_lloyd(emb, n_clusters=3, n_iter=2).collect()}
+    assert again == got
+
+
+def test_kmeans_lloyd_update_rounds_move_centroids(spark):
+    """A seed mix that starts centroids BETWEEN two planted clusters
+    (cluster A ids 0-14, cluster B ids 101-120, n_clusters=2: both
+    seed cells hold an A/B mixture) must converge to the true
+    clustering within 2 rounds — proof the update loop really
+    re-estimates centroids rather than echoing the init."""
+    rows = (
+        [(i, [10.0 + (i % 5) * 0.01, 0.0] + [0.0] * 62) for i in range(15)]
+        + [(100 + i, [-10.0, 10.0 + (i % 3) * 0.01] + [0.0] * 62)
+           for i in range(1, 21)]
+    )
+    emb = spark.createDataFrame(
+        [(v, [float(x) for x in vec]) for v, vec in rows],
+        "vec_id: long, embedding: array<float>",
+    )
+    asg = {r["vec_id"]: r["cell"] for r in
+           similarity.kmeans_lloyd(emb, n_clusters=2, n_iter=2).collect()}
+    a_labels = {asg[i] for i in range(15)}
+    b_labels = {asg[100 + i] for i in range(1, 21)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_semantic_dedup_min_id_keeper_and_star_guard(spark):
+    """Within each near-identical set, exactly the min-id vector
+    survives; and the star guard (cap smaller than a planted cluster)
+    reaches the same verdicts by scoring members against the
+    cluster-min representative."""
+    emb = _planted_vectors(spark)
+    dec = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup(emb, n_clusters=3, n_iter=2,
+                                     threshold=0.9999).collect()}
+    # jitter is tiny relative to the offsets, so every same-cluster
+    # pair clears 0.9999 -> one keeper per planted cluster: ids 0,1,2
+    assert sum(dec.values()) == 3
+    assert dec[0] and dec[1] and dec[2]
+    capped = {r["vec_id"]: r["kept"] for r in
+              similarity.semantic_dedup(emb, n_clusters=3, n_iter=2,
+                                        threshold=0.9999,
+                                        max_cluster_size=5).collect()}
+    assert capped == dec  # star edges reach the same verdicts here
