@@ -46,17 +46,25 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda t: t != "")
 
 
-def word_ngrams(text: Column, n: int = 3, sep: str = "|") -> Column:
-    """Distinct word n-gram shingles; empty array for docs with < n
-    words (guards Spark's sequence() which would step backwards)."""
+def positional_ngrams(text: Column, n: int = 3, sep: str = "|") -> Column:
+    """ALL word n-grams in positional order (duplicates kept) — the
+    occurrence stream repetition metrics count over; empty array for
+    docs with < n words (guards Spark's sequence() which would step
+    backwards)."""
     w = tokens(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - (n - 1)),
         lambda i: F.concat_ws(sep, *[F.element_at(w, i + j) for j in range(n)]),
     )
-    return F.array_distinct(
-        F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text: Column, n: int = 3, sep: str = "|") -> Column:
+    """Distinct word n-gram shingles; empty array for docs with < n
+    words (guards Spark's sequence() which would step backwards)."""
+    return F.array_distinct(positional_ngrams(text, n, sep))
 
 
 def token_count_ws(text: Column) -> Column:
@@ -317,6 +325,85 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         *[v.alias(k) for k, v in metrics.items() if k not in ("n_chars",)],
         doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+def repetition_table(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, table A1) repetition signals per
+    document, the standard excessive-repetition filter for web-crawl
+    training corpora. Complements ``decontam.repetition_stats`` (a
+    distinct/total gram ratio): these are the CHAR-COVERAGE metrics —
+    how much of the text the repetition actually occupies:
+
+    - ``top{top_n}_char_frac``: characters covered by the single most
+      frequent word ``top_n``-gram (count x space-joined gram length,
+      over the text's char length). Ties break (count desc, gram asc)
+      identically on both engines.
+    - ``dup{dup_n}_char_frac``: characters covered by ALL occurrences
+      of ``dup_n``-grams that appear more than once. Overlapping
+      occurrences are each counted in full (documented simplification
+      of Gopher's span union — same monotone signal, exactly
+      SQL-expressible), so the fraction can exceed 1 on degenerate
+      repetition, which is precisely when the filter should fire.
+
+    Plan: one projection builds both positional gram arrays, a single
+    explode tags each occurrence with its n, then two hash aggregations
+    keyed on the doc — partial aggregation does the per-partition
+    combine, no joins, no windows, nothing corpus-sized on the driver.
+    Docs with fewer than ``top_n`` words have no gram stream and drop
+    out (the oracle applies the same guard).
+    """
+    c = F.col(text_col)
+    tag = lambda arr, n: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    )
+    base = df.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        F.explode(
+            F.concat(
+                tag(positional_ngrams(c, top_n, sep=" "), top_n),
+                tag(positional_ngrams(c, dup_n, sep=" "), dup_n),
+            )
+        ).alias("s"),
+    ).select("doc_id", "n_chars", "s.n", "s.gram")
+    counts = base.groupBy("doc_id", "n_chars", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    agg = counts.groupBy("doc_id", "n_chars").agg(
+        F.min(
+            F.when(
+                F.col("n") == top_n,
+                F.struct((-F.col("c")).alias("negc"), F.col("gram").alias("gram")),
+            )
+        ).alias("top"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("n") == dup_n) & (F.col("c") >= 2),
+                    F.col("c") * F.length("gram"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dup_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("top.gram").alias(f"top{top_n}_gram"),
+        (-F.col("top.negc")).cast("long").alias(f"top{top_n}_count"),
+        F.round(
+            (-F.col("top.negc")) * F.length("top.gram") / F.col("n_chars"), 4
+        ).alias(f"top{top_n}_char_frac"),
+        F.round(F.col("dup_chars") / F.col("n_chars"), 4).alias(
+            f"dup{dup_n}_char_frac"
+        ),
     )
 
 

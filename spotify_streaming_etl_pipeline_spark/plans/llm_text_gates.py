@@ -455,3 +455,63 @@ def winnowed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.overlap import winnowed_overlap_pairs
 
     return winnowed_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
+@query(
+    "repetition_signals",
+    """
+    WITH toks AS (
+        SELECT doc_id, length(text)::BIGINT AS nc,
+               list_filter(string_split(text, ' '), x -> x != '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, nc, 2 AS n,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM toks WHERE len(w) >= 2
+        UNION ALL
+        SELECT doc_id, nc, 3,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+        FROM toks WHERE len(w) >= 3
+    ),
+    c AS (
+        SELECT doc_id, nc, n, gram, count(*)::BIGINT AS c
+        FROM g GROUP BY ALL
+    ),
+    r2 AS (
+        SELECT doc_id, nc, gram, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram) AS rk
+        FROM c WHERE n = 2
+    ),
+    top AS (
+        SELECT doc_id, nc, gram AS top2_gram, c AS top2_count
+        FROM r2 WHERE rk = 1
+    ),
+    dup AS (
+        SELECT doc_id,
+               coalesce(sum(CASE WHEN n = 3 AND c >= 2
+                                 THEN c * length(gram) END), 0)::BIGINT AS dupch
+        FROM c GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.top2_gram, t.top2_count,
+           round(t.top2_count * length(t.top2_gram) / t.nc, 4) + 0.0
+               AS top2_char_frac,
+           round(d.dupch / t.nc, 4) + 0.0 AS dup3_char_frac
+    FROM top t JOIN dup d USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (llm/text.py:
+    repetition_table): most-frequent-2-gram char coverage and
+    duplicated-3-gram char coverage per document — the
+    excessive-repetition filter every web-crawl curation pipeline
+    applies before training. Spark computes both metrics from one
+    tagged explode + two hash aggregations (no joins); the oracle
+    mirrors the occurrence counting, the (count desc, gram asc) tie
+    break, and the full-occurrence char accounting exactly."""
+    from ..llm.text import repetition_table
+
+    return repetition_table(_docs(spark, sf_dir))

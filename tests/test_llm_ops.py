@@ -552,6 +552,32 @@ def test_repetition_stats_detects_boilerplate(spark):
     assert out[1]["dup_ratio"] == 0.0
 
 
+def test_repetition_table_char_fractions_hand_computed(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import repetition_table
+
+    df = spark.createDataFrame(
+        [
+            # words [a b a b a b], nc=11: top 2-gram "a b" x3 (len 3)
+            # -> 9/11; 3-grams "a b a" x2 + "b a b" x2 (len 5 each)
+            # -> 20/11 (>1 by overlap accounting, documented)
+            (0, "a b a b a b"),
+            # no repetition, nc=5: 2-gram tie ("x y","y z" both x1)
+            # breaks to the lexicographically smaller "x y" -> 3/5
+            (1, "x y z"),
+            (2, "solo"),  # < 2 words -> drops out
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in repetition_table(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["top2_gram"] == "a b" and out[0]["top2_count"] == 3
+    assert out[0]["top2_char_frac"] == round(9 / 11, 4)
+    assert out[0]["dup3_char_frac"] == round(20 / 11, 4)
+    assert out[1]["top2_gram"] == "x y" and out[1]["top2_count"] == 1
+    assert out[1]["top2_char_frac"] == 0.6
+    assert out[1]["dup3_char_frac"] == 0.0
+
+
 def test_contamination_check_flags_overlap(spark):
     from spotify_streaming_etl_pipeline_spark.llm.decontam import contamination_check
 

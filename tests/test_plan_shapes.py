@@ -156,6 +156,18 @@ def test_docs_scan_fans_out(spark, sf_dir, queries):
     )
 
 
+def test_repetition_signals_is_join_free(spark, sf_dir, queries):
+    """Both repetition metrics come from ONE tagged explode and two
+    partially-aggregated shuffles — no per-doc stats join (the class of
+    corpus-sized broadcast that OOMed the sf10 funnel, PLANS.md) and no
+    window over the gram stream."""
+    plan = _plan(queries["repetition_signals"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Window") == 0
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_sequence_packing_avoids_global_data_window(spark, sf_dir, queries):
     """The corpus-wide prefix sum must run as per-bucket windows
     (hash-partitioned on bucket); the only single-partition stage

@@ -601,3 +601,48 @@ def test_canonical_url_is_idempotent(spark, scheme, host, port, segs, q, frag):
         "c", canonical_url(F.col("c")).alias("c2")
     ).first()
     assert row["c2"] == row["c"]
+
+
+@PROPS
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "dd"]), min_size=0, max_size=12),
+    min_size=1, max_size=8,
+))
+def test_repetition_table_matches_python_model(spark, word_lists):
+    """repetition_table's occurrence counting, (count desc, gram asc)
+    tie break, and full-occurrence char accounting vs an independent
+    Counter model over hypothesis word streams (tiny vocab forces
+    heavy repetition and ties). The model replicates Spark's round
+    semantics exactly — HALF_UP over the shortest decimal string
+    (java BigDecimal.valueOf), NOT Python's HALF_EVEN over the binary
+    value: they disagree on representable ties like 5/32 at 4dp."""
+    import decimal
+    from collections import Counter
+
+    from spotify_streaming_etl_pipeline_spark.llm.text import repetition_table
+
+    def spark_round4(x: float) -> float:
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in repetition_table(df).collect()}
+
+    for i, ws in enumerate(word_lists):
+        if len(ws) < 2:
+            assert i not in got
+            continue
+        nc = len(" ".join(ws))
+        two = Counter(" ".join(ws[j : j + 2]) for j in range(len(ws) - 1))
+        top_gram = min(two, key=lambda g: (-two[g], g))
+        three = Counter(" ".join(ws[j : j + 3]) for j in range(len(ws) - 2))
+        dup_chars = sum(c * len(g) for g, c in three.items() if c >= 2)
+        r = got[i]
+        assert r["top2_gram"] == top_gram
+        assert r["top2_count"] == two[top_gram]
+        assert r["top2_char_frac"] == spark_round4(two[top_gram] * len(top_gram) / nc)
+        assert r["dup3_char_frac"] == spark_round4(dup_chars / nc)
