@@ -484,6 +484,79 @@ def _nearest_cell(dims: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_twolevel(
+    emb: DataFrame,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    target_cluster_size: int = 64,
+) -> DataFrame:
+    """(vec_id, cell): IVF-style two-level k-means — the scale path
+    past flat auto-k Lloyd. Flat assignment with k = ceil(n/t)
+    centroids compares every vector against every centroid: O(n*k) =
+    O(n^2/t) candidate rows, the one super-linear term left in the
+    clustering family. Two levels cut it to O(n*(k1+k2)) ~ 2n*sqrt(k):
+    a coarse Lloyd pass over k1 = ceil(sqrt(k)) cells, then an
+    independent fine Lloyd pass WITHIN each coarse cell for k2 =
+    ceil(k/k1) sub-clusters — the fine candidate join is keyed on
+    (coarse, dim), so each vector only ever meets its own coarse
+    cell's k2 centroids. Same determinism discipline as
+    ``kmeans_lloyd`` (hash-seeded init vec_id % k within the cell,
+    4dp-rounded means/distances, (d2, cell)-struct argmin); a deeper
+    hierarchy generalizes the same shape at n^(1/3) etc. Returns
+    composite cell ids coarse * k2 + sub, consumable by
+    ``semantic_dedup(assignments=...)``."""
+    n = emb.count()
+    k_total = max(1, -(-n // target_cluster_size))
+    k1 = max(1, int(k_total**0.5 + 0.9999))
+    k2 = max(1, -(-k_total // k1))
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    ).persist()
+    coarse = kmeans_lloyd(emb, k1, n_iter, vec_col, _dims_df=dims)
+    dc = (
+        dims.join(coarse.withColumnRenamed("cell", "coarse"), "vec_id")
+        .persist()
+    )
+    cents = (
+        dc.withColumn("sub", (F.col("vec_id") % k2).cast("int"))
+        .groupBy("coarse", "sub", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        d2 = (
+            dc.join(F.broadcast(cents_df), ["coarse", "dim"])
+            .groupBy("vec_id", "coarse", "sub")
+            .agg(
+                F.round(
+                    F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
+                    4,
+                ).alias("d2")
+            )
+        )
+        return (
+            d2.groupBy("vec_id", "coarse")
+            .agg(F.min(F.struct("d2", "sub")).alias("best"))
+            .select("vec_id", "coarse", F.col("best.sub").alias("sub"))
+        )
+
+    for _ in range(n_iter):
+        cents = cents.localCheckpoint(eager=True)
+        assigned = assign(cents)
+        cents = (
+            dc.join(assigned, ["vec_id", "coarse"])
+            .groupBy("coarse", "sub", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("c"))
+        )
+    cents = cents.localCheckpoint(eager=True)
+    out = assign(cents).select(
+        "vec_id",
+        (F.col("coarse").cast("long") * k2 + F.col("sub")).alias("cell"),
+    )
+    return out
+
+
 def semantic_dedup(
     emb: DataFrame,
     n_clusters: int | None = None,
@@ -492,6 +565,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_cluster_size: int | None = None,
     target_cluster_size: int = 64,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space
@@ -513,11 +587,21 @@ def semantic_dedup(
     ``embedding_near_dup`` (collapsed encoder outputs put everything
     in one cell): oversized clusters emit (cluster-min, member) star
     edges with exact cosines instead of m(m-1)/2 pairs — every member
-    still gets a keep/drop verdict against the representative."""
+    still gets a keep/drop verdict against the representative.
+
+    ``assignments`` supplies a precomputed (vec_id, cell) table — e.g.
+    ``kmeans_twolevel`` output, the O(n*sqrt(k)) scale path — and
+    skips the flat clustering entirely; the drop rule is clustering-
+    agnostic."""
     from .dedup import _bucket_marked
 
-    assigned = kmeans_lloyd(
-        emb, n_clusters, n_iter, vec_col, target_cluster_size=target_cluster_size
+    assigned = (
+        assignments
+        if assignments is not None
+        else kmeans_lloyd(
+            emb, n_clusters, n_iter, vec_col,
+            target_cluster_size=target_cluster_size,
+        )
     )
     v = emb.select("vec_id", F.col(vec_col).alias("vec")).join(
         assigned, "vec_id"

@@ -373,6 +373,52 @@ def test_kmeans_lloyd_auto_k_matches_explicit(spark):
     )
 
 
+def test_kmeans_twolevel_recovers_planted_hierarchy(spark):
+    """6 planted clusters = 3 coarse x-groups x 2 fine y-subclusters,
+    ids laid out so vec_id % 6 == planted cluster: by CRT the coarse
+    init (vec_id % k1, k1=3) starts on the x-groups and the fine init
+    (vec_id % k2, k2=2) starts on the y-subclusters — two-level Lloyd
+    (k_total = ceil(120/20) = 6) must keep each planted cluster on one
+    uniform, distinct composite label, deterministically."""
+    rows = []
+    for c in range(6):
+        x, y = 20.0 * (c % 3) - 20.0, 8.0 * (c % 2)
+        for i in range(20):
+            vec = [x + (i % 5) * 0.01, y + (i % 3) * 0.01] + [0.0] * 62
+            rows.append((c + 6 * i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    asg = similarity.kmeans_twolevel(emb, n_iter=2, target_cluster_size=20)
+    got = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    assert len(got) == 120
+    labels = [{got[c + 6 * i] for i in range(20)} for c in range(6)]
+    assert all(len(s) == 1 for s in labels), labels
+    assert len(set.union(*labels)) == 6
+    again = {r["vec_id"]: r["cell"] for r in
+             similarity.kmeans_twolevel(
+                 emb, n_iter=2, target_cluster_size=20).collect()}
+    assert again == got
+
+
+def test_semantic_dedup_consumes_twolevel_assignments(spark):
+    """semantic_dedup(assignments=...) must skip its own clustering
+    and apply the min-id drop rule within the supplied cells: an exact
+    duplicate of vec 0 planted at a HIGHER id lands in vec 0's cell
+    and is dropped; vec 0 survives."""
+    emb = _planted_vectors(spark)  # ids 0..59
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    both = emb.unionByName(dup)
+    asg = similarity.kmeans_twolevel(both, n_iter=2, target_cluster_size=16)
+    dec = {r["vec_id"]: r["kept"] for r in
+           similarity.semantic_dedup(
+               both, threshold=0.999, assignments=asg).collect()}
+    assert len(dec) == 61
+    assert dec[0] is True and dec[100] is False
+    a = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    assert a[0] == a[100]
+
+
 def test_kmeans_lloyd_update_rounds_move_centroids(spark):
     """A seed mix that starts centroids BETWEEN two planted clusters
     (cluster A ids 0-14, cluster B ids 101-120, n_clusters=2: both
