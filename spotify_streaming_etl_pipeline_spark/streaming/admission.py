@@ -85,7 +85,14 @@ def _decide(
             )
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
+            # Referenced by three separate subtrees (survivor anti-join,
+            # the is_corpus_dup mark, and again when dup_clusters runs
+            # its edge-collect action) — Spark does not dedupe common
+            # subtrees, so without this the band-join + exact-verify
+            # pipeline above executes once per reference.
+            .persist()
         )
+        cleanup.append(corpus_dup)
         surv = fresh.join(corpus_dup, "doc_id", "left_anti")
     else:
         corpus_dup = None

@@ -460,3 +460,56 @@ def test_semantic_dedup_min_id_keeper_and_star_guard(spark):
                                         threshold=0.9999,
                                         max_cluster_size=5).collect()}
     assert capped == dec  # star edges reach the same verdicts here
+
+
+def test_pca_recovers_planted_subspace(spark):
+    """Vectors planted in a 2-D subspace of 64-D (plus tiny jitter):
+    the top-2 eigenvalues must dominate, the 2-D projection must
+    preserve pairwise distances of the full-rank-2 data, and the
+    output must be deterministic run to run."""
+    import math
+
+    from spotify_streaming_etl_pipeline_spark.llm import projections
+
+    rows = []
+    for i in range(120):
+        a = (i % 11) - 5.0          # spread along axis u = e0
+        b = ((i * 7) % 13) - 6.0    # spread along axis v = e1
+        vec = [a, b] + [0.001 * ((i + d) % 3) for d in range(62)]
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    mean, vals, vecs = projections.pca_components(emb, n_components=4)
+    assert vals[0] > 100 * vals[2] and vals[1] > 100 * vals[2], vals
+
+    proj = {r["vec_id"]: r["projection"] for r in
+            projections.pca_project(emb, n_components=2).collect()}
+    again = {r["vec_id"]: r["projection"] for r in
+             projections.pca_project(emb, n_components=2).collect()}
+    assert proj == again
+    full = {i: rows[i][1] for i in range(120)}
+    for i, j in ((0, 1), (5, 100), (33, 77)):
+        d_full = math.dist(full[i][:2], full[j][:2])
+        d_proj = math.dist(proj[i], proj[j])
+        assert abs(d_full - d_proj) < 0.05, (i, j, d_full, d_proj)
+
+
+def test_pca_whiten_unit_variance(spark):
+    """Whitened coordinates must come out with ~unit variance per
+    component (identity covariance — the anisotropy fix)."""
+    from spotify_streaming_etl_pipeline_spark.llm import projections
+
+    rows = []
+    for i in range(200):
+        a = ((i % 17) - 8.0) * 3.0   # high-variance axis
+        b = ((i % 5) - 2.0) * 0.5    # low-variance axis
+        vec = [a, b] + [0.0] * 62
+        rows.append((i, [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    proj = [r["projection"] for r in
+            projections.pca_project(emb, n_components=2, whiten=True).collect()]
+    for c in range(2):
+        xs = [p[c] for p in proj]
+        m = sum(xs) / len(xs)
+        var = sum((x - m) ** 2 for x in xs) / len(xs)
+        assert abs(var - 1.0) < 0.05, (c, var)
