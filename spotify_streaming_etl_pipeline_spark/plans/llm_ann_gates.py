@@ -630,6 +630,70 @@ def _lloyd_ctes(n_clusters: int | str, n_iter: int) -> str:
 _K_SQL = "SELECT greatest(1, cast(ceil(count(*) / 64.0) AS INT)) FROM embeddings"
 
 
+def _twolevel_oracle_sql(n_iter: int = 2) -> str:
+    """Unrolled TWO-LEVEL Lloyd oracle (similarity.kmeans_twolevel):
+    the auto-k scalar CTEs (kt = ceil(n/64), k1 = ceil(sqrt(kt)),
+    k2 = ceil(kt/k1) — bit-equal to the Python derivation for every
+    integer kt below ~25M, far past any DuckDB-replayable corpus),
+    the coarse k1-chain via ``_lloyd_ctes``, then the fine chain with
+    every CTE keyed on (coarse, ...): the fine candidate join is ON
+    (coarse, dim), mirroring Spark's per-cell centroid scoping
+    operand for operand. Written and parity-tested in round 8
+    (tests/test_scale_ops.py::test_kmeans_twolevel_matches_duckdb_oracle);
+    registration as a driver pair is the planned r9 addition (round 8
+    already carries the brief's maximum of 5 new registrations)."""
+    parts = [
+        "kk AS (SELECT greatest(1, cast(ceil(count(*) / 64.0) AS INT)) AS kt"
+        " FROM embeddings)",
+        """kv AS (
+        SELECT kt,
+               greatest(1, cast(ceil(sqrt(kt)) AS INT)) AS k1,
+               greatest(1, cast(ceil(
+                   kt * 1.0 / greatest(1, cast(ceil(sqrt(kt)) AS INT))
+               ) AS INT)) AS k2
+        FROM kk
+    )""",
+        _lloyd_ctes("SELECT k1 FROM kv", n_iter),
+        """dc AS (
+        SELECT d.vec_id, a.cell AS coarse, d.dim, d.x
+        FROM dims d JOIN a{n} a ON a.vec_id = d.vec_id
+    )""".format(n=n_iter),
+        """fc0 AS (
+        SELECT coarse, cast(vec_id % (SELECT k2 FROM kv) AS INT) AS sub,
+               dim, round(avg(x), 4) AS c
+        FROM dc GROUP BY 1, 2, 3
+    )""",
+    ]
+    for r in range(n_iter + 1):
+        parts.append(f"""fd{r} AS (
+        SELECT d.vec_id, d.coarse, ct.sub,
+               round(sum((d.x - ct.c) * (d.x - ct.c)), 4) AS d2
+        FROM dc d JOIN fc{r} ct ON d.coarse = ct.coarse AND d.dim = ct.dim
+        GROUP BY 1, 2, 3
+    )""")
+        parts.append(f"""fa{r} AS (
+        SELECT vec_id, coarse, sub FROM (
+            SELECT vec_id, coarse, sub,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, sub) AS rn
+            FROM fd{r}
+        ) WHERE rn = 1
+    )""")
+        if r < n_iter:
+            parts.append(f"""fc{r + 1} AS (
+        SELECT d.coarse, a.sub, d.dim, round(avg(d.x), 4) AS c
+        FROM dc d JOIN fa{r} a ON a.vec_id = d.vec_id
+        GROUP BY 1, 2, 3
+    )""")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT f.vec_id,
+           cast(f.coarse AS BIGINT) * (SELECT k2 FROM kv) + f.sub AS cell
+    FROM fa{n_iter} f
+    """
+
+
 @query(
     "kmeans_assignments",
     f"""

@@ -513,3 +513,22 @@ def test_pca_whiten_unit_variance(spark):
         m = sum(xs) / len(xs)
         var = sum((x - m) ** 2 for x in xs) / len(xs)
         assert abs(var - 1.0) < 0.05, (c, var)
+
+
+def test_kmeans_twolevel_matches_duckdb_oracle(spark, sf_dir):
+    """Full oracle parity for the two-level clusterer on the real
+    embeddings substrate — the same discipline as every registered
+    pair, run here as a unit until the r9 registration slot opens
+    (round 8 already carries the brief's maximum of 5 new pairs)."""
+    from spotify_streaming_etl_pipeline_spark.plans.llm_ann_gates import (
+        _twolevel_oracle_sql,
+    )
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+    from tests.oracle_utils import compare, duckdb_con
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = similarity.kmeans_twolevel(emb, n_iter=2).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+    want = duckdb_con(sf_dir).execute(_twolevel_oracle_sql(2)).fetchdf()
+    assert not compare(got, want)
