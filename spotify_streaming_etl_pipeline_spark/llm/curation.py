@@ -168,6 +168,38 @@ def dataset_split(
     return df.withColumn("split", expr)
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    cuts: tuple[tuple[str, int], ...] = (("train", 90), ("val", 95), ("test", 100)),
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a
+    near-dup cluster follows its CLUSTER representative's split, so
+    near-duplicates can never straddle train and test — the standard
+    eval-contamination guard a per-document split silently violates
+    (a verbatim copy of a test document lands in train with
+    probability train_pct). ``clusters`` is a (doc_id, cluster_id)
+    table from ``dedup.dup_clusters`` (any detector); documents
+    outside every cluster are their own singleton group, preserving
+    ``dataset_split``'s growth-stability and split fractions.
+
+    Plan: one left join against the cluster table — hinted
+    shuffle_hash, because the clustered-doc set grows with the corpus
+    and an auto-broadcast of a corpus-fraction table is the exact
+    failure PLANS.md documents from the sf10 funnel — then the same
+    narrow hash-bucket projection as ``dataset_split``."""
+    joined = df.join(
+        clusters.hint("shuffle_hash").withColumnRenamed("doc_id", id_col),
+        id_col,
+        "left",
+    ).withColumn("_gid", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return dataset_split(joined, id_col="_gid", seed=seed, cuts=cuts).drop(
+        "_gid", "cluster_id"
+    )
+
+
 def source_quota_sample(
     df: DataFrame,
     quota: int,

@@ -481,3 +481,30 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("n_tokens", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+def _leakage_safe_split_sql() -> str:
+    """Oracle for ``curation.cluster_aware_split`` over the standard
+    0.8-Jaccard near-dup clusters: composes the registered
+    ``near_dup_clusters`` closure (llm_evals.py pattern) with the
+    ``dataset_split`` hash-bucket rule, keyed on the GROUP id.
+    Written and parity-tested in round 8
+    (tests/test_llm_ops.py::test_cluster_aware_split_matches_oracle);
+    driver registration is the planned r9 slot — round 8 already
+    carries its maximum of 5 new pairs."""
+    from . import llm_dedup_gates  # noqa: F401 — registers the closure
+    from .analytics import ORACLE
+
+    h = _H48.format(x="'split:' || gid::VARCHAR")
+    return f"""
+    WITH nc AS (SELECT * FROM ({ORACLE["near_dup_clusters"]})),
+    g AS (
+        SELECT d.doc_id, coalesce(nc.cluster_id, d.doc_id) AS gid
+        FROM documents d LEFT JOIN nc ON nc.doc_id = d.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN h < 90 THEN 'train'
+                WHEN h < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, ({h}) % 100 AS h FROM g)
+    """

@@ -2037,3 +2037,46 @@ def test_fingerprint_table_keeps_null_text_docs(spark):
     out = {r["doc_id"]: r["fingerprint"] for r in fingerprint_table(df).collect()}
     assert set(out) == {1, 2, 3}
     assert out[2] is None and out[1] is not None and out[3] is not None
+
+
+def test_cluster_aware_split_keeps_near_dups_together(spark, docs):
+    """Doc 3 is an exact dup of doc 0: a per-doc split can separate
+    them (leakage), the cluster-aware split must not — and untouched
+    docs keep their plain dataset_split assignment."""
+    from spotify_streaming_etl_pipeline_spark.llm import dedup
+    from spotify_streaming_etl_pipeline_spark.llm.curation import (
+        cluster_aware_split,
+        dataset_split,
+    )
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.99)
+    clusters = dedup.dup_clusters(pairs)
+    out = {r["doc_id"]: r["split"] for r in
+           cluster_aware_split(docs, clusters).collect()}
+    assert len(out) == 5
+    assert out[0] == out[3]  # the exact-dup pair can never straddle
+    plain = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    clustered = {r["doc_id"] for r in clusters.collect()}
+    for d in set(out) - clustered:
+        assert out[d] == plain[d]
+
+
+def test_cluster_aware_split_matches_oracle(spark, sf_dir):
+    """Full oracle parity for the leakage-safe split on the real
+    documents substrate (r9 registration candidate; see
+    plans/llm_corpus_gates.py:_leakage_safe_split_sql)."""
+    from spotify_streaming_etl_pipeline_spark.llm.curation import (
+        cluster_aware_split,
+    )
+    from spotify_streaming_etl_pipeline_spark.plans.llm_corpus_gates import (
+        _leakage_safe_split_sql,
+    )
+    from spotify_streaming_etl_pipeline_spark.plans.llm_shared import _docs
+    from tests.oracle_utils import compare, duckdb_con
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    clusters = dedup.dup_clusters(pairs)
+    got = cluster_aware_split(d, clusters).select("doc_id", "split")
+    want = duckdb_con(sf_dir).execute(_leakage_safe_split_sql()).fetchdf()
+    assert not compare(got, want)
