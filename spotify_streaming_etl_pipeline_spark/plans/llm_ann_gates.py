@@ -745,3 +745,27 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "kept"
     )
+
+
+def _semantic_twolevel_oracle_sql(threshold: float = 0.45) -> str:
+    """Oracle for SemDeDup composed on TWO-LEVEL assignments — the
+    operator's 100 TB form (semantic_dedup(assignments=
+    kmeans_twolevel(...))): the unrolled two-level closure feeds the
+    same within-cluster smaller-id drop rule the flat
+    ``semantic_dedup_decisions`` pair certifies. Parity-unit-verified
+    in round 8 (tests/test_scale_ops.py); r9 registration candidate
+    alongside the bare two-level pair."""
+    return f"""
+    WITH tl AS (SELECT * FROM ({_twolevel_oracle_sql(2)})),
+    p AS (
+        SELECT x.vec_id AS vec_b
+        FROM tl x JOIN tl y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        JOIN embeddings eb ON eb.vec_id = x.vec_id
+        JOIN embeddings ea ON ea.vec_id = y.vec_id
+        WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {threshold}
+    ),
+    dropped AS (SELECT DISTINCT vec_b AS vec_id FROM p)
+    SELECT tl.vec_id, cast(tl.cell AS BIGINT) AS cell,
+           tl.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM tl
+    """

@@ -532,3 +532,22 @@ def test_kmeans_twolevel_matches_duckdb_oracle(spark, sf_dir):
     )
     want = duckdb_con(sf_dir).execute(_twolevel_oracle_sql(2)).fetchdf()
     assert not compare(got, want)
+
+
+def test_semantic_dedup_twolevel_matches_duckdb_oracle(spark, sf_dir):
+    """End-to-end oracle parity for SemDeDup on two-level assignments
+    — the operator's scale form, verified with the same discipline as
+    the registered flat pair (r9 registration candidate)."""
+    from spotify_streaming_etl_pipeline_spark.plans.llm_ann_gates import (
+        _semantic_twolevel_oracle_sql,
+    )
+    from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
+    from tests.oracle_utils import compare, duckdb_con
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans_twolevel(emb, n_iter=2)
+    got = similarity.semantic_dedup(
+        emb, threshold=0.45, assignments=asg
+    ).select("vec_id", F.col("cell").cast("long").alias("cell"), "kept")
+    want = duckdb_con(sf_dir).execute(_semantic_twolevel_oracle_sql()).fetchdf()
+    assert not compare(got, want)
