@@ -1,0 +1,204 @@
+"""WARC (ISO 28500) web-archive ingestion — the Common Crawl format,
+the canonical first mile of every web-scale training corpus. A real
+reader written from the public spec (same discipline as the
+PNG/JPEG/FLAC codecs in this package): WARC/1.0 response records with
+named headers, Content-Length-framed HTTP payloads, and Common
+Crawl's member-per-record gzip layout (each record is an independent
+gzip member, concatenated — seekable extraction without global
+decompression). A matching writer synthesizes genuine bytes for the
+oracle corpora, making faking structurally hard.
+
+Spark shape: blobs ride a ``binary`` column into an Arrow-batched
+``mapInPandas`` (the per-blob codec path — never a row-at-a-time
+Python UDF); everything after the record table (URL canonicalization,
+HTML -> text, language ID, dedup) is the existing native-expression
+chain, so one scan feeds the whole crawl-to-corpus pipeline.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+CRLF = b"\r\n"
+
+#: Output schema of ``warc_record_table`` (one row per archive record).
+WARC_RECORD_SCHEMA = (
+    "doc_id long, rec int, url string, status int, "
+    "content_type string, n_body_bytes long"
+)
+
+
+def build_warc(records: list[tuple[str, int, str, bytes]], member_gzip: bool) -> bytes:
+    """Serialize (url, status, content_type, body) tuples as WARC/1.0
+    response records; ``member_gzip`` emits Common Crawl's layout
+    (each record an independent gzip member, mtime pinned to 0 so the
+    bytes are deterministic)."""
+    out = bytearray()
+    for url, status, ctype, body in records:
+        reason = {200: b"OK", 404: b"Not Found"}.get(status, b"Status")
+        http = (
+            b"HTTP/1.1 %d %s\r\nContent-Type: %s\r\n\r\n"
+            % (status, reason, ctype.encode())
+            + body
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + b"WARC-Target-URI: " + url.encode() + CRLF
+            + b"Content-Type: application/http;msgtype=response\r\n"
+            + b"Content-Length: " + str(len(http)).encode() + CRLF
+            + CRLF
+            + http
+            + CRLF + CRLF
+        )
+        out += gzip.compress(rec, 9, mtime=0) if member_gzip else rec
+    return bytes(out)
+
+
+def _ungzip_members(blob: bytes) -> bytes:
+    """Concatenated-gzip-member decode (the Common Crawl layout):
+    inflate members one at a time via unused_data until exhausted."""
+    import zlib
+
+    out = bytearray()
+    rest = blob
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        chunk = d.decompress(rest)
+        if not d.eof:
+            # Truncated final member: its payload may have inflated in
+            # full, but the CRC/length trailer never arrived — drop it
+            # rather than admit an unverified record.
+            break
+        out += chunk
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(blob: bytes) -> list[dict]:
+    """Parse WARC bytes (plain or member-gzip) into one dict per
+    response record: url, status, content_type, n_body_bytes. Stops
+    cleanly at the first malformed/truncated record boundary (records
+    already parsed are returned — the dead-letter discipline of the
+    other codecs: poison never kills the task)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _ungzip_members(blob)
+    recs: list[dict] = []
+    pos = 0
+    while blob.startswith(b"WARC/", pos):
+        head_end = blob.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:head_end].split(CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            break
+        body_start = head_end + 4
+        http = blob[body_start : body_start + clen]
+        if len(http) < clen:
+            break
+        status, ctype, n_body = 0, "", 0
+        if http[:5] == b"HTTP/":
+            sp = http.split(CRLF + CRLF, 1)
+            status_line = sp[0].split(CRLF)[0].split(b" ")
+            if len(status_line) >= 2 and status_line[1].isdigit():
+                status = int(status_line[1])
+            for line in sp[0].split(CRLF)[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ctype = v.strip().decode()
+            n_body = len(sp[1]) if len(sp) > 1 else 0
+        recs.append(
+            {
+                "url": headers.get("warc-target-uri", ""),
+                "status": status,
+                "content_type": ctype,
+                "n_body_bytes": n_body,
+            }
+        )
+        pos = body_start + clen + 4  # past the record's closing CRLFCRLF
+    return recs
+
+
+def synth_warc_blob(doc_id: int, text: str) -> bytes:
+    """Deterministic genuine WARC bytes for the oracle corpus: 1 +
+    doc_id % 3 response records; record i targets
+    ``http://h{doc_id%7}.example.com/p/{doc_id}/{i}?utm_source=x``,
+    is 200 with an HTML body wrapping the document text unless
+    (doc_id + i) % 5 == 0 (then a 404 'not found'); even doc_ids use
+    the member-gzip layout, odd ones are plain — every field is
+    recomputable arithmetically in SQL."""
+    records = []
+    for i in range(1 + doc_id % 3):
+        url = f"http://h{doc_id % 7}.example.com/p/{doc_id}/{i}?utm_source=x"
+        if (doc_id + i) % 5 != 0:
+            body = ("<html><body><p>" + text + "</p></body></html>").encode()
+            records.append((url, 200, "text/html", body))
+        else:
+            records.append((url, 404, "text/plain", b"not found"))
+    return build_warc(records, member_gzip=doc_id % 2 == 0)
+
+
+def attach_warc_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, blob): the synthesized-archive column for the gate —
+    Arrow-batched like every blob stage (zero row-wise Python UDFs is
+    a repo invariant, pinned by test_no_row_python_udfs_anywhere)."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        synth_warc_blob(int(d), str(t))
+                        for d, t in zip(pdf["doc_id"], pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        _encode, "doc_id long, blob binary"
+    )
+
+
+def warc_record_table(blobs: DataFrame) -> DataFrame:
+    """One row per archive record from a (doc_id, blob) frame — the
+    real parse, Arrow batch by Arrow batch."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, r in enumerate(parse_warc(bytes(blob))):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            r["url"],
+                            r["status"],
+                            r["content_type"],
+                            r["n_body_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "rec",
+                    "url",
+                    "status",
+                    "content_type",
+                    "n_body_bytes",
+                ],
+            )
+
+    return blobs.mapInPandas(batches, WARC_RECORD_SCHEMA)

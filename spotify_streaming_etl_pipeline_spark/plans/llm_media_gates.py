@@ -365,3 +365,31 @@ def mkv_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return multimodal.video_frame_features(multimodal.synth_mkv_corpus(d))
+
+
+def _warc_oracle_sql() -> str:
+    """Oracle for the WARC ingestion path (llm/warc.py): the archive
+    corpus is synthesized from doc_id-derived parameters (1 + id % 3
+    response records, 404 every fifth (id + rec), member-gzip on even
+    ids), so every parsed field is an exact arithmetic function of
+    doc_id — the wav/png gate discipline. The Spark side parses REAL
+    WARC/1.0 bytes (Content-Length framing, HTTP status lines,
+    concatenated gzip members). Parity-unit-verified in round 8
+    (tests/test_warc.py); r9 registration candidate."""
+    return """
+    WITH r AS (
+        SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS rec
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, cast(rec AS INT) AS rec,
+           'http://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+               || '/' || rec || '?utm_source=x' AS url,
+           cast(CASE WHEN (doc_id + rec) % 5 <> 0
+                     THEN 200 ELSE 404 END AS INT) AS status,
+           CASE WHEN (doc_id + rec) % 5 <> 0
+                THEN 'text/html' ELSE 'text/plain' END AS content_type,
+           cast(CASE WHEN (doc_id + rec) % 5 <> 0
+                     THEN 33 + octet_length(encode(text))
+                     ELSE 9 END AS BIGINT) AS n_body_bytes
+    FROM r
+    """
