@@ -27,7 +27,7 @@ CRLF = b"\r\n"
 #: Output schema of ``warc_record_table`` (one row per archive record).
 WARC_RECORD_SCHEMA = (
     "doc_id long, rec int, url string, status int, "
-    "content_type string, n_body_bytes long"
+    "content_type string, n_body_bytes long, body string"
 )
 
 
@@ -104,7 +104,7 @@ def parse_warc(blob: bytes) -> list[dict]:
         http = blob[body_start : body_start + clen]
         if len(http) < clen:
             break
-        status, ctype, n_body = 0, "", 0
+        status, ctype, body = 0, "", b""
         if http[:5] == b"HTTP/":
             sp = http.split(CRLF + CRLF, 1)
             status_line = sp[0].split(CRLF)[0].split(b" ")
@@ -114,13 +114,14 @@ def parse_warc(blob: bytes) -> list[dict]:
                 k, _, v = line.partition(b":")
                 if k.strip().lower() == b"content-type":
                     ctype = v.strip().decode()
-            n_body = len(sp[1]) if len(sp) > 1 else 0
+            body = sp[1] if len(sp) > 1 else b""
         recs.append(
             {
                 "url": headers.get("warc-target-uri", ""),
                 "status": status,
                 "content_type": ctype,
-                "n_body_bytes": n_body,
+                "n_body_bytes": len(body),
+                "body": body.decode("utf-8", errors="replace"),
             }
         )
         pos = body_start + clen + 4  # past the record's closing CRLFCRLF
@@ -187,6 +188,7 @@ def warc_record_table(blobs: DataFrame) -> DataFrame:
                             r["status"],
                             r["content_type"],
                             r["n_body_bytes"],
+                            r["body"],
                         )
                     )
             yield pd.DataFrame(
@@ -198,7 +200,34 @@ def warc_record_table(blobs: DataFrame) -> DataFrame:
                     "status",
                     "content_type",
                     "n_body_bytes",
+                    "body",
                 ],
             )
 
     return blobs.mapInPandas(batches, WARC_RECORD_SCHEMA)
+
+
+def crawl_corpus(blobs: DataFrame) -> DataFrame:
+    """The full crawl first mile as ONE plan: archive bytes -> record
+    table (Arrow-batched parse) -> keep 200 text/html responses ->
+    canonical URL + HTML-to-text + language ID, all existing native
+    expressions — one scan of the blob column feeds corpus-ready
+    (doc_id, rec, url, text, lang) rows with no shuffle anywhere
+    (narrow end to end; dedup/quality stages chain directly on the
+    output)."""
+    from pyspark.sql import functions as F
+
+    from .text import canonical_url, html_to_text, lang_id
+
+    recs = warc_record_table(blobs)
+    ok = recs.filter(
+        (F.col("status") == 200) & (F.col("content_type") == "text/html")
+    )
+    text = html_to_text(F.col("body"))
+    return ok.select(
+        "doc_id",
+        "rec",
+        canonical_url(F.col("url")).alias("url"),
+        text.alias("text"),
+        lang_id(text).alias("lang"),
+    )

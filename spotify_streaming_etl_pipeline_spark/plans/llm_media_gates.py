@@ -390,6 +390,41 @@ def _warc_oracle_sql() -> str:
                 THEN 'text/html' ELSE 'text/plain' END AS content_type,
            cast(CASE WHEN (doc_id + rec) % 5 <> 0
                      THEN 33 + octet_length(encode(text))
-                     ELSE 9 END AS BIGINT) AS n_body_bytes
+                     ELSE 9 END AS BIGINT) AS n_body_bytes,
+           CASE WHEN (doc_id + rec) % 5 <> 0
+                THEN '<html><body><p>' || text || '</p></body></html>'
+                ELSE 'not found' END AS body
     FROM r
+    """
+
+
+def _crawl_corpus_oracle_sql() -> str:
+    """Oracle for the end-to-end crawl chain (llm/warc.py:
+    crawl_corpus): the 200/text-html records of the synthesized
+    archives, with the canonical URL, extracted text, and language ID
+    all predicted by direct construction from documents.text — never
+    by re-running the Spark regex chain (the html_text_extract
+    discipline). Parity-unit-verified in round 8 (tests/test_warc.py);
+    r9 registration candidate."""
+    from .llm_shared import _LANG_CASE, _LANG_SCORES_SQL
+
+    return f"""
+    WITH r AS (
+        SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS rec
+        FROM documents WHERE doc_id < 200
+    ),
+    ok AS (SELECT * FROM r WHERE (doc_id + rec) % 5 <> 0),
+    s AS (
+        SELECT doc_id, rec, text,
+               list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x != '')) AS dw
+        FROM ok
+    ),
+    sc AS (SELECT doc_id, rec, text, {_LANG_SCORES_SQL} FROM s)
+    SELECT doc_id, cast(rec AS INT) AS rec,
+           'http://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+               || '/' || rec AS url,
+           text,
+           {_LANG_CASE} AS lang
+    FROM sc
     """

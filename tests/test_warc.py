@@ -25,9 +25,10 @@ def test_warc_roundtrip_plain_and_member_gzip():
     for gz in (False, True):
         got = parse_warc(build_warc(RECORDS, member_gzip=gz))
         assert [
-            (r["url"], r["status"], r["content_type"], r["n_body_bytes"])
+            (r["url"], r["status"], r["content_type"],
+             r["n_body_bytes"], r["body"])
             for r in got
-        ] == [(u, s, c, len(b)) for u, s, c, b in RECORDS]
+        ] == [(u, s, c, len(b), b.decode()) for u, s, c, b in RECORDS]
 
 
 def test_warc_truncated_blob_parses_clean_prefix():
@@ -70,4 +71,22 @@ def test_warc_record_table_matches_oracle(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     got = warc_record_table(attach_warc_blob(d))
     want = duckdb_con(sf_dir).execute(_warc_oracle_sql()).fetchdf()
+    assert not compare(got, want)
+
+
+def test_crawl_corpus_matches_oracle(spark, sf_dir):
+    """The whole crawl first mile under one hash: archive bytes ->
+    record table -> 200/text-html filter -> canonical URL +
+    HTML-to-text + language ID, compared against DuckDB's
+    direct-construction prediction (r9 registration candidate)."""
+    from spotify_streaming_etl_pipeline_spark.llm.warc import crawl_corpus
+    from spotify_streaming_etl_pipeline_spark.plans.llm_media_gates import (
+        _crawl_corpus_oracle_sql,
+    )
+    from spotify_streaming_etl_pipeline_spark.plans.llm_shared import _docs
+    from tests.oracle_utils import compare, duckdb_con
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    got = crawl_corpus(attach_warc_blob(d))
+    want = duckdb_con(sf_dir).execute(_crawl_corpus_oracle_sql()).fetchdf()
     assert not compare(got, want)
