@@ -207,6 +207,34 @@ def warc_record_table(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(batches, WARC_RECORD_SCHEMA)
 
 
+def extract_links(html):
+    """Outlink extraction as a pure codegen expression: every href
+    value in the markup (single- or double-quoted), the edge source
+    for web-graph work — the (page, outlink) table this produces feeds
+    the same iterative machinery as ``plans/quality.py``'s co-purchase
+    pagerank, just keyed on canonical URLs instead of parts."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.regexp_extract_all(html, F.lit('href="([^"]*)"'), 1),
+        F.regexp_extract_all(html, F.lit("href='([^']*)'"), 1),
+    )
+
+
+def outlink_edges(pages: DataFrame, url_col: str = "url", body_col: str = "body") -> DataFrame:
+    """(src, dst): the web graph's edge table from parsed crawl pages
+    — canonical source URL, exploded canonical link targets. One
+    narrow projection + one explode; dedup/pagerank chain directly."""
+    from pyspark.sql import functions as F
+
+    from .text import canonical_url
+
+    return pages.select(
+        canonical_url(F.col(url_col)).alias("src"),
+        F.explode(extract_links(body_col)).alias("href"),
+    ).select("src", canonical_url(F.col("href")).alias("dst"))
+
+
 def crawl_corpus(blobs: DataFrame) -> DataFrame:
     """The full crawl first mile as ONE plan: archive bytes -> record
     table (Arrow-batched parse) -> keep 200 text/html responses ->

@@ -90,3 +90,25 @@ def test_crawl_corpus_matches_oracle(spark, sf_dir):
     got = crawl_corpus(attach_warc_blob(d))
     want = duckdb_con(sf_dir).execute(_crawl_corpus_oracle_sql()).fetchdf()
     assert not compare(got, want)
+
+
+def test_extract_links_and_outlink_edges(spark):
+    """href extraction handles both quote styles and ignores
+    non-href attributes; edges come out canonicalized."""
+    from spotify_streaming_etl_pipeline_spark.llm.warc import outlink_edges
+
+    rows = [
+        (
+            "http://A.example.com/p/?utm_source=x",
+            '<a href="http://b.example.com/x?gclid=1">b</a>'
+            "<a href='http://c.example.com/y'>c</a>"
+            '<img src="http://not-a-link.example.com/z">',
+        ),
+        ("http://d.example.com/", "<p>no links here</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "url: string, body: string")
+    got = sorted((r["src"], r["dst"]) for r in outlink_edges(pages).collect())
+    assert got == [
+        ("http://a.example.com/p", "http://b.example.com/x"),
+        ("http://a.example.com/p", "http://c.example.com/y"),
+    ]
