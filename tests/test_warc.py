@@ -112,3 +112,48 @@ def test_extract_links_and_outlink_edges(spark):
         ("http://a.example.com/p", "http://b.example.com/x"),
         ("http://a.example.com/p", "http://c.example.com/y"),
     ]
+
+
+def test_web_pagerank_from_archive_bytes(spark):
+    """The full web-graph composition, bytes to ranks: WARC blobs
+    whose pages hyperlink a known shape -> record table -> canonical
+    outlink edges -> the SAME integer pagerank core the co-purchase
+    family certifies. The graph honors the core's documented contract
+    (plans/quality.py:pagerank_integer — every node keeps receiving
+    contributions, as symmetric edge sets do): hub page a holds three
+    in-links, every other page one, so a must out-rank them all,
+    deterministically."""
+    from spotify_streaming_etl_pipeline_spark.llm.warc import (
+        build_warc,
+        warc_record_table,
+        outlink_edges,
+    )
+    from spotify_streaming_etl_pipeline_spark.plans.quality import (
+        pagerank_integer,
+    )
+
+    def page(name, targets):
+        anchors = "".join(
+            f'<a href="http://{t}.example.com/">x</a>' for t in targets
+        )
+        return (
+            f"http://{name}.example.com/",
+            200,
+            "text/html",
+            f"<html><body>{anchors}</body></html>".encode(),
+        )
+
+    # hub a: in-links from b, c, d; every node has in- and out-degree
+    blob = build_warc(
+        [page("a", "bd"), page("b", "ac"), page("c", "a"), page("d", "a")],
+        member_gzip=True,
+    )
+    blobs = spark.createDataFrame([(0, bytearray(blob))], "doc_id: long, blob: binary")
+    recs = warc_record_table(blobs).filter("status = 200")
+    edges = outlink_edges(recs).selectExpr("src AS u", "dst AS v")
+    ranks = {r["u"]: r["rk"] for r in pagerank_integer(edges, iters=5).collect()}
+    assert set(ranks) == {f"http://{n}.example.com" for n in "abcd"}
+    a = ranks["http://a.example.com"]
+    assert all(a > v for k, v in ranks.items() if k != "http://a.example.com")
+    again = {r["u"]: r["rk"] for r in pagerank_integer(edges, iters=5).collect()}
+    assert again == ranks
