@@ -189,14 +189,19 @@ def cluster_aware_split(
     shuffle_hash, because the clustered-doc set grows with the corpus
     and an auto-broadcast of a corpus-fraction table is the exact
     failure PLANS.md documents from the sf10 funnel — then the same
-    narrow hash-bucket projection as ``dataset_split``."""
-    joined = df.join(
-        clusters.hint("shuffle_hash").withColumnRenamed("doc_id", id_col),
-        id_col,
-        "left",
-    ).withColumn("_gid", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    narrow hash-bucket projection as ``dataset_split``.  Only
+    (doc_id, cluster_id) is taken from ``clusters``, so extra columns
+    on the cluster table can neither leak into nor collide with the
+    output schema, and a pre-existing ``cluster_id`` column on ``df``
+    passes through untouched."""
+    cl = clusters.select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("_cl_gid")
+    )
+    joined = df.join(cl.hint("shuffle_hash"), id_col, "left").withColumn(
+        "_gid", F.coalesce(F.col("_cl_gid"), F.col(id_col))
+    )
     return dataset_split(joined, id_col="_gid", seed=seed, cuts=cuts).drop(
-        "_gid", "cluster_id"
+        "_gid", "_cl_gid"
     )
 
 

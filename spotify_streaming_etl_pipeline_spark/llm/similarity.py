@@ -395,6 +395,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     _dims_df: DataFrame | None = None,
     target_cluster_size: int = 64,
+    twolevel_crossover: int | None = 10_000,
 ) -> DataFrame:
     """(vec_id, cell): Lloyd's k-means assignment after ``n_iter``
     update rounds from the hash-seeded mean init of
@@ -426,13 +427,18 @@ def kmeans_lloyd(
     the corpus so EXPECTED CLUSTER SIZE stays constant; a fixed k
     makes every downstream within-cluster pairwise term quadratic in
     n, measured as a 19.9x wall-clock blowup at 10x rows before this
-    landed). The centroid table is then n/64 x 64 rows — broadcast
-    stays valid far past memory-feasible local scale; past ~10M
-    centroids a two-level coarse/fine hierarchy replaces the single
-    broadcast (documented boundary, same assignment core)."""
-    if n_clusters is None:
-        n = emb.count()
-        n_clusters = max(1, -(-n // target_cluster_size))
+    landed).  Above ``twolevel_crossover`` vectors (measured ~10k
+    crossover: flat auto-k assignment is O(n*k) = O(n²/64) candidate
+    rows, 22x slower than two-level at n=200k and diverging) the
+    auto-k path DELEGATES to ``kmeans_twolevel``, so every auto-k
+    caller — SemDeDup, IVF training — gets the O(n*sqrt(k)) plan by
+    default; pass ``twolevel_crossover=None`` to force the flat plan.
+    ``n`` is derived from the persisted exploded-dims table (one pass
+    over cached data), never a second action over a possibly-expensive
+    un-cached input plan, and a self-created dims persist is released
+    before returning (the final assignment is eagerly
+    localCheckpoint-ed first — n x 2 longs, tiny)."""
+    owns_dims = _dims_df is None
     dims = (
         _dims_df
         if _dims_df is not None
@@ -441,6 +447,21 @@ def kmeans_lloyd(
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
         ).persist()
     )
+    if n_clusters is None:
+        n = dims.select("vec_id").distinct().count()
+        if twolevel_crossover is not None and n > twolevel_crossover:
+            out = kmeans_twolevel(
+                emb,
+                n_iter,
+                vec_col,
+                target_cluster_size,
+                _dims_df=dims,
+                _n=n,
+            )
+            if owns_dims:
+                dims.unpersist()
+            return out
+        n_clusters = max(1, -(-n // target_cluster_size))
     cents = (
         dims.withColumn("cell", (F.col("vec_id") % n_clusters).cast("int"))
         .groupBy("cell", "dim")
@@ -455,7 +476,11 @@ def kmeans_lloyd(
             .agg(F.round(F.avg("x"), 4).alias("c"))
         )
     cents = cents.localCheckpoint(eager=True)
-    return _nearest_cell(dims, cents)
+    out = _nearest_cell(dims, cents)
+    if owns_dims:
+        out = out.localCheckpoint(eager=True)
+        dims.unpersist()
+    return out
 
 
 def _nearest_cell(dims: DataFrame, cents: DataFrame) -> DataFrame:
@@ -484,11 +509,25 @@ def _nearest_cell(dims: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+#: Fine-centroid row count (cells x dims) above which the fine assign
+#: switches from an explicit broadcast to a shuffle_hash-hinted join:
+#: the fine centroid table holds ~k1*k2*ndim ≈ n rows — CORPUS-
+#: PROPORTIONAL, so a single broadcast hits the same ~10M-centroid
+#: memory boundary flat auto-k does.  Two-level only shrinks the
+#: CANDIDATE term (O(n*k) -> O(n*sqrt(k))); the (coarse, dim)-keyed
+#: shuffle_hash join removes the broadcast memory bound too, at the
+#: cost of shuffling the dims table per round — worth it only past
+#: ~2M centroid rows (~60 MB broadcast at 30 B/row).
+_FINE_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def kmeans_twolevel(
     emb: DataFrame,
     n_iter: int = 2,
     vec_col: str = "embedding",
     target_cluster_size: int = 64,
+    _dims_df: DataFrame | None = None,
+    _n: int | None = None,
 ) -> DataFrame:
     """(vec_id, cell): IVF-style two-level k-means — the scale path
     past flat auto-k Lloyd. Flat assignment with k = ceil(n/t)
@@ -504,15 +543,30 @@ def kmeans_twolevel(
     4dp-rounded means/distances, (d2, cell)-struct argmin); a deeper
     hierarchy generalizes the same shape at n^(1/3) etc. Returns
     composite cell ids coarse * k2 + sub, consumable by
-    ``semantic_dedup(assignments=...)``."""
-    n = emb.count()
+    ``semantic_dedup(assignments=...)``.
+
+    Join strategy for the fine assign: the fine centroid table is
+    ~k_total x ndim ≈ n rows — corpus-proportional, so past
+    ``_FINE_BROADCAST_MAX_ROWS`` the per-round join switches from an
+    explicit broadcast to a shuffle_hash hint on (coarse, dim); below
+    it the broadcast keeps the dims table un-shuffled.  Persists
+    (dims when self-created, dc always) are released before returning,
+    after eagerly localCheckpoint-ing the n x 2 output."""
+    owns_dims = _dims_df is None
+    dims = (
+        _dims_df
+        if _dims_df is not None
+        else emb.select(
+            "vec_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        ).persist()
+    )
+    n = _n if _n is not None else dims.select("vec_id").distinct().count()
     k_total = max(1, -(-n // target_cluster_size))
     k1 = max(1, int(k_total**0.5 + 0.9999))
     k2 = max(1, -(-k_total // k1))
-    dims = emb.select(
-        "vec_id",
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    ).persist()
+    ndim = max(1, dims.count() // max(1, n))
+    fine_broadcast = k1 * k2 * ndim <= _FINE_BROADCAST_MAX_ROWS
     coarse = kmeans_lloyd(emb, k1, n_iter, vec_col, _dims_df=dims)
     dc = (
         dims.join(coarse.withColumnRenamed("cell", "coarse"), "vec_id")
@@ -525,8 +579,13 @@ def kmeans_twolevel(
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
+        side = (
+            F.broadcast(cents_df)
+            if fine_broadcast
+            else cents_df.hint("shuffle_hash")
+        )
         d2 = (
-            dc.join(F.broadcast(cents_df), ["coarse", "dim"])
+            dc.join(side, ["coarse", "dim"])
             .groupBy("vec_id", "coarse", "sub")
             .agg(
                 F.round(
@@ -550,10 +609,17 @@ def kmeans_twolevel(
             .agg(F.round(F.avg("x"), 4).alias("c"))
         )
     cents = cents.localCheckpoint(eager=True)
-    out = assign(cents).select(
-        "vec_id",
-        (F.col("coarse").cast("long") * k2 + F.col("sub")).alias("cell"),
+    out = (
+        assign(cents)
+        .select(
+            "vec_id",
+            (F.col("coarse").cast("long") * k2 + F.col("sub")).alias("cell"),
+        )
+        .localCheckpoint(eager=True)
     )
+    dc.unpersist()
+    if owns_dims:
+        dims.unpersist()
     return out
 
 

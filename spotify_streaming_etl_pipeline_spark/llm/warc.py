@@ -67,7 +67,13 @@ def _ungzip_members(blob: bytes) -> bytes:
     rest = blob
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
-        chunk = d.decompress(rest)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error:
+            # Corrupt member (bad CRC / garbled deflate stream): keep
+            # the members already inflated, drop the rest — poison
+            # bytes must never kill the task.
+            break
         if not d.eof:
             # Truncated final member: its payload may have inflated in
             # full, but the CRC/length trailer never arrived — drop it
@@ -95,7 +101,11 @@ def parse_warc(blob: bytes) -> list[dict]:
         headers: dict[str, str] = {}
         for line in blob[pos:head_end].split(CRLF)[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().lower().decode()] = v.strip().decode()
+            # Real Common Crawl carries non-UTF-8 WARC-Target-URIs;
+            # replace rather than raise (body decode already does).
+            headers[k.strip().lower().decode(errors="replace")] = v.strip().decode(
+                errors="replace"
+            )
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -113,7 +123,7 @@ def parse_warc(blob: bytes) -> list[dict]:
             for line in sp[0].split(CRLF)[1:]:
                 k, _, v = line.partition(b":")
                 if k.strip().lower() == b"content-type":
-                    ctype = v.strip().decode()
+                    ctype = v.strip().decode(errors="replace")
             body = sp[1] if len(sp) > 1 else b""
         recs.append(
             {
@@ -209,15 +219,20 @@ def warc_record_table(blobs: DataFrame) -> DataFrame:
 
 def extract_links(html):
     """Outlink extraction as a pure codegen expression: every href
-    value in the markup (single- or double-quoted), the edge source
-    for web-graph work — the (page, outlink) table this produces feeds
-    the same iterative machinery as ``plans/quality.py``'s co-purchase
-    pagerank, just keyed on canonical URLs instead of parts."""
+    value in the markup — double-quoted, single-quoted, or unquoted,
+    any attribute case, whitespace around ``=`` (all common in real
+    crawled HTML) — the edge source for web-graph work; the (page,
+    outlink) table this produces feeds the same iterative machinery as
+    ``plans/quality.py``'s co-purchase pagerank, just keyed on
+    canonical URLs instead of parts."""
     from pyspark.sql import functions as F
 
     return F.concat(
-        F.regexp_extract_all(html, F.lit('href="([^"]*)"'), 1),
-        F.regexp_extract_all(html, F.lit("href='([^']*)'"), 1),
+        F.regexp_extract_all(html, F.lit('(?i)href\\s*=\\s*"([^"]*)"'), 1),
+        F.regexp_extract_all(html, F.lit("(?i)href\\s*=\\s*'([^']*)'"), 1),
+        F.regexp_extract_all(
+            html, F.lit("(?i)href\\s*=\\s*([^\"'\\s>][^\\s>]*)"), 1
+        ),
     )
 
 

@@ -640,8 +640,7 @@ def _twolevel_oracle_sql(n_iter: int = 2) -> str:
     (coarse, dim), mirroring Spark's per-cell centroid scoping
     operand for operand. Written and parity-tested in round 8
     (tests/test_scale_ops.py::test_kmeans_twolevel_matches_duckdb_oracle);
-    registration as a driver pair is the planned r9 addition (round 8
-    already carries the brief's maximum of 5 new registrations)."""
+    registered as the ``kmeans_twolevel`` driver pair in round 9."""
     parts = [
         "kk AS (SELECT greatest(1, cast(ceil(count(*) / 64.0) AS INT)) AS kt"
         " FROM embeddings)",
@@ -753,8 +752,8 @@ def _semantic_twolevel_oracle_sql(threshold: float = 0.45) -> str:
     kmeans_twolevel(...))): the unrolled two-level closure feeds the
     same within-cluster smaller-id drop rule the flat
     ``semantic_dedup_decisions`` pair certifies. Parity-unit-verified
-    in round 8 (tests/test_scale_ops.py); r9 registration candidate
-    alongside the bare two-level pair."""
+    in round 8 (tests/test_scale_ops.py); registered as the
+    ``semantic_dedup_twolevel`` driver pair in round 9."""
     return f"""
     WITH tl AS (SELECT * FROM ({_twolevel_oracle_sql(2)})),
     p AS (
@@ -769,3 +768,36 @@ def _semantic_twolevel_oracle_sql(threshold: float = 0.45) -> str:
            tl.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
     FROM tl
     """
+
+
+@query("kmeans_twolevel", _twolevel_oracle_sql(2))
+def kmeans_twolevel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-level k-means (llm/similarity.py:kmeans_twolevel)
+    — the clustering SCALE path (O(n*sqrt(k)) candidate rows vs flat
+    auto-k's O(n*k); measured 22x faster at n=200k, diverging as n^1.5
+    vs n²). Auto-k two-level: kt = ceil(n/64), coarse k1 = ceil(
+    sqrt(kt)), fine k2 = ceil(kt/k1) sub-clusters WITHIN each coarse
+    cell. The DuckDB oracle unrolls both Lloyd chains — coarse init/
+    assign/update rounds, then the fine chain with every CTE keyed on
+    (coarse, ...) — so a regression anywhere in either loop or in the
+    composite-id arithmetic breaks the hash on the full assignment
+    table."""
+    asg = similarity.kmeans_twolevel(_emb(spark, sf_dir), n_iter=2)
+    return asg.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+@query("semantic_dedup_twolevel", _semantic_twolevel_oracle_sql(0.45))
+def semantic_dedup_twolevel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup composed on two-level assignments — the operator's
+    actual 100 TB form (semantic_dedup(assignments=kmeans_twolevel(
+    ...))): clustering via the O(n*sqrt(k)) hierarchy, then the same
+    within-cluster smaller-id drop rule the flat pair certifies
+    (threshold 0.45; the drop path provably fires on this substrate).
+    Full decision table hashed against the unrolled two-level closure
+    + drop-rule oracle."""
+    emb = _emb(spark, sf_dir)
+    asg = similarity.kmeans_twolevel(emb, n_iter=2)
+    dec = similarity.semantic_dedup(emb, threshold=0.45, assignments=asg)
+    return dec.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "kept"
+    )

@@ -490,8 +490,7 @@ def _leakage_safe_split_sql() -> str:
     ``dataset_split`` hash-bucket rule, keyed on the GROUP id.
     Written and parity-tested in round 8
     (tests/test_llm_ops.py::test_cluster_aware_split_matches_oracle);
-    driver registration is the planned r9 slot — round 8 already
-    carries its maximum of 5 new pairs."""
+    registered as the ``cluster_aware_split`` driver pair in round 9."""
     from . import llm_dedup_gates  # noqa: F401 — registers the closure
     from .analytics import ORACLE
 
@@ -508,3 +507,23 @@ def _leakage_safe_split_sql() -> str:
                 ELSE 'test' END AS split
     FROM (SELECT doc_id, ({h}) % 100 AS h FROM g)
     """
+
+
+@query("cluster_aware_split", _leakage_safe_split_sql())
+def cluster_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (llm/curation.py:
+    cluster_aware_split): every member of a 0.8-Jaccard near-dup
+    cluster follows its CLUSTER representative's hash bucket, so
+    near-duplicates can never straddle train and test — the
+    eval-contamination guard a per-document split silently violates.
+    The oracle composes the registered ``near_dup_clusters`` closure
+    with the ``dataset_split`` hash-bucket rule keyed on the group
+    id, so a regression in the clusterer, the group coalesce, or the
+    bucketing breaks the hash on the full assignment table."""
+    from ..llm import dedup
+    from ..llm.curation import cluster_aware_split
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    clusters = dedup.dup_clusters(pairs)
+    return cluster_aware_split(d, clusters).select("doc_id", "split")

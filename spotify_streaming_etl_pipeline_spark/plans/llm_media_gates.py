@@ -375,7 +375,7 @@ def _warc_oracle_sql() -> str:
     doc_id — the wav/png gate discipline. The Spark side parses REAL
     WARC/1.0 bytes (Content-Length framing, HTTP status lines,
     concatenated gzip members). Parity-unit-verified in round 8
-    (tests/test_warc.py); r9 registration candidate."""
+    (tests/test_warc.py); registered as ``warc_records`` in round 9."""
     return """
     WITH r AS (
         SELECT doc_id, text, unnest(range(0, 1 + doc_id % 3)) AS rec
@@ -405,7 +405,7 @@ def _crawl_corpus_oracle_sql() -> str:
     all predicted by direct construction from documents.text — never
     by re-running the Spark regex chain (the html_text_extract
     discipline). Parity-unit-verified in round 8 (tests/test_warc.py);
-    r9 registration candidate."""
+    registered as ``crawl_corpus`` in round 9."""
     from .llm_shared import _LANG_CASE, _LANG_SCORES_SQL
 
     return f"""
@@ -428,3 +428,97 @@ def _crawl_corpus_oracle_sql() -> str:
            {_LANG_CASE} AS lang
     FROM sc
     """
+
+
+@query("warc_records", _warc_oracle_sql())
+def warc_records_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion, the Common Crawl first mile (llm/warc.py):
+    synthesize genuine WARC/1.0 archives from doc_id-derived
+    parameters (1 + id % 3 response records, 404 every fifth
+    (id + rec), member-gzip on even ids), parse the REAL bytes —
+    Content-Length framing, HTTP status lines, concatenated gzip
+    members — through the Arrow-batched reader, and hash the full
+    record table against DuckDB's arithmetic prediction of every
+    field."""
+    from ..llm.warc import attach_warc_blob, warc_record_table
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return warc_record_table(attach_warc_blob(d))
+
+
+@query("crawl_corpus", _crawl_corpus_oracle_sql())
+def crawl_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end crawl-to-corpus chain under ONE hash
+    (llm/warc.py:crawl_corpus): archive bytes -> record table ->
+    200/text-html filter -> canonical URL + HTML-to-text + language
+    ID, every output field predicted by direct construction from
+    documents.text — never by re-running the Spark regex chain."""
+    from ..llm.warc import attach_warc_blob, crawl_corpus
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return crawl_corpus(attach_warc_blob(d))
+
+
+def _outlink_oracle_sql() -> str:
+    """Oracle for web-graph edge extraction (llm/warc.py:
+    extract_links + outlink_edges): page bodies are built with 1 +
+    doc_id % 4 anchors in rotating markup styles — double-quoted,
+    ``HREF = 'single-quoted'``, and unquoted attribute values, all
+    real crawled-HTML shapes — and both endpoint URLs carry tracking
+    params the canonicalizer must strip, so every edge is an exact
+    arithmetic function of (doc_id, j)."""
+    return """
+    WITH r AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 4)) AS j
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT 'http://h' || (doc_id % 7) || '.example.com/p/' || doc_id AS src,
+           'http://h' || ((doc_id + j) % 7) || '.example.com/q/' || doc_id
+               || '/' || j AS dst
+    FROM r
+    """
+
+
+@query("outlink_edges", _outlink_oracle_sql())
+def outlink_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) web-graph edge table from crawled pages: anchors are
+    synthesized native-side in all three real-world markup styles
+    (quote variants, uppercase HREF, whitespace around =, unquoted
+    values), extracted by the codegen regex chain, and both ends
+    canonicalized (utm/gclid strip) — the edge substrate the
+    bytes-to-ranks pagerank composition consumes."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    anchors = []
+    for j in range(4):
+        dst = F.concat(
+            F.lit("http://h"),
+            ((F.col("doc_id") + j) % 7).cast("string"),
+            F.lit(".example.com/q/"),
+            F.col("doc_id").cast("string"),
+            F.lit(f"/{j}?gclid=z"),
+        )
+        style = j % 3
+        if style == 0:
+            a = F.concat(F.lit('<a href="'), dst, F.lit('">x</a>'))
+        elif style == 1:
+            a = F.concat(F.lit("<a HREF = '"), dst, F.lit("'>x</a>"))
+        else:
+            a = F.concat(F.lit("<a href="), dst, F.lit(">x</a>"))
+        anchors.append(
+            F.when(F.lit(j) <= F.col("doc_id") % 4, a).otherwise(F.lit(""))
+        )
+    pages = d.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body>"), *anchors, F.lit("</body></html>")
+        ).alias("body"),
+    )
+    from ..llm.warc import outlink_edges
+
+    return outlink_edges(pages)

@@ -21,12 +21,20 @@ Semantics per microbatch (deterministic, replay-safe):
 
 Scale: per batch the cost is batch-size × bucket-collision-rate band
 probes plus a batch-sized clustering; the corpus is touched through
-its (materialized) band index only.  In production the posting/band
-tables persist as tables beside the corpus instead of being derived
-from the snapshot per batch — same plan, one less recompute.
+its (materialized) band index only.  The sink maintains the corpus
+POSTING table as a versioned snapshot beside the corpus (same
+tmp-then-rename discipline, directory ``{state_dir}/posting_index``):
+each batch reads the previous posting version instead of re-shingling
+the whole corpus, and appends only the admitted docs' postings —
+posting is per-doc deterministic, so ``posting(corpus) ∪
+posting(admitted) == posting(corpus ∪ admitted)`` exactly, and a
+replayed batch republishes the identical version (exactly-once holds
+for the index too).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,12 +42,18 @@ from pyspark.sql import functions as F
 from ..llm import dedup
 from .aggregates import publish_snapshot, read_state
 
+#: Subdirectory of the sink's state_dir holding the versioned corpus
+#: posting index (doc_id, h1, h2) — ignored by the corpus read_state,
+#: which only lists v= entries.
+POSTING_SUBDIR = "posting_index"
+
 
 def _decide(
     batch: DataFrame,
     corpus: DataFrame | None,
     threshold: float,
     text_col: str,
+    corpus_posting: DataFrame | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """The admission DECISION TABLE (doc_id, decision) for every
     distinct batch doc — the single code path behind both the
@@ -58,6 +72,11 @@ def _decide(
       near-dup cluster (keeper = cluster-min id);
     - ``admitted``            — everything else.
 
+    ``corpus_posting`` supplies the maintained posting index (the
+    sink's production path); when None it is derived from the corpus
+    snapshot — same rows by construction, one extra corpus-wide
+    shingle pass.
+
     Returns (decisions, cleanup): callers MUST materialize decisions
     (localCheckpoint) before unpersisting the cleanup postings."""
     batch = batch.dropDuplicates(["doc_id"])
@@ -69,7 +88,9 @@ def _decide(
     batch_posting = dedup._posting(fresh, text_col).persist()
     cleanup = [batch_posting]
     if corpus is not None:
-        corpus_posting = dedup._posting(corpus, text_col).persist()
+        if corpus_posting is None:
+            corpus_posting = dedup._posting(corpus, text_col)
+        corpus_posting = corpus_posting.persist()
         cleanup.append(corpus_posting)
         corpus_dup = (
             dedup.minhash_incremental(
@@ -162,6 +183,7 @@ def admit_batch(
     corpus: DataFrame | None,
     threshold: float = 0.8,
     text_col: str = "text",
+    corpus_posting: DataFrame | None = None,
 ) -> DataFrame:
     """The pure admission function (one microbatch against one corpus
     state) — shared by the streaming sink and the batch/stream parity
@@ -174,7 +196,9 @@ def admit_batch(
     per-batch postings in executor storage (the r5 ADVICE leak class).
     The admitted result is localCheckpoint-ed first so unpersisting
     cannot force a recompute-without-cache of the whole pipeline."""
-    decisions, cleanup = _decide(batch, corpus, threshold, text_col)
+    decisions, cleanup = _decide(
+        batch, corpus, threshold, text_col, corpus_posting=corpus_posting
+    )
     admitted = (
         batch.dropDuplicates(["doc_id"])
         .join(
@@ -194,18 +218,35 @@ def dedup_admission_sink(
     threshold: float = 0.8,
     text_col: str = "text",
 ):
-    """foreachBatch sink maintaining the admitted-corpus snapshot; use
-    with ``stream.writeStream.foreachBatch(dedup_admission_sink(...))``
-    and read the admitted corpus with ``aggregates.read_state``."""
+    """foreachBatch sink maintaining the admitted-corpus snapshot AND
+    its posting index; use with
+    ``stream.writeStream.foreachBatch(dedup_admission_sink(...))`` and
+    read the admitted corpus with ``aggregates.read_state``.
+
+    The posting index (``{state_dir}/posting_index``, same versioned
+    layout) is the module-documented production form: each batch reads
+    the previous posting version instead of re-shingling the whole
+    corpus — the corpus-size-proportional recompute this sink used to
+    pay per batch — and appends only the admitted docs' postings.  A
+    missing index (bootstrap, or state written by an older sink)
+    degrades to the derive-from-snapshot path for that batch and the
+    full index is published from the new corpus."""
 
     def sink(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
+        posting_dir = os.path.join(state_dir, POSTING_SUBDIR)
         corpus = read_state(spark, state_dir, below=batch_id)
+        posting = (
+            read_state(spark, posting_dir, below=batch_id)
+            if corpus is not None
+            else None
+        )
         admitted = admit_batch(
             bdf.select("doc_id", text_col),
             corpus,
             threshold=threshold,
             text_col=text_col,
+            corpus_posting=posting,
         )
         new_corpus = (
             corpus.unionByName(admitted) if corpus is not None else admitted
@@ -214,5 +255,20 @@ def dedup_admission_sink(
         # previous snapshot's files, which prune may delete later —
         # the parquet write is the materialization barrier.
         publish_snapshot(new_corpus, state_dir, batch_id)
+        # Posting is per-doc deterministic, so prev ∪ posting(admitted)
+        # equals posting(new_corpus) row for row; the parquet write is
+        # again the barrier against pruned predecessor versions.  The
+        # bootstrap path shingles the JUST-PUBLISHED snapshot files,
+        # not the pre-write lineage (whose inputs the corpus prune may
+        # have removed).
+        if posting is not None:
+            new_posting = posting.unionByName(
+                dedup._posting(admitted, text_col)
+            )
+        else:
+            new_posting = dedup._posting(
+                read_state(spark, state_dir, below=batch_id + 1), text_col
+            )
+        publish_snapshot(new_posting, posting_dir, batch_id)
 
     return sink

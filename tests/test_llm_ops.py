@@ -2061,6 +2061,31 @@ def test_cluster_aware_split_keeps_near_dups_together(spark, docs):
         assert out[d] == plain[d]
 
 
+def test_cluster_aware_split_column_hygiene(spark, docs):
+    """Only (doc_id, cluster_id) is consumed from the cluster table:
+    extra columns there must not leak into the output, and a
+    pre-existing cluster_id column on the input passes through."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.llm import dedup
+    from spotify_streaming_etl_pipeline_spark.llm.curation import (
+        cluster_aware_split,
+    )
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.99)
+    clusters = dedup.dup_clusters(pairs).withColumn("extra", F.lit("junk"))
+    tagged = docs.withColumn("cluster_id", F.lit(7))
+    out = cluster_aware_split(tagged, clusters)
+    assert "extra" not in out.columns
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["cluster_id"] == 7 for r in rows)
+    # Same split decisions as the untagged/clean-cluster call.
+    clean = {r["doc_id"]: r["split"] for r in
+             cluster_aware_split(docs, dedup.dup_clusters(pairs)).collect()}
+    assert {r["doc_id"]: r["split"] for r in rows} == clean
+
+
 def test_cluster_aware_split_matches_oracle(spark, sf_dir):
     """Full oracle parity for the leakage-safe split on the real
     documents substrate (r9 registration candidate; see

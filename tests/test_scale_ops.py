@@ -373,6 +373,34 @@ def test_kmeans_lloyd_auto_k_matches_explicit(spark):
     )
 
 
+def test_kmeans_lloyd_auto_k_delegates_to_twolevel_above_crossover(spark):
+    """The scale switch (llm/similarity.py:kmeans_lloyd): auto-k above
+    ``twolevel_crossover`` vectors must return exactly the two-level
+    assignment (row-identical to calling kmeans_twolevel directly), so
+    SemDeDup / IVF training get the O(n*sqrt(k)) plan by default at
+    scale; below the crossover — and with crossover=None — the flat
+    plan is unchanged."""
+    emb = _planted_vectors(spark)  # 60 vectors
+    delegated = similarity.kmeans_lloyd(
+        emb, n_clusters=None, n_iter=2, target_cluster_size=20,
+        twolevel_crossover=50,  # 60 > 50 -> two-level path
+    )
+    direct = similarity.kmeans_twolevel(
+        emb, n_iter=2, target_cluster_size=20
+    )
+    assert sorted(map(tuple, delegated.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    flat = similarity.kmeans_lloyd(
+        emb, n_clusters=None, n_iter=2, target_cluster_size=20,
+        twolevel_crossover=None,
+    )
+    explicit = similarity.kmeans_lloyd(emb, n_clusters=3, n_iter=2)
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 def test_kmeans_twolevel_recovers_planted_hierarchy(spark):
     """6 planted clusters = 3 coarse x-groups x 2 fine y-subclusters,
     ids laid out so vec_id % 6 == planted cluster: by CRT the coarse

@@ -122,3 +122,79 @@ def test_redelivered_doc_id_not_duplicated_in_corpus(spark, tmp_path):
     rows = read_state(spark, state_dir).collect()
     ids = sorted(r.doc_id for r in rows)
     assert ids == [1, 2, 20]  # doc 2 present exactly ONCE
+
+
+def _canon_posting(df):
+    return sorted((r.doc_id, r.h1, r.h2) for r in df.collect())
+
+
+def test_sink_maintains_posting_index(spark, tmp_path):
+    """The maintained posting index must equal _posting(corpus) row
+    for row after every batch (the incremental-union invariant), and
+    a crash-replayed batch must republish the identical index
+    version."""
+    import os
+
+    from spotify_streaming_etl_pipeline_spark.llm import dedup
+    from spotify_streaming_etl_pipeline_spark.streaming.admission import (
+        POSTING_SUBDIR,
+    )
+
+    state_dir = str(tmp_path / "state")
+    posting_dir = os.path.join(state_dir, POSTING_SUBDIR)
+    sink = dedup_admission_sink(state_dir, threshold=0.5)
+    sink(spark.createDataFrame(B1, SCHEMA), 0)
+    sink(spark.createDataFrame(B2, SCHEMA), 1)
+    corpus = read_state(spark, state_dir)
+    idx = read_state(spark, posting_dir)
+    assert _canon_posting(idx) == _canon_posting(
+        dedup._posting(corpus, "text")
+    )
+    once = _canon_posting(idx)
+    sink(spark.createDataFrame(B2, SCHEMA), 1)  # crash-replay
+    assert _canon_posting(read_state(spark, posting_dir)) == once
+    # the corpus read must not see the nested index dir as a version
+    assert sorted(r.doc_id for r in read_state(spark, state_dir).collect()) \
+        == [1, 2, 11]
+
+
+def test_sink_bootstraps_missing_posting_index(spark, tmp_path):
+    """Corpus state written by an older sink (no index): the next
+    batch degrades to derive-from-snapshot and publishes the full
+    index for the new corpus."""
+    import os
+    import shutil
+
+    from spotify_streaming_etl_pipeline_spark.llm import dedup
+    from spotify_streaming_etl_pipeline_spark.streaming.admission import (
+        POSTING_SUBDIR,
+    )
+
+    state_dir = str(tmp_path / "state")
+    posting_dir = os.path.join(state_dir, POSTING_SUBDIR)
+    sink = dedup_admission_sink(state_dir, threshold=0.5)
+    sink(spark.createDataFrame(B1, SCHEMA), 0)
+    shutil.rmtree(posting_dir)  # simulate pre-index state
+    sink(spark.createDataFrame(B2, SCHEMA), 1)
+    corpus = read_state(spark, state_dir)
+    assert _canon_posting(read_state(spark, posting_dir)) == _canon_posting(
+        dedup._posting(corpus, "text")
+    )
+
+
+def test_admit_batch_with_supplied_posting_matches_derived(spark):
+    """admit_batch(corpus_posting=...) — the sink's index path — must
+    be decision-identical to the derive-from-corpus path."""
+    from spotify_streaming_etl_pipeline_spark.llm import dedup
+
+    b1 = spark.createDataFrame(B1, SCHEMA)
+    corpus = admit_batch(b1, None, threshold=0.5)
+    b2 = spark.createDataFrame(B2, SCHEMA)
+    derived = admit_batch(b2, corpus, threshold=0.5)
+    supplied = admit_batch(
+        b2, corpus, threshold=0.5,
+        corpus_posting=dedup._posting(corpus, "text"),
+    )
+    assert sorted(r.doc_id for r in supplied.collect()) == sorted(
+        r.doc_id for r in derived.collect()
+    )

@@ -46,6 +46,37 @@ def test_warc_truncated_gzip_member_is_poison_safe():
     assert [r["url"] for r in cut] == [r[0] for r in RECORDS[:2]]
 
 
+def test_warc_corrupt_gzip_member_is_poison_safe():
+    """A bad-CRC (non-truncated) member must not raise: records from
+    members already inflated are returned, the corrupt tail dropped."""
+    import gzip
+
+    good = gzip.compress(
+        build_warc(RECORDS[:1], member_gzip=False), 9, mtime=0
+    )
+    bad = bytearray(gzip.compress(b"x" * 64, 9, mtime=0))
+    bad[-2] ^= 0xFF  # corrupt the CRC trailer
+    cut = parse_warc(bytes(good) + bytes(bad))
+    assert [r["url"] for r in cut] == [RECORDS[0][0]]
+
+
+def test_warc_non_utf8_header_is_poison_safe():
+    """A latin-1 WARC-Target-URI (real Common Crawl carries these)
+    must parse with replacement, not raise inside the task."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nok"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://ex.com/caf\xe9\r\n"
+        b"Content-Type: application/http;msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    got = parse_warc(rec)
+    assert len(got) == 1 and got[0]["status"] == 200
+    assert got[0]["url"].startswith("http://ex.com/caf")
+
+
 def test_synth_warc_blob_matches_its_contract():
     recs = parse_warc(synth_warc_blob(12, "hello world"))
     assert len(recs) == 1 + 12 % 3
@@ -93,8 +124,10 @@ def test_crawl_corpus_matches_oracle(spark, sf_dir):
 
 
 def test_extract_links_and_outlink_edges(spark):
-    """href extraction handles both quote styles and ignores
-    non-href attributes; edges come out canonicalized."""
+    """href extraction handles both quote styles, uppercase HREF,
+    whitespace around =, and unquoted values (all common in real
+    crawled HTML) and ignores non-href attributes; edges come out
+    canonicalized."""
     from spotify_streaming_etl_pipeline_spark.llm.warc import outlink_edges
 
     rows = [
@@ -105,12 +138,21 @@ def test_extract_links_and_outlink_edges(spark):
             '<img src="http://not-a-link.example.com/z">',
         ),
         ("http://d.example.com/", "<p>no links here</p>"),
+        (
+            "http://e.example.com/",
+            '<A HREF="http://f.example.com/u">f</A>'
+            "<a href = 'http://g.example.com/v'>g</a>"
+            "<a href=http://h.example.com/w>h</a>",
+        ),
     ]
     pages = spark.createDataFrame(rows, "url: string, body: string")
     got = sorted((r["src"], r["dst"]) for r in outlink_edges(pages).collect())
     assert got == [
         ("http://a.example.com/p", "http://b.example.com/x"),
         ("http://a.example.com/p", "http://c.example.com/y"),
+        ("http://e.example.com", "http://f.example.com/u"),
+        ("http://e.example.com", "http://g.example.com/v"),
+        ("http://e.example.com", "http://h.example.com/w"),
     ]
 
 
