@@ -569,24 +569,52 @@ def kmeans_twolevel(
     fine_broadcast = k1 * k2 * ndim <= _FINE_BROADCAST_MAX_ROWS
     coarse = kmeans_lloyd(emb, k1, n_iter, vec_col, _dims_df=dims)
     dc = (
-        dims.join(coarse.withColumnRenamed("cell", "coarse"), "vec_id")
+        dims.join(coarse.withColumnRenamed("cell", "grp"), "vec_id")
         .persist()
     )
+    out = (
+        _grouped_lloyd(dc, k2, n_iter, fine_broadcast)
+        .select(
+            "vec_id",
+            (F.col("grp").cast("long") * k2 + F.col("sub")).alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dc.unpersist()
+    if owns_dims:
+        dims.unpersist()
+    return out
+
+
+def _grouped_lloyd(
+    dc: DataFrame, k: int, n_iter: int, broadcast_cents: bool
+) -> DataFrame:
+    """Lloyd's k-means run INDEPENDENTLY within each group of an
+    exploded (vec_id, grp, dim, x) table — the per-cell refinement
+    core shared by ``kmeans_twolevel`` and ``kmeans_multilevel``.
+    Init sub = vec_id % k within the group (hash-seeded, oracle-
+    replayable); every centroid/distance CTE is keyed on (grp, ...),
+    so each vector only ever meets its own group's k centroids —
+    the candidate join is O(rows x k), never O(rows x total_cells).
+    Same 4dp rounding and (d2, sub)-struct argmin as the flat core.
+    Returns (vec_id, grp, sub); ``broadcast_cents`` picks the
+    explicit-broadcast vs shuffle_hash join per the
+    ``_FINE_BROADCAST_MAX_ROWS`` bound."""
     cents = (
-        dc.withColumn("sub", (F.col("vec_id") % k2).cast("int"))
-        .groupBy("coarse", "sub", "dim")
+        dc.withColumn("sub", (F.col("vec_id") % k).cast("int"))
+        .groupBy("grp", "sub", "dim")
         .agg(F.round(F.avg("x"), 4).alias("c"))
     )
 
     def assign(cents_df: DataFrame) -> DataFrame:
         side = (
             F.broadcast(cents_df)
-            if fine_broadcast
+            if broadcast_cents
             else cents_df.hint("shuffle_hash")
         )
         d2 = (
-            dc.join(side, ["coarse", "dim"])
-            .groupBy("vec_id", "coarse", "sub")
+            dc.join(side, ["grp", "dim"])
+            .groupBy("vec_id", "grp", "sub")
             .agg(
                 F.round(
                     F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))),
@@ -595,32 +623,82 @@ def kmeans_twolevel(
             )
         )
         return (
-            d2.groupBy("vec_id", "coarse")
+            d2.groupBy("vec_id", "grp")
             .agg(F.min(F.struct("d2", "sub")).alias("best"))
-            .select("vec_id", "coarse", F.col("best.sub").alias("sub"))
+            .select("vec_id", "grp", F.col("best.sub").alias("sub"))
         )
 
     for _ in range(n_iter):
         cents = cents.localCheckpoint(eager=True)
         assigned = assign(cents)
         cents = (
-            dc.join(assigned, ["vec_id", "coarse"])
-            .groupBy("coarse", "sub", "dim")
+            dc.join(assigned, ["vec_id", "grp"])
+            .groupBy("grp", "sub", "dim")
             .agg(F.round(F.avg("x"), 4).alias("c"))
         )
     cents = cents.localCheckpoint(eager=True)
-    out = (
-        assign(cents)
-        .select(
-            "vec_id",
-            (F.col("coarse").cast("long") * k2 + F.col("sub")).alias("cell"),
-        )
-        .localCheckpoint(eager=True)
+    return assign(cents)
+
+
+def kmeans_multilevel(
+    emb: DataFrame,
+    ks: list[int] | None = None,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    target_cluster_size: int = 64,
+    levels: int = 3,
+) -> DataFrame:
+    """(vec_id, cell): the N-LEVEL generalization of
+    ``kmeans_twolevel`` — the recursion the two-level docstring
+    promises past its own boundary.  Level 1 is a flat Lloyd pass
+    with k_1 cells; every later level refines each existing cell
+    independently via ``_grouped_lloyd`` with k_i sub-clusters, all
+    candidate joins keyed on the accumulated group id.  Candidate
+    work is O(n * sum(k_i)) ~ levels * n * kt^(1/levels): at kt = 10⁹
+    clusters (the ~10⁹-vector corpus), three levels put ~1000
+    centroids per join side where two levels need ~32k and flat needs
+    the full 10⁹ — and the per-level centroid table is
+    prod(k_1..k_i) x ndim rows, so the broadcast-vs-shuffle_hash
+    switch inherits the same ``_FINE_BROADCAST_MAX_ROWS`` bound per
+    level.  ``ks`` gives explicit per-level branching (tests plant
+    coprime 2x3x5 hierarchies); None derives a balanced split of
+    auto-k (k_i ~ kt^(1/(levels-i)) of the remainder, product >= kt).
+    Composite ids fold left: cell = ((l1 * k2) + l2) * k3 + l3 ...
+    — ``kmeans_twolevel`` is exactly ``ks=[k1, k2]`` (unit-pinned)."""
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    ).persist()
+    n = dims.select("vec_id").distinct().count()
+    if ks is None:
+        rem = max(1, -(-n // target_cluster_size))
+        ks = []
+        for i in range(levels):
+            k_i = max(1, int(rem ** (1.0 / (levels - i)) + 0.9999))
+            ks.append(k_i)
+            rem = max(1, -(-rem // k_i))
+    ndim = max(1, dims.count() // max(1, n))
+    grp = kmeans_lloyd(emb, ks[0], n_iter, vec_col, _dims_df=dims).select(
+        "vec_id", F.col("cell").cast("long").alias("grp")
     )
-    dc.unpersist()
-    if owns_dims:
-        dims.unpersist()
-    return out
+    cells_so_far = ks[0]
+    for k in ks[1:]:
+        dc = dims.join(grp, "vec_id").persist()
+        broadcast_cents = (
+            cells_so_far * k * ndim <= _FINE_BROADCAST_MAX_ROWS
+        )
+        grp = (
+            _grouped_lloyd(dc, k, n_iter, broadcast_cents)
+            .select(
+                "vec_id",
+                (F.col("grp").cast("long") * k + F.col("sub")).alias("grp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dc.unpersist()
+        cells_so_far *= k
+    dims.unpersist()
+    return grp.withColumnRenamed("grp", "cell")
 
 
 def semantic_dedup(

@@ -157,6 +157,52 @@ def synth_warc_blob(doc_id: int, text: str) -> bytes:
     return build_warc(records, member_gzip=doc_id % 2 == 0)
 
 
+def synth_linked_warc_blob(doc_id: int, n_pages: int) -> bytes:
+    """Genuine WARC bytes for the WEB-GRAPH oracle corpus: page
+    ``doc_id`` is one 200/text-html record at
+    ``http://site.example.com/p/{doc_id}`` whose body hyperlinks page
+    (doc_id + 1) % n_pages (double-quoted href carrying a tracking
+    param the canonicalizer must strip) and — when doc_id % 3 == 0 —
+    page (doc_id + 7) % n_pages (unquoted href).  The graph is CLOSED
+    over the n_pages ids and every page has out-degree >= 1, the
+    ``pagerank_integer`` contract; every edge is an exact arithmetic
+    function of doc_id.  Member-gzip on even ids, as the record
+    corpus."""
+    url = f"http://site.example.com/p/{doc_id}"
+    anchors = (
+        f'<a href="http://site.example.com/p/{(doc_id + 1) % n_pages}'
+        f'?utm_source=x">n</a>'
+    )
+    if doc_id % 3 == 0:
+        anchors += (
+            f"<a href=http://site.example.com/p/{(doc_id + 7) % n_pages}>s</a>"
+        )
+    body = f"<html><body>{anchors}</body></html>".encode()
+    return build_warc(
+        [(url, 200, "text/html", body)], member_gzip=doc_id % 2 == 0
+    )
+
+
+def attach_linked_warc_blob(df: DataFrame, n_pages: int) -> DataFrame:
+    """(doc_id, blob): the hyperlinked-archive column for the
+    bytes-to-ranks gate — Arrow-batched like every blob stage."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        synth_linked_warc_blob(int(d), n_pages)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(_encode, "doc_id long, blob binary")
+
+
 def attach_warc_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, blob): the synthesized-archive column for the gate —
     Arrow-batched like every blob stage (zero row-wise Python UDFs is

@@ -12,6 +12,17 @@ sequences them and handles warehouse I/O (idempotent appends, delta
 cutoff). ``fetchers`` injects the API clients per entity type, so runs
 are fully testable offline; None skips enrichment (dims load only from
 already-staged envelopes, if any).
+
+A fetcher may be a plain callable or a ``"module:attr"`` string.  The
+string form unlocks the planned-source scale path: above
+``enrich_collect_max`` new URIs the runner stages the URI set as
+parquet and reads it back through the ``rest_enrichment`` DataSource
+(``uris_path`` option), so the fetch is a real scan — planned,
+UI-visible, partition-scheduled — and the URI set never materializes
+on the driver (the DataSource plans row-range partitions from parquet
+footers alone).  A plain callable above the threshold falls back to
+the ``mapInPandas`` wrapper (same distributed loop, opaque stage);
+below the threshold both forms use the reference-shaped driver loop.
 """
 
 from __future__ import annotations
@@ -86,7 +97,7 @@ def run(
     spark: SparkSession,
     raw_dir: str,
     warehouse_dir: str,
-    fetchers: dict[str, Callable[[list[str]], dict]] | None = None,
+    fetchers: dict[str, Callable[[list[str]], dict] | str] | None = None,
     write: bool = True,
     enrich_collect_max: int = 10_000,
     compact_facts: bool = False,
@@ -117,6 +128,29 @@ def run(
     envelopes: dict[str, DataFrame] = {}
     persisted_envelopes: list[DataFrame] = []
 
+    def enrich_datasource(entity: str, uris: DataFrame, fetch_path: str) -> DataFrame:
+        """The planned-source scale path: stage the URI set as parquet,
+        scan it back through the rest_enrichment DataSource.  The URI
+        set rides executor-to-executor (parquet write, footer-planned
+        row-range read) — no driver-side list at any size."""
+        from .sources.restsource import RestEnrichmentDataSource
+
+        spark.dataSource.register(RestEnrichmentDataSource)
+        staging = f"{warehouse_dir}/_staging/enrich_uris/{entity}"
+        uris.select("uri").write.mode("overwrite").parquet(staging)
+        return (
+            spark.read.format("rest_enrichment")
+            .option("uris_path", staging)
+            .option("entity", entity)
+            .option("fetch", fetch_path)
+            .load()
+            .select(
+                "uri",
+                F.coalesce(F.col("error_reason"), F.lit("ok")).alias("status"),
+                "raw_data",
+            )
+        )
+
     def enrich(entity: str, uris: DataFrame) -> DataFrame | None:
         fetch = fetchers.get(entity)
         if fetch is None:
@@ -124,15 +158,19 @@ def run(
         # Size-switch: the typical NEW-entity set (history minus
         # warehouse) is dim-sized and a driver-side collect is correct
         # (the reference materializes the same list, extractor.py:250).
-        # Past ``enrich_collect_max`` the batch loop moves into
-        # mapInPandas on executors, and only the (rare) dead letters
-        # ever reach the driver.
+        # Past ``enrich_collect_max`` the fetch moves onto executors:
+        # the planned DataSource scan when the fetcher is importable
+        # ("module:attr"), else the mapInPandas wrapper — either way
+        # only the (rare) dead letters ever reach the driver.
         # uris is persisted so the anti-join plan behind it evaluates
         # once, not once for count() and again for the consumer below.
         uris = uris.persist()
         try:
             if uris.count() > enrich_collect_max:
-                enriched = enrich_partitions(uris, fetch, entity).persist()
+                if isinstance(fetch, str):
+                    enriched = enrich_datasource(entity, uris, fetch).persist()
+                else:
+                    enriched = enrich_partitions(uris, fetch, entity).persist()
                 persisted_envelopes.append(enriched)
                 # The dead-letter collect materializes (and caches)
                 # every partition of enriched — after it, the ok-split
@@ -147,6 +185,10 @@ def run(
             uri_list = sorted(r["uri"] for r in uris.collect())
         finally:
             uris.unpersist()
+        if isinstance(fetch, str):
+            from .sources.restsource import _resolve_fetch
+
+            fetch = _resolve_fetch(fetch)
         result = fetch_in_batches(uri_list, fetch, entity)
         out.dead_letters.extend(result.failures)
         return spark.createDataFrame(

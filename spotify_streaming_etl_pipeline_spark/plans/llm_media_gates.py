@@ -479,6 +479,76 @@ def _outlink_oracle_sql() -> str:
     """
 
 
+#: Node count of the synthesized web graph — pages 0..199 exist at
+#: every SF (documents always has >= 500 contiguous doc_ids), so the
+#: (i+1) % 200 / (i+7) % 200 link structure is CLOSED and every node
+#: has out-degree >= 1 (the pagerank_integer contract).
+_WEB_N = 200
+_PR_SCALE = 1_000_000_000_000
+
+
+def _webgraph_oracle_sql(iters: int = 3) -> str:
+    """Unrolled bytes-to-ranks oracle: the edge table is predicted
+    arithmetically from the synthesized link structure
+    (llm/warc.py:synth_linked_warc_blob), then the SAME integer
+    PageRank unroll discipline as ``copurchase_pagerank``
+    (plans/quality.py:_pagerank_oracle_sql) replays every iteration —
+    1e-12 integer units, floor-divided contribution split, integer
+    0.85 damping — keyed on canonical URL strings.  The full 200-row
+    rank table is hashed (no top-N, no ordering subtleties)."""
+    sql = f"""WITH pages AS (SELECT doc_id FROM documents WHERE doc_id < {_WEB_N}),
+e0 AS (
+  SELECT doc_id AS s, (doc_id + 1) % {_WEB_N} AS t FROM pages
+  UNION ALL
+  SELECT doc_id, (doc_id + 7) % {_WEB_N} FROM pages WHERE doc_id % 3 = 0),
+ed AS MATERIALIZED (
+  SELECT 'http://site.example.com/p/' || s AS u,
+         'http://site.example.com/p/' || t AS v FROM e0),
+deg AS MATERIALIZED (SELECT u, count(*)::BIGINT AS d FROM ed GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+r0 AS MATERIALIZED (
+  SELECT deg.u, ({_PR_SCALE} // nn.n)::BIGINT AS rk FROM deg, nn)"""
+    for i in range(iters):
+        sql += f""",
+r{i + 1} AS MATERIALIZED (
+  SELECT ed.v AS u,
+         ((15 * {_PR_SCALE}) // (100 * nn.n)
+          + (85 * sum(r.rk // d.d)) // 100)::BIGINT AS rk
+  FROM ed JOIN r{i} r ON r.u = ed.u JOIN deg d ON d.u = ed.u, nn
+  GROUP BY ed.v, nn.n)"""
+    sql += f"""
+SELECT u AS url, rk AS rank_e12 FROM r{iters}"""
+    return sql
+
+
+@query("webgraph_ranks", _webgraph_oracle_sql(3))
+def webgraph_ranks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole web-graph composition, BYTES TO RANKS, under one
+    hash: synthesize genuine hyperlinked WARC archives -> Arrow-
+    batched record parse -> codegen href extraction + URL
+    canonicalization (outlink_edges) -> 3 iterations of the integer
+    PageRank core (plans/quality.py:pagerank_integer).  A regression
+    anywhere — framing, gzip members, the href regexes, the tracking-
+    param strip, degree counting, the damping arithmetic — moves some
+    of the 200 rank values."""
+    from ..llm.warc import (
+        attach_linked_warc_blob,
+        outlink_edges,
+        warc_record_table,
+    )
+    from .quality import pagerank_integer
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _WEB_N)
+    recs = warc_record_table(attach_linked_warc_blob(d, _WEB_N)).filter(
+        (F.col("status") == 200) & (F.col("content_type") == "text/html")
+    )
+    edges = outlink_edges(recs).selectExpr("src AS u", "dst AS v")
+    ranks = pagerank_integer(edges.localCheckpoint(eager=True), 3)
+    return ranks.select(
+        F.col("u").alias("url"), F.col("rk").alias("rank_e12")
+    )
+
+
 @query("outlink_edges", _outlink_oracle_sql())
 def outlink_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst) web-graph edge table from crawled pages: anchors are

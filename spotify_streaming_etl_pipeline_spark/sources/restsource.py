@@ -12,7 +12,14 @@ dead-letter fetch loop (`fetch_in_batches`) as a planned SOURCE:
   middle of a plan);
 - successes and dead letters come back in ONE frame
   (``error_reason IS NULL`` splits them), so the caller lands both
-  sides with ordinary filters instead of wiring two code paths.
+  sides with ordinary filters instead of wiring two code paths;
+- the URI feed can ride an option two ways: ``uris`` (inline JSON
+  list — fine for dim-sized sets, but the list materializes on the
+  driver) or ``uris_path`` (a parquet file/dir with a ``uri`` column
+  — the SCALE form: the driver reads only parquet FOOTER metadata to
+  plan row-range partitions, and each executor reads its own slice
+  with pyarrow, so an arbitrarily large URI set never exists as a
+  driver-side Python object).
 
 The ``fetch`` callable must be importable on executors, so it is
 passed as a ``"module:attr"`` string option (options are strings by
@@ -47,6 +54,15 @@ class UriChunk(InputPartition):
         self.uris = uris
 
 
+class UriFileChunk(InputPartition):
+    """A row-range of one parquet row group: (path, row_group, lo, n).
+    Planned from footer metadata only; the rows themselves are read
+    executor-side."""
+
+    def __init__(self, path: str, row_group: int, lo: int, n: int):
+        self.path, self.row_group, self.lo, self.n = path, row_group, lo, n
+
+
 def _resolve_fetch(path: str):
     mod_name, attr = path.split(":")
     obj = getattr(importlib.import_module(mod_name), attr)
@@ -57,24 +73,70 @@ def _resolve_fetch(path: str):
 
 class RestEnrichmentReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.uris = json.loads(options["uris"])
+        self.uris = (
+            json.loads(options["uris"]) if "uris" in options else None
+        )
+        self.uris_path = options.get("uris_path")
+        if self.uris is None and self.uris_path is None:
+            raise ValueError("rest_enrichment needs 'uris' or 'uris_path'")
+        self.uri_col = options.get("uri_col", "uri")
         self.entity = options.get("entity", "artists")
         self.fetch_path = options["fetch"]
         self.per_partition = int(options.get("uris_per_partition", "200"))
         self.batch_size = int(options.get("batch_size", str(BATCH_SIZE)))
         self.retry_limit = int(options.get("retry_limit", "2"))
 
-    def partitions(self) -> list[UriChunk]:
+    def _file_partitions(self) -> list[UriFileChunk]:
+        """Row-range chunks of ≤ ``uris_per_partition`` URIs each,
+        planned from parquet footers alone — the driver never holds
+        the URI values."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(self.uris_path):
+            files = sorted(
+                glob.glob(os.path.join(self.uris_path, "*.parquet"))
+            )
+        else:
+            files = [self.uris_path]
+        step = max(1, self.per_partition)
+        parts: list[UriFileChunk] = []
+        for f in files:
+            meta = pq.ParquetFile(f).metadata
+            for g in range(meta.num_row_groups):
+                n_rows = meta.row_group(g).num_rows
+                for lo in range(0, n_rows, step):
+                    parts.append(
+                        UriFileChunk(f, g, lo, min(step, n_rows - lo))
+                    )
+        return parts
+
+    def partitions(self) -> list[InputPartition]:
+        if self.uris_path is not None:
+            return self._file_partitions() or [UriChunk([])]
         step = max(1, self.per_partition)
         return [
             UriChunk(self.uris[i : i + step])
             for i in range(0, len(self.uris), step)
         ] or [UriChunk([])]
 
-    def read(self, partition: UriChunk) -> Iterator[tuple]:
+    def _partition_uris(self, partition: InputPartition) -> list[str]:
+        if isinstance(partition, UriFileChunk):
+            import pyarrow.parquet as pq
+
+            tbl = pq.ParquetFile(partition.path).read_row_group(
+                partition.row_group, columns=[self.uri_col]
+            )
+            col = tbl.column(0).slice(partition.lo, partition.n).to_pylist()
+            return sorted({u for u in col if u is not None})
+        return partition.uris
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
         fetch = _resolve_fetch(self.fetch_path)
         result = fetch_in_batches(
-            partition.uris,
+            self._partition_uris(partition),
             fetch,
             self.entity,
             batch_size=self.batch_size,

@@ -43,7 +43,10 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
                      "mp3_stream_summary", "resized_image_features",
                      "bmp_image_features", "png_image_features",
                      "gif_image_features", "jpeg_image_features",
-                     "video_frame_summary", "mkv_frame_summary"}
+                     "video_frame_summary", "mkv_frame_summary",
+                     # WARC blob synth + parse are the per-blob codec
+                     # path — Arrow-batched by design, like the codecs
+                     "warc_records", "crawl_corpus", "webgraph_ranks"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
@@ -220,6 +223,50 @@ def test_cube_is_single_expand_single_shuffle(spark, sf_dir, queries):
     plan = _plan(queries["corpus_stats_cube"](spark, sf_dir))
     assert plan.count("Expand") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_outlink_edges_is_narrow(spark, sf_dir, queries):
+    """Edge extraction is projection + explode over the page scan —
+    no semantic shuffle, no join, no Python anywhere (pure codegen
+    regex; the loader's round-robin scan fan-out is allowed)."""
+    plan = _plan(queries["outlink_edges"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_corpus_has_no_shuffle(spark, sf_dir, queries):
+    """The crawl first mile is narrow end to end: blob synth + parse
+    (Arrow batches) then filters/projections only — one scan of the
+    blob column, no semantic shuffle (hash/range) anywhere."""
+    plan = _plan(queries["crawl_corpus"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_grouped_lloyd_join_strategy_switch(spark):
+    """The hierarchical-k-means refinement core: below the centroid
+    bound the candidate join must broadcast (dims un-shuffled); above
+    it the shuffle_hash hint must produce a ShuffledHashJoin, never a
+    SortMergeJoin — the documented 10M-centroid memory-boundary fix."""
+    from pyspark.sql import functions as F
+
+    from spotify_streaming_etl_pipeline_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)] + [0.0] * 6) for i in range(40)],
+        "vec_id: long, embedding: array<float>",
+    )
+    dc = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).withColumn("grp", F.lit(0))
+    bc = _plan(similarity._grouped_lloyd(dc, 2, 1, broadcast_cents=True))
+    assert "BroadcastHashJoin" in bc
+    sh = _plan(similarity._grouped_lloyd(dc, 2, 1, broadcast_cents=False))
+    assert "ShuffledHashJoin" in sh
+    assert "SortMergeJoin" not in sh
 
 
 def test_corpus_diff_shuffles_hashes_not_text(spark, sf_dir, queries):

@@ -71,6 +71,41 @@ def test_rest_source_resolves_fetch_factories(spark):
     assert df.filter(F.col("error_reason").isNull()).count() == 2
 
 
+def test_rest_source_reads_uris_from_parquet_path(spark, tmp_path):
+    """uris_path: the URI feed rides parquet, partitions are planned
+    from footer metadata (row ranges of <= uris_per_partition), and
+    the scan output matches the inline-option form exactly — the
+    no-driver-side-list scale path."""
+    uris = [f"uri:{i}" for i in range(6)] + ["uri:99"]
+    staged = str(tmp_path / "uris")
+    spark.createDataFrame([(u,) for u in uris], "uri string").coalesce(
+        1
+    ).write.parquet(staged)
+    spark.dataSource.register(RestEnrichmentDataSource)
+    df = (
+        spark.read.format("rest_enrichment")
+        .option("uris_path", staged)
+        .option("entity", "artists")
+        .option("fetch", "tests.test_restsource:fake_fetch")
+        .option("uris_per_partition", "3")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(7/3) row-range chunks
+    rows = {r.uri: r for r in df.collect()}
+    inline = {
+        r.uri: r
+        for r in _read(
+            spark, uris, "tests.test_restsource:fake_fetch"
+        ).collect()
+    }
+    assert set(rows) == set(inline) == set(uris)
+    for u in uris:
+        assert (rows[u].raw_data, rows[u].error_reason) == (
+            inline[u].raw_data,
+            inline[u].error_reason,
+        )
+
+
 def test_rest_source_streams_the_feed_incrementally(spark, tmp_path):
     """readStream on the REST source drains the URI feed across
     microbatches (offset = feed index) and lands both successes and

@@ -427,6 +427,49 @@ def test_kmeans_twolevel_recovers_planted_hierarchy(spark):
     assert again == got
 
 
+def test_kmeans_multilevel_recovers_planted_hierarchy(spark):
+    """30 planted clusters = 2 x 3 x 5 (pairwise-coprime levels, so by
+    CRT the level inits vec_id % 2 / % 3 / % 5 each start on their
+    planted axis group): three-level Lloyd with ks=[2, 3, 5] must keep
+    every planted cluster on one uniform, distinct composite label,
+    deterministically — the recursion past two levels, proven."""
+    rows = []
+    for c in range(30):
+        x, y, z = 100.0 * (c % 2), 20.0 * (c % 3), 4.0 * (c % 5)
+        for i in range(8):
+            vec = [x + (i % 3) * 0.01, y + (i % 2) * 0.01, z] + [0.0] * 61
+            rows.append((c + 30 * i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    asg = similarity.kmeans_multilevel(emb, ks=[2, 3, 5], n_iter=2)
+    got = {r["vec_id"]: r["cell"] for r in asg.collect()}
+    assert len(got) == 240
+    labels = [{got[c + 30 * i] for i in range(8)} for c in range(30)]
+    assert all(len(s) == 1 for s in labels), labels
+    assert len(set.union(*labels)) == 30
+    again = {r["vec_id"]: r["cell"] for r in
+             similarity.kmeans_multilevel(emb, ks=[2, 3, 5], n_iter=2).collect()}
+    assert again == got
+
+
+def test_kmeans_multilevel_with_two_levels_matches_twolevel(spark):
+    """kmeans_multilevel(ks=[k1, k2]) must be row-identical to
+    kmeans_twolevel at the same branching — the generalization
+    contains the certified two-level operator as its depth-2 case."""
+    rows = []
+    for c in range(6):
+        x, y = 20.0 * (c % 3) - 20.0, 8.0 * (c % 2)
+        for i in range(20):
+            vec = [x + (i % 5) * 0.01, y + (i % 3) * 0.01] + [0.0] * 62
+            rows.append((c + 6 * i, [float(v) for v in vec]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    # twolevel auto-derives kt=ceil(120/20)=6 -> k1=3, k2=2
+    two = similarity.kmeans_twolevel(emb, n_iter=2, target_cluster_size=20)
+    multi = similarity.kmeans_multilevel(emb, ks=[3, 2], n_iter=2)
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, two.collect())
+    )
+
+
 def test_semantic_dedup_consumes_twolevel_assignments(spark):
     """semantic_dedup(assignments=...) must skip its own clustering
     and apply the min-id drop rule within the supplied cells: an exact

@@ -134,6 +134,76 @@ def test_pipeline_size_switch_distributed_enrichment(spark, raw_dir, tmp_path):
         assert x_rows == d_rows, f"dim_{entity} differs across enrichment paths"
 
 
+# Module-level fetchers (importable on executors) for the planned
+# DataSource enrichment path — same payloads as _fake_fetchers.
+def ds_tracks(batch):
+    return {
+        "tracks": [
+            json.loads(track_envelope(uri)[1]) | {"uri": uri} for uri in batch
+        ]
+    }
+
+
+def ds_artists(batch):
+    return {
+        "artists": [
+            {"uri": u, "name": f"Artist {u[-1]}", "images": [{"url": "http://a"}]}
+            for u in batch
+        ]
+    }
+
+
+def ds_episodes(batch):
+    return {
+        "episodes": [
+            json.loads(episode_envelope(uri)[1]) | {"uri": uri} for uri in batch
+        ]
+    }
+
+
+def ds_podcasts(batch):
+    return {
+        "shows": [
+            {"uri": u, "name": "Test Show", "description": "d", "images": []}
+            for u in batch
+        ]
+    }
+
+
+def test_pipeline_datasource_enrichment_path(spark, raw_dir, tmp_path):
+    """String ("module:attr") fetchers + enrich_collect_max=0 force
+    every URI set through the planned rest_enrichment DataSource scan
+    (URI staging parquet -> footer-planned row ranges); the warehouse
+    must come out identical to the driver-collect path, and the same
+    string fetchers below the threshold must resolve for the driver
+    loop."""
+    path_fetchers = {
+        e: f"tests.test_streaming_pipeline:ds_{e}s"
+        for e in ("track", "artist", "episode", "podcast")
+    }
+    wh_driver = str(tmp_path / "wh_driver")
+    wh_ds = str(tmp_path / "wh_ds")
+    res_driver = pipeline.run(
+        spark, str(raw_dir), wh_driver, fetchers=_fake_fetchers()
+    )
+    res_ds = pipeline.run(
+        spark, str(raw_dir), wh_ds, fetchers=path_fetchers,
+        enrich_collect_max=0,
+    )
+    assert res_ds.dead_letters == []
+    assert res_ds.n_fact_rows == res_driver.n_fact_rows
+    for entity in ("track", "artist", "episode", "podcast", "reason"):
+        d_rows = sorted(map(tuple, res_driver.dims[entity].collect()))
+        x_rows = sorted(map(tuple, res_ds.dims[entity].collect()))
+        assert x_rows == d_rows, f"dim_{entity} differs on the DataSource path"
+    # string fetchers resolve on the small-set driver loop too
+    wh_small = str(tmp_path / "wh_small")
+    res_small = pipeline.run(
+        spark, str(raw_dir), wh_small, fetchers=path_fetchers
+    )
+    assert res_small.n_fact_rows == res_driver.n_fact_rows
+
+
 def test_streaming_ingest_one_microbatch(spark, raw_dir, tmp_path):
     wh = tmp_path / "stream_wh"
     dims = pipeline.run(
