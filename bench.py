@@ -105,6 +105,15 @@ def main() -> None:
         finally:
             try:
                 spark.catalog.clearCache()
+                # localCheckpoint blocks (the iterative operators:
+                # k-means, pagerank, BPE) are pinned until the driver
+                # GC lets ContextCleaner release them — clearCache
+                # does NOT touch them. A GC nudge between queries
+                # stops checkpoint blocks from one query inflating the
+                # variance of the next (observed: near_dup_clusters
+                # run samples [9.96, 16.98, 4.66] in-suite vs 3.16
+                # standalone after the clustering family grew).
+                spark.sparkContext._jvm.System.gc()
             except Exception:
                 pass
 

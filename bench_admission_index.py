@@ -11,10 +11,15 @@ whole corpus inside ``_decide`` (the pre-r9 sink behavior); the INDEX
 form reads the posting parquet — the per-batch cost drops from
 corpus-proportional to batch-proportional + index scan.
 
+``CORPUS_MULT`` grows the corpus by unioning shifted-id copies (texts
+made distinct with a copy-tag token) — the steady-state shape where
+the corpus dwarfs the batch and the derived form's re-shingle term
+dominates.
+
 Prints ONE JSON line: median seconds per form over ``N_RUNS`` runs.
 
 Usage: python bench_admission_index.py   [env: SPARK_GRAFT_SF_DIR,
-SPARK_GRAFT_CPUS]
+SPARK_GRAFT_CPUS, CORPUS_MULT]
 """
 
 from __future__ import annotations
@@ -51,11 +56,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    mult = int(os.environ.get("CORPUS_MULT", "1"))
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
     batch = docs.filter(F.col("doc_id") % 5 == 0)
-    corpus_df = docs.filter(F.col("doc_id") % 5 != 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    corpus_df = base
+    for m in range(1, mult):
+        corpus_df = corpus_df.unionByName(
+            base.select(
+                (F.col("doc_id") + m * 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" copytag{m}")).alias("text"),
+            )
+        )
 
     tmp = tempfile.mkdtemp(prefix="admission_bench_")
     corpus_path = os.path.join(tmp, "corpus")

@@ -509,6 +509,106 @@ def _leakage_safe_split_sql() -> str:
     """
 
 
+@query(
+    "quality_classifier_scores",
+    f"""
+    WITH w AS (
+        SELECT b::BIGINT AS bucket, ((b % 1001) - 500)::BIGINT AS wt_m
+        FROM range(4096) t(b)
+    ),
+    tk AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          t -> t != '')) AS word
+        FROM documents
+    ),
+    h AS (SELECT doc_id, ({_H48.format(x='word')}) % 4096 AS bucket FROM tk),
+    s AS (
+        SELECT h.doc_id, count(*)::BIGINT AS n_tokens,
+               round(10.0 * sum(w.wt_m) / count(*), 0)::BIGINT / 10000.0
+                   AS logit
+        FROM h JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(s.logit, 0.0) AS logit,
+           coalesce(s.logit, 0.0) > 0 AS label
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """,
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear classifier INFERENCE over the full
+    corpus (llm/classify.py:hashed_linear_scores) — the GPT-3/LLaMA-
+    lineage quality-filter pass, as one narrow pass + broadcast join +
+    map-side mean.  The gate synthesizes a deterministic 4096-bucket
+    weight table (integer milli-weights (b % 1001) - 500) on BOTH
+    engines, so every logit is a pure function of the md5 token hashes
+    — exact integer sums, one double division — and the full per-doc
+    score table is hashed (token-less docs score the bias)."""
+    from ..llm.classify import hashed_linear_scores
+
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") % 1001) - 500).cast("long").alias("wt_m"),
+    )
+    return hashed_linear_scores(
+        _docs(spark, sf_dir), weights, bias=0.0, n_buckets=4096
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(text, ' '),
+                                  t -> t != '')) AS word
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, source, ({_H48.format(x='word')}) % 4096 AS bucket
+        FROM tk
+    ),
+    ct AS (SELECT bucket, count(*)::BIGINT AS n FROM h
+           WHERE source = 'src0' GROUP BY 1),
+    cs AS (SELECT bucket, count(*)::BIGINT AS n FROM h GROUP BY 1),
+    nt AS (SELECT count(*)::DOUBLE AS n FROM h WHERE source = 'src0'),
+    ns AS (SELECT count(*)::DOUBLE AS n FROM h),
+    r AS (
+        SELECT b.b::BIGINT AS bucket,
+               round((ln((coalesce(ct.n, 0) + 1.0) / (nt.n + 4096))
+                      - ln((coalesce(cs.n, 0) + 1.0) / (ns.n + 4096)))
+                     * 10000.0, 0)::BIGINT AS lr_e4
+        FROM range(4096) b(b)
+        LEFT JOIN ct ON ct.bucket = b.b
+        LEFT JOIN cs ON cs.bucket = b.b, nt, ns
+    ),
+    s AS (
+        SELECT h.doc_id, count(*)::BIGINT AS n_tokens,
+               round(sum(r.lr_e4) / 10000.0, 4) AS log_weight
+        FROM h JOIN r USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(s.log_weight, 0.0) AS log_weight
+    FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """,
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (llm/classify.py:dsir_log_weights,
+    arXiv:2302.03169): per-doc sum of add-1-smoothed hashed-unigram
+    log-ratios between a TARGET corpus (source = 'src0' — the
+    "domain I want more of") and the raw corpus.  Per-bucket ratios
+    quantize to integer 1e-4 units (one ln difference each, the
+    bigram_pmi single-ln discipline), so the doc sum is exact integer
+    arithmetic on both engines; the full per-doc weight table is
+    hashed."""
+    from ..llm.classify import dsir_bucket_log_ratios, dsir_log_weights
+
+    d = _docs(spark, sf_dir)
+    ratios = dsir_bucket_log_ratios(
+        d, d.filter(F.col("source") == "src0"), n_buckets=4096
+    )
+    return dsir_log_weights(d, ratios, n_buckets=4096)
+
+
 @query("cluster_aware_split", _leakage_safe_split_sql())
 def cluster_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (llm/curation.py:
