@@ -770,6 +770,93 @@ def _semantic_twolevel_oracle_sql(threshold: float = 0.45) -> str:
     """
 
 
+def _online_kmeans_oracle_sql(k: int = 8, n_batches: int = 3) -> str:
+    """Unrolled ONLINE-k-means oracle (streaming/embeddings.py:
+    _ingest_batch replayed over ``n_batches`` arrival waves split by
+    vec_id % n_batches): wave 0 seeds cells with the shared hash init
+    (cell = vec_id % k, 4dp per-dim means, member counts); every later
+    wave is one nearest-centroid assignment against the CURRENT state
+    (4dp distances, cell tie-break) followed by the count-weighted
+    running-mean update round((c*n + sum x)/(n + m), 4), untouched
+    cells carried verbatim.  Three waves put the weighted-update
+    arithmetic itself inside the hash (wave 2 assigns against
+    wave-1-updated centroids)."""
+    parts = [
+        """dims AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    )""",
+    ]
+    for b in range(n_batches):
+        parts.append(
+            f"d{b} AS (SELECT * FROM dims WHERE vec_id % {n_batches} = {b})"
+        )
+    parts.append(f"""s0 AS (
+        SELECT cast(vec_id % {k} AS INT) AS cell, dim,
+               round(avg(x), 4) AS c, count(*)::BIGINT AS n
+        FROM d0 GROUP BY 1, 2
+    )""")
+    parts.append(
+        f"a0 AS (SELECT DISTINCT vec_id, cast(vec_id % {k} AS INT) AS cell"
+        " FROM d0)"
+    )
+    for b in range(1, n_batches):
+        parts.append(f"""dd{b} AS (
+        SELECT d.vec_id, s.cell,
+               round(sum((d.x - s.c) * (d.x - s.c)), 4) AS d2
+        FROM d{b} d JOIN s{b - 1} s ON d.dim = s.dim
+        GROUP BY 1, 2
+    )""")
+        parts.append(f"""a{b} AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell) AS rn
+            FROM dd{b}
+        ) WHERE rn = 1
+    )""")
+        if b < n_batches - 1:
+            parts.append(f"""up{b} AS (
+        SELECT a.cell, d.dim, sum(d.x) AS s, count(*)::BIGINT AS m
+        FROM d{b} d JOIN a{b} a ON a.vec_id = d.vec_id
+        GROUP BY 1, 2
+    )""")
+            parts.append(f"""s{b} AS (
+        SELECT p.cell, p.dim,
+               CASE WHEN u.m IS NOT NULL
+                    THEN round((p.c * p.n + u.s) / (p.n + u.m), 4)
+                    ELSE p.c END AS c,
+               (p.n + coalesce(u.m, 0))::BIGINT AS n
+        FROM s{b - 1} p LEFT JOIN up{b} u
+          ON u.cell = p.cell AND u.dim = p.dim
+    )""")
+    ctes = ",\n    ".join(parts)
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, cast({b} AS INT) AS batch, cell FROM a{b}"
+        for b in range(n_batches)
+    )
+    return f"""
+    WITH {ctes}
+    {selects}
+    """
+
+
+@query("online_kmeans_assignments", _online_kmeans_oracle_sql(8, 3))
+def online_kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online/mini-batch k-means over a vector STREAM — the live-IVF-
+    index maintenance path (streaming/embeddings.py): seed on wave 0,
+    then per wave route vectors to their nearest current centroid and
+    nudge the centroids by the count-weighted running mean, with
+    assignments FROZEN at arrival time.  Oracle-gated on the exact
+    ``_ingest_batch`` path the streaming sink executes, replayed over
+    3 arrival waves (vec_id % 3) so the weighted-update arithmetic is
+    itself inside the hash — the full (vec_id, batch, cell) decision
+    table is compared."""
+    from ..streaming.embeddings import online_kmeans_decisions
+
+    return online_kmeans_decisions(_emb(spark, sf_dir), k=8, n_batches=3)
+
+
 @query("kmeans_twolevel", _twolevel_oracle_sql(2))
 def kmeans_twolevel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style two-level k-means (llm/similarity.py:kmeans_twolevel)
