@@ -1,0 +1,100 @@
+"""End-to-end corpus build (llm/corpus.py): archive bytes in,
+deduped + quality-filtered + leakage-safely-split corpus out."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_streaming_etl_pipeline_spark.llm.corpus import build_training_corpus
+from spotify_streaming_etl_pipeline_spark.llm.warc import build_warc
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seventeen sleepy"
+    " cats watch quietly from the old wooden fence near the river bank"
+)
+LONG_B = (
+    "completely different words appear in this sentence because the"
+    " narrator switched topics to submarine maintenance schedules and"
+    " galley inventory rotations for the long voyage south"
+)
+
+
+def _page(url, text):
+    body = f"<html><body><p>{text}</p></body></html>".encode()
+    return (url, 200, "text/html", body)
+
+
+def test_build_training_corpus_end_to_end(spark):
+    recs = {
+        # blob 0: a good page, a verbatim mirror of it at another URL
+        # (exact dedup), and the SAME canonical URL twice (url dedup)
+        0: [
+            _page("http://a.example.com/x?utm_source=t", LONG_A),
+            _page("http://mirror.example.com/x", LONG_A),
+            _page("http://a.example.com/x", LONG_A),
+        ],
+        # blob 1: a near-dup of the good page (one word changed) and a
+        # distinct good page
+        1: [
+            _page("http://b.example.com/y", LONG_A.replace("dog", "hen")),
+            _page("http://c.example.com/z", LONG_B),
+        ],
+        # blob 2: junk (symbol soup -> low quality score) and a 404
+        2: [
+            _page("http://d.example.com/junk", "@#$% ^&*() {}[] <><> ~~!!"),
+            ("http://e.example.com/gone", 404, "text/plain", b"not found"),
+        ],
+    }
+    blobs = spark.createDataFrame(
+        [(i, bytearray(build_warc(r, member_gzip=i % 2 == 0)))
+         for i, r in recs.items()],
+        "doc_id long, blob binary",
+    )
+    out = build_training_corpus(
+        blobs, jaccard_threshold=0.5, quality_quantile=0.4
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    # survivors: ONE copy of LONG_A (min page id = blob0/rec0, its
+    # canonical URL with the tracking param stripped) and LONG_B; the
+    # mirror, the url-dup, the near-dup, the junk, and the 404 are gone
+    assert set(rows) == {"http://a.example.com/x", "http://c.example.com/z"}
+    a = rows["http://a.example.com/x"]
+    assert a["doc_id"] == 0  # blob 0 * 4 + rec 0
+    assert a["lang"] == "en"
+    assert a["quality_score"] is not None
+    assert {r["split"] for r in rows.values()} <= {"train", "val", "test"}
+    # deterministic rebuild
+    again = {r["url"]: r for r in build_training_corpus(
+        blobs, jaccard_threshold=0.5, quality_quantile=0.4
+    ).collect()}
+    assert {u: (r["doc_id"], r["split"]) for u, r in rows.items()} == {
+        u: (r["doc_id"], r["split"]) for u, r in again.items()
+    }
+
+
+def test_build_training_corpus_split_follows_cluster(spark):
+    """A kept page's split bucket must be keyed on its near-dup
+    CLUSTER id (the min page id of the group), not its own id — the
+    leakage guard property, asserted against dataset_split on the
+    group key directly."""
+    from spotify_streaming_etl_pipeline_spark.llm.curation import dataset_split
+
+    recs = {
+        7: [_page("http://a.example.com/1", LONG_A)],
+        9: [_page("http://b.example.com/2", LONG_A.replace("dog", "hen"))],
+    }
+    blobs = spark.createDataFrame(
+        [(i, bytearray(build_warc(r, member_gzip=False)))
+         for i, r in recs.items()],
+        "doc_id long, blob binary",
+    )
+    out = build_training_corpus(
+        blobs, jaccard_threshold=0.5, quality_quantile=0.0
+    ).collect()
+    # near-dups: only the min page id (7*4=28) survives, and its split
+    # is the one its GROUP id (28) hashes to
+    assert [r["doc_id"] for r in out] == [28]
+    want = dataset_split(
+        spark.createDataFrame([(28,)], "doc_id long")
+    ).collect()[0]["split"]
+    assert out[0]["split"] == want
