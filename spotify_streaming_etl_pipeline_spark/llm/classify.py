@@ -60,12 +60,16 @@ def hashed_linear_scores(
 
     The mean (not sum) matches fastText's bag-of-features averaging —
     scores are length-invariant, so a long document cannot saturate
-    the filter by repetition alone.  Scale shape: one corpus pass
-    (explode + broadcast join), one map-side-combined per-doc
-    aggregate; the corpus never shuffles on anything but doc_id."""
+    the filter by repetition alone.  A SPARSE weight table is fine:
+    tokens hashing to uncovered buckets carry weight 0 but STAY in
+    the denominator (fastText's unseen-feature rule) — hence the left
+    join, not an inner join that would silently drop them from
+    n_tokens too.  Scale shape: one corpus pass (explode + broadcast
+    join), one map-side-combined per-doc aggregate; the corpus never
+    shuffles on anything but doc_id."""
     per_tok = _doc_buckets(df, n_buckets, text_col).join(
-        F.broadcast(weights.select("bucket", "wt_m")), "bucket"
-    )
+        F.broadcast(weights.select("bucket", "wt_m")), "bucket", "left"
+    ).withColumn("wt_m", F.coalesce("wt_m", F.lit(0)))
     # Rounding happens in integer 1e-4 units: the mean's 1e-4 value is
     # 104 * s / (scale * n); when that quotient is a true decimal tie
     # it is k.5 EXACTLY (a power-of-two fraction, bit-identical on
@@ -121,23 +125,33 @@ def dsir_bucket_log_ratios(
         )
 
     spark = source.sparkSession
-    ct, cs = counts(target), counts(source)
-    nt = target.select(F.explode(tokens(F.col(text_col)))).count()
-    ns = source.select(F.explode(tokens(F.col(text_col)))).count()
+    # One tokenize pass per corpus: the totals are the SUMS of the
+    # bucket counts already computed (persisted so the sum action and
+    # the ratio join share one execution), never a second explode.
+    ct = counts(target).persist()
+    cs = counts(source).persist()
+    nt = int(ct.agg(F.sum("n")).collect()[0][0] or 0)
+    ns = int(cs.agg(F.sum("n")).collect()[0][0] or 0)
     buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     lr = F.log(
         (F.coalesce("ct", F.lit(0)) + 1.0) / F.lit(float(nt + n_buckets))
     ) - F.log(
         (F.coalesce("cs", F.lit(0)) + 1.0) / F.lit(float(ns + n_buckets))
     )
-    return (
+    out = (
         buckets.join(ct.withColumnRenamed("n", "ct"), "bucket", "left")
         .join(cs.withColumnRenamed("n", "cs"), "bucket", "left")
         .select(
             "bucket",
             F.round(lr * 10000.0, 0).cast("long").alias("lr_e4"),
         )
+        # model-sized (n_buckets rows): materialize, then release the
+        # corpus-count persists so nothing leaks past the model build
+        .localCheckpoint(eager=True)
     )
+    ct.unpersist()
+    cs.unpersist()
+    return out
 
 
 def dsir_log_weights(
@@ -155,10 +169,13 @@ def dsir_log_weights(
     hash-rank sampler is this repo's reproducible stand-in) to select
     a target-like subset from a raw crawl.  Token-less docs weigh 0.
     Same one-pass scale shape as ``hashed_linear_scores`` — ``ratios``
-    is model-sized and broadcast."""
+    is model-sized and broadcast.  ``dsir_bucket_log_ratios`` covers
+    every bucket by construction; should a caller pass a sparse ratio
+    table, uncovered buckets count as neutral evidence (0) and still
+    count in n_tokens — left join, not a token-dropping inner join."""
     per_tok = _doc_buckets(df, n_buckets, text_col).join(
-        F.broadcast(ratios.select("bucket", "lr_e4")), "bucket"
-    )
+        F.broadcast(ratios.select("bucket", "lr_e4")), "bucket", "left"
+    ).withColumn("lr_e4", F.coalesce("lr_e4", F.lit(0)))
     scored = per_tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.sum("lr_e4") / 10000.0, 4).alias("log_weight"),

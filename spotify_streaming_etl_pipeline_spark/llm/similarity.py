@@ -681,6 +681,11 @@ def kmeans_multilevel(
     grp = kmeans_lloyd(emb, ks[0], n_iter, vec_col, _dims_df=dims).select(
         "vec_id", F.col("cell").cast("long").alias("grp")
     )
+    if len(ks) == 1:
+        # Depth-1 degenerates to flat Lloyd; checkpoint BEFORE the
+        # dims unpersist below or the caller's first action replays
+        # the whole chain uncached.
+        grp = grp.localCheckpoint(eager=True)
     cells_so_far = ks[0]
     for k in ks[1:]:
         dc = dims.join(grp, "vec_id").persist()
@@ -710,6 +715,7 @@ def semantic_dedup(
     max_cluster_size: int | None = None,
     target_cluster_size: int = 64,
     assignments: DataFrame | None = None,
+    twolevel_crossover: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space
@@ -736,7 +742,9 @@ def semantic_dedup(
     ``assignments`` supplies a precomputed (vec_id, cell) table — e.g.
     ``kmeans_twolevel`` output, the O(n*sqrt(k)) scale path — and
     skips the flat clustering entirely; the drop rule is clustering-
-    agnostic."""
+    agnostic.  ``twolevel_crossover`` passes through to the auto-k
+    clusterer (None pins the FLAT plan — what the flat oracle gates
+    do, since their SQL unrolls flat Lloyd specifically)."""
     from .dedup import _bucket_marked
 
     assigned = (
@@ -745,6 +753,7 @@ def semantic_dedup(
         else kmeans_lloyd(
             emb, n_clusters, n_iter, vec_col,
             target_cluster_size=target_cluster_size,
+            twolevel_crossover=twolevel_crossover,
         )
     )
     v = emb.select("vec_id", F.col(vec_col).alias("vec")).join(

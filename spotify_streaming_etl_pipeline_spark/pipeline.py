@@ -129,15 +129,24 @@ def run(
     persisted_envelopes: list[DataFrame] = []
 
     def enrich_datasource(entity: str, uris: DataFrame, fetch_path: str) -> DataFrame:
-        """The planned-source scale path: stage the URI set as parquet,
-        scan it back through the rest_enrichment DataSource.  The URI
-        set rides executor-to-executor (parquet write, footer-planned
-        row-range read) — no driver-side list at any size."""
+        """The planned-source scale path: stage the URI set as parquet
+        (repartitioned so each staging file ≈ one fetch partition —
+        the DataSource plans one partition per row group), scan it
+        back through the rest_enrichment DataSource.  The URI set
+        rides executor-to-executor — no driver-side list at any size.
+        Staging lives under the warehouse (executors must reach it);
+        ``write=True`` runs clean it up after the envelopes
+        re-materialize from the warehouse, ``write=False`` keeps it
+        (the returned frames' lineage still reads it)."""
         from .sources.restsource import RestEnrichmentDataSource
 
         spark.dataSource.register(RestEnrichmentDataSource)
         staging = f"{warehouse_dir}/_staging/enrich_uris/{entity}"
-        uris.select("uri").write.mode("overwrite").parquet(staging)
+        n = uris.count()
+        n_parts = max(1, -(-n // 200))
+        uris.select("uri").repartition(n_parts).write.mode(
+            "overwrite"
+        ).parquet(staging)
         return (
             spark.read.format("rest_enrichment")
             .option("uris_path", staging)
@@ -285,4 +294,13 @@ def run(
         # recompute would re-hit the REST source.)
         for df in persisted_envelopes:
             df.unpersist()
+        # The URI staging parquet is likewise unreachable now — drop it
+        # so repeated runs don't accumulate stale snapshots beside the
+        # real tables. (write=False keeps it: returned frames' lineage
+        # may still read it on cache eviction.)
+        import shutil
+
+        shutil.rmtree(
+            f"{warehouse_dir}/_staging/enrich_uris", ignore_errors=True
+        )
     return out

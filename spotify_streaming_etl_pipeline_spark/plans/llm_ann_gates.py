@@ -708,8 +708,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     — init centroids, assign, re-mean, assign, re-mean, final assign —
     so a regression anywhere in the loop (init, k derivation,
     distance, tie break, update) breaks the hash on the full 500-row
-    assignment table."""
-    asg = similarity.kmeans_lloyd(_emb(spark, sf_dir), n_clusters=None, n_iter=2)
+    assignment table.  ``twolevel_crossover=None`` PINS the flat plan
+    this oracle unrolls — without it, auto-k delegates to the
+    two-level hierarchy above ~10k vectors and this gate would
+    spuriously fail on any larger substrate (the two-level algorithm
+    has its own pair)."""
+    asg = similarity.kmeans_lloyd(
+        _emb(spark, sf_dir), n_clusters=None, n_iter=2,
+        twolevel_crossover=None,
+    )
     return asg.select("vec_id", F.col("cell").cast("long").alias("cell"))
 
 
@@ -737,9 +744,12 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrate provably crosses: 6 of 500 vectors drop) in the SAME
     cluster. Full decision table hashed; the oracle replays the
     unrolled k-means (auto-k = ceil(n/64), k=8 on this substrate) AND
-    the within-cluster min-id drop rule."""
+    the within-cluster min-id drop rule.  ``twolevel_crossover=None``
+    pins the FLAT clustering this oracle unrolls (the two-level
+    composition has its own pair, ``semantic_dedup_twolevel``)."""
     dec = similarity.semantic_dedup(
-        _emb(spark, sf_dir), n_clusters=None, n_iter=2, threshold=0.45
+        _emb(spark, sf_dir), n_clusters=None, n_iter=2, threshold=0.45,
+        twolevel_crossover=None,
     )
     return dec.select(
         "vec_id", F.col("cell").cast("long").alias("cell"), "kept"

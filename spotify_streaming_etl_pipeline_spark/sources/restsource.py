@@ -17,9 +17,11 @@ dead-letter fetch loop (`fetch_in_batches`) as a planned SOURCE:
   list — fine for dim-sized sets, but the list materializes on the
   driver) or ``uris_path`` (a parquet file/dir with a ``uri`` column
   — the SCALE form: the driver reads only parquet FOOTER metadata to
-  plan row-range partitions, and each executor reads its own slice
-  with pyarrow, so an arbitrarily large URI set never exists as a
-  driver-side Python object).
+  plan one partition per row group, and each executor reads its own
+  row group once with pyarrow, so an arbitrarily large URI set never
+  exists as a driver-side Python object; fetch parallelism follows
+  the staging file layout — repartition the URI frame before writing,
+  as ``pipeline.enrich_datasource`` does).
 
 The ``fetch`` callable must be importable on executors, so it is
 passed as a ``"module:attr"`` string option (options are strings by
@@ -55,12 +57,18 @@ class UriChunk(InputPartition):
 
 
 class UriFileChunk(InputPartition):
-    """A row-range of one parquet row group: (path, row_group, lo, n).
-    Planned from footer metadata only; the rows themselves are read
-    executor-side."""
+    """One parquet ROW GROUP: (path, row_group).  Planned from footer
+    metadata only; the rows are read executor-side, each row group
+    read exactly once.  (A row-RANGE chunking was rejected: parquet
+    cannot seek to a row inside a row group, so k sub-chunks of one
+    group would each decode the whole group — k-fold read
+    amplification on exactly the large feeds the path exists for.
+    Fetch parallelism therefore follows the STAGING LAYOUT — writers
+    control it by repartitioning the URI frame before the parquet
+    write, as ``pipeline.enrich_datasource`` does.)"""
 
-    def __init__(self, path: str, row_group: int, lo: int, n: int):
-        self.path, self.row_group, self.lo, self.n = path, row_group, lo, n
+    def __init__(self, path: str, row_group: int):
+        self.path, self.row_group = path, row_group
 
 
 def _resolve_fetch(path: str):
@@ -87,9 +95,9 @@ class RestEnrichmentReader(DataSourceReader):
         self.retry_limit = int(options.get("retry_limit", "2"))
 
     def _file_partitions(self) -> list[UriFileChunk]:
-        """Row-range chunks of ≤ ``uris_per_partition`` URIs each,
-        planned from parquet footers alone — the driver never holds
-        the URI values."""
+        """One chunk per parquet row group, planned from footers alone
+        — the driver never holds the URI values and each executor
+        reads its own row group exactly once."""
         import glob
         import os
 
@@ -101,16 +109,10 @@ class RestEnrichmentReader(DataSourceReader):
             )
         else:
             files = [self.uris_path]
-        step = max(1, self.per_partition)
         parts: list[UriFileChunk] = []
         for f in files:
             meta = pq.ParquetFile(f).metadata
-            for g in range(meta.num_row_groups):
-                n_rows = meta.row_group(g).num_rows
-                for lo in range(0, n_rows, step):
-                    parts.append(
-                        UriFileChunk(f, g, lo, min(step, n_rows - lo))
-                    )
+            parts.extend(UriFileChunk(f, g) for g in range(meta.num_row_groups))
         return parts
 
     def partitions(self) -> list[InputPartition]:
@@ -129,8 +131,9 @@ class RestEnrichmentReader(DataSourceReader):
             tbl = pq.ParquetFile(partition.path).read_row_group(
                 partition.row_group, columns=[self.uri_col]
             )
-            col = tbl.column(0).slice(partition.lo, partition.n).to_pylist()
-            return sorted({u for u in col if u is not None})
+            return sorted(
+                {u for u in tbl.column(0).to_pylist() if u is not None}
+            )
         return partition.uris
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:

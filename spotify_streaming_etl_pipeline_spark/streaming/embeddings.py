@@ -82,19 +82,27 @@ def _ingest_batch(
     and the oracle-gated batch replay (``online_kmeans_decisions``),
     the ``admission._decide`` pattern.
 
-    ``state`` is (cell, dim, c, n); None seeds from the batch.
-    Returns assignments (vec_id, cell) for THIS batch's vectors and
-    the updated state.  Both sides are plain lazy plans; callers
-    materialize through their write (sink) or a localCheckpoint
-    (batch replay)."""
+    ``state`` is (cell, dim, c, n); None OR EMPTY seeds from the
+    batch — an empty batch 0 publishes a zero-cell snapshot, and
+    without the emptiness re-check every later batch would join
+    against zero centroids and silently drop all vectors forever.
+    Returns assignments (vec_id, cell) — eagerly localCheckpoint-ed,
+    because both the caller's output AND the state update consume it
+    (a lazy plan would execute the distance join twice) — and the
+    lazy updated state, which callers materialize through their write
+    (sink) or a localCheckpoint (batch replay)."""
     dims = _explode(batch.dropDuplicates(["vec_id"]), vec_col)
-    if state is None:
+    if state is None or state.isEmpty():
         seeded = dims.withColumn("cell", (F.col("vec_id") % k).cast("int"))
         new_state = seeded.groupBy("cell", "dim").agg(
             F.round(F.avg("x"), 4).alias("c"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
-        assignments = seeded.select("vec_id", "cell").distinct()
+        assignments = (
+            seeded.select("vec_id", "cell")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         return assignments, new_state
     cents = state.select("cell", "dim", "c")
     d2 = (
@@ -110,6 +118,7 @@ def _ingest_batch(
         d2.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cell")).alias("best"))
         .select("vec_id", F.col("best.cell").alias("cell"))
+        .localCheckpoint(eager=True)
     )
     adds = (
         dims.join(assignments, "vec_id")

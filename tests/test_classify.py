@@ -58,6 +58,23 @@ def test_hashed_linear_scores_semantics(spark):
     assert out[4]["label"] is False
 
 
+def test_hashed_linear_scores_sparse_weight_table(spark):
+    """Tokens hashing to buckets ABSENT from a sparse model carry
+    weight 0 but stay in the denominator (fastText's unseen-feature
+    rule) — an inner join would silently drop them from n_tokens."""
+    B = 64
+    b_good = _bucket_of(spark, "good", B)
+    weights = spark.createDataFrame(
+        [(b_good, 400)], "bucket long, wt_m long"  # ONLY one bucket
+    )
+    docs = spark.createDataFrame(
+        [(1, "good unseen unseen unseen")], "doc_id long, text string"
+    )
+    out = hashed_linear_scores(docs, weights, n_buckets=B).collect()[0]
+    assert out["n_tokens"] == 4  # unseen tokens still counted
+    assert out["logit"] == 0.1  # 400 / (4 * 1000)
+
+
 def test_hashed_linear_scores_bias(spark):
     B = 16
     weights = spark.createDataFrame(

@@ -73,13 +73,14 @@ def test_rest_source_resolves_fetch_factories(spark):
 
 def test_rest_source_reads_uris_from_parquet_path(spark, tmp_path):
     """uris_path: the URI feed rides parquet, partitions are planned
-    from footer metadata (row ranges of <= uris_per_partition), and
-    the scan output matches the inline-option form exactly — the
+    from footer metadata (one per row group — the staging layout sets
+    fetch parallelism, and no row group is ever read twice), and the
+    scan output matches the inline-option form exactly — the
     no-driver-side-list scale path."""
     uris = [f"uri:{i}" for i in range(6)] + ["uri:99"]
     staged = str(tmp_path / "uris")
-    spark.createDataFrame([(u,) for u in uris], "uri string").coalesce(
-        1
+    spark.createDataFrame([(u,) for u in uris], "uri string").repartition(
+        3
     ).write.parquet(staged)
     spark.dataSource.register(RestEnrichmentDataSource)
     df = (
@@ -87,10 +88,9 @@ def test_rest_source_reads_uris_from_parquet_path(spark, tmp_path):
         .option("uris_path", staged)
         .option("entity", "artists")
         .option("fetch", "tests.test_restsource:fake_fetch")
-        .option("uris_per_partition", "3")
         .load()
     )
-    assert df.rdd.getNumPartitions() == 3  # ceil(7/3) row-range chunks
+    assert df.rdd.getNumPartitions() == 3  # one per staged row group
     rows = {r.uri: r for r in df.collect()}
     inline = {
         r.uri: r

@@ -470,6 +470,18 @@ def test_kmeans_multilevel_with_two_levels_matches_twolevel(spark):
     )
 
 
+def test_kmeans_multilevel_depth_one_is_flat_lloyd(spark):
+    """ks=[k] degenerates to flat Lloyd (row-identical), and the
+    result is checkpointed before the dims persist is released — no
+    recompute-without-cache on first action."""
+    emb = _planted_vectors(spark)
+    one = similarity.kmeans_multilevel(emb, ks=[3], n_iter=2)
+    flat = similarity.kmeans_lloyd(emb, n_clusters=3, n_iter=2)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
 def test_semantic_dedup_consumes_twolevel_assignments(spark):
     """semantic_dedup(assignments=...) must skip its own clustering
     and apply the min-id drop rule within the supplied cells: an exact

@@ -87,6 +87,22 @@ def test_assignments_frozen_and_clusters_recovered(spark, tmp_path):
     assert sum(n_per_cell.values()) == 36
 
 
+def test_empty_first_batch_does_not_brick_the_sink(spark, tmp_path):
+    """An empty batch 0 publishes a zero-cell state; the next batch
+    must RESEED from its own vectors rather than join against zero
+    centroids and silently drop everything forever."""
+    emb = _planted(spark)
+    state_dir = str(tmp_path / "state")
+    sink = online_kmeans_sink(state_dir, k=3)
+    sink(emb.filter(F.lit(False)), 0)  # empty first trigger
+    assert read_state(spark, state_dir).count() == 0
+    sink(emb, 1)  # full corpus arrives next
+    log = read_assignment_log(spark, state_dir)
+    assert log.filter(F.col("batch") == 1).count() == 36
+    state = read_state(spark, state_dir)
+    assert state.filter(F.col("dim") == 0).count() == 3  # 3 live cells
+
+
 def test_live_state_feeds_ivf_search(spark, tmp_path):
     """The maintained centroid state IS an IVF index: searching it
     with _ivf_from_centroid_table returns the planted cluster-mates
