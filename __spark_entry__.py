@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         llm_corpus_gates,
         llm_dedup_gates,
         llm_evals,
+        llm_line_gates,
         llm_media_gates,
         llm_text_gates,
         quality,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         llm_corpus_gates,
         llm_dedup_gates,
         llm_evals,
+        llm_line_gates,
         llm_media_gates,
         llm_text_gates,
         quality,
