@@ -1,6 +1,6 @@
 """Benchmark decontamination and repetition quality signals.
 
-Two more curation stages a training-data pipeline runs at scale:
+Curation stages a training-data pipeline runs at scale:
 
 - ``contamination_check``: flag corpus documents sharing >= ``min_hits``
   word n-grams with ANY document of a benchmark/eval set.  The corpus
@@ -8,6 +8,15 @@ Two more curation stages a training-data pipeline runs at scale:
   the tiny benchmark posting broadcasts, and the only corpus-sized
   shuffle is the per-(doc, bench) reduction of MATCHED postings — rows
   that survived the broadcast join, typically a sliver of the corpus.
+- ``bloom_decontam``: the same question through a BLOOM FILTER — the
+  form you reach for when the benchmark suite itself is large (every
+  held-out eval ever published): the probe side is a table of at most
+  ``m_bits`` DISTINCT set-bit positions, bounded by the filter size
+  regardless of benchmark size, so the broadcast never grows with the
+  eval suite.  Double hashing bit_i = (h1 + i*h2) mod m (Kirsch &
+  Mitzenmacher 2006) over the two 48-bit md5 halves the dedup family
+  already standardizes on; false positives are genuine bloom false
+  positives and the oracle reproduces them exactly.
 - ``repetition_stats``: Gopher-style intra-document repetition — the
   fraction of duplicated n-grams within each document
   (1 - distinct/total).  Entirely NARROW: grams, counts, and the ratio
@@ -94,4 +103,97 @@ def contamination_check(
         .groupBy("doc_id", "bench_id")
         .agg(F.countDistinct("h").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def bloom_bits(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 4096,
+    k: int = 2,
+) -> DataFrame:
+    """(bit): the DISTINCT bloom bit positions set by the benchmark's
+    word n-grams — at most ``m_bits`` rows no matter how many grams
+    went in (THE bloom property: probe-side memory is bounded by the
+    filter size, not the benchmark suite).  Grams come from
+    ``dedup._posting`` (one codegen'd md5 per gram, both 48-bit
+    halves); each gram sets k positions (h1 + i*h2) mod m."""
+    from .dedup import _posting
+
+    p = _posting(benchmark, text_col, n)
+    return (
+        p.select(
+            "h1",
+            "h2",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        )
+        .select(
+            ((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 4096,
+    k: int = 2,
+    flag_ratio: float = 0.5,
+) -> DataFrame:
+    """Bloom-filter decontamination: per corpus doc (doc_id, n_grams,
+    n_hits, hit_ratio, flagged) where n_hits counts the doc's DISTINCT
+    n-grams whose every bloom position is set by the benchmark —
+    membership up to the filter's false-positive rate, which this
+    operator REPORTS rather than hides (hit_ratio saturates toward the
+    FP floor (bits_set/m)^k on clean docs; size m accordingly).
+
+    Plan shape: the corpus posting probes k bit positions per gram
+    against the broadcast ``bloom_bits`` table (<= m rows); a gram is
+    a hit iff all k probe rows survive the inner join, so only
+    MATCHED probes ever shuffle (per-(doc, gram) count, then per-doc
+    count) — on a clean corpus that is a sliver.  Every input doc
+    gets a row; docs too short for any n-gram report n_grams = 0
+    with a NULL ratio (the repetition_stats discipline)."""
+    from .dedup import _posting
+
+    bits = bloom_bits(benchmark, text_col, n, m_bits, k)
+    p = _posting(corpus, text_col, n)
+    totals = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    probes = p.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+    ).select(
+        "doc_id",
+        "h1",
+        "h2",
+        ((F.col("h1") + F.col("i") * F.col("h2")) % m_bits).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "h1", "h2")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .filter(F.col("n_matched") == k)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0))
+    n_hits = F.coalesce("n_hits", F.lit(0))
+    ratio = F.when(n_grams > 0, F.round(n_hits / n_grams, 4))
+    return (
+        corpus.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_hits.alias("n_hits"),
+            ratio.alias("hit_ratio"),
+            F.coalesce(ratio >= flag_ratio, F.lit(False)).alias("flagged"),
+        )
     )

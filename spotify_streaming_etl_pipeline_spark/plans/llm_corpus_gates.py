@@ -82,6 +82,81 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_decontam",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split(text, ' '), t -> t != '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || '|' || w[i+1] || '|' || w[i+2])) AS ng
+        FROM toks WHERE len(w) >= 3
+    ),
+    bh AS (
+        SELECT DISTINCT (('0x' || substring(md5(gr), 1, 12))::BIGINT
+               + s.i * ('0x' || substring(md5(gr), 13, 12))::BIGINT)
+               % 16384 AS bit
+        FROM (SELECT unnest(ng) AS gr FROM g WHERE source = 'src0'),
+             (SELECT unnest(range(0, 3)) AS i) s
+    ),
+    ch AS (
+        SELECT doc_id, gr,
+               ('0x' || substring(md5(gr), 1, 12))::BIGINT AS h1,
+               ('0x' || substring(md5(gr), 13, 12))::BIGINT AS h2
+        FROM (SELECT doc_id, unnest(ng) AS gr FROM g)
+    ),
+    pr AS (
+        SELECT doc_id, gr, (h1 + s.i * h2) % 16384 AS bit
+        FROM ch, (SELECT unnest(range(0, 3)) AS i) s
+    ),
+    hit AS (
+        SELECT doc_id, gr FROM pr JOIN bh USING (bit)
+        GROUP BY doc_id, gr HAVING count(*) = 3
+    ),
+    hd AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM hit GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(len(g.ng), 0)::BIGINT AS n_grams,
+           coalesce(hd.n_hits, 0)::BIGINT AS n_hits,
+           CASE WHEN coalesce(len(g.ng), 0) > 0
+                THEN round(coalesce(hd.n_hits, 0) / len(g.ng), 4) END
+               AS hit_ratio,
+           coalesce(
+               CASE WHEN coalesce(len(g.ng), 0) > 0
+                    THEN round(coalesce(hd.n_hits, 0) / len(g.ng), 4) >= 0.5
+                    END,
+               false) AS flagged
+    FROM documents d
+    LEFT JOIN g ON g.doc_id = d.doc_id
+    LEFT JOIN hd ON hd.doc_id = d.doc_id
+    """,
+)
+def bloom_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (llm/decontam.py:bloom_decontam):
+    the 'src0' slice plays the benchmark suite; every corpus doc's
+    distinct-trigram bloom hit ratio is computed against the m=16384,
+    k=3 double-hashed filter (Kirsch-Mitzenmacher positions over the
+    shared 48-bit md5 halves).  The oracle replays the EXACT bloom —
+    set-bit table, k probe rows per gram, all-k-matched rule — so
+    genuine false positives are part of the certified answer (the
+    sf0.01 hit-ratio median is 0.061 against a ~0.011 FP floor, and
+    the src0 docs themselves saturate at 1.0, so flagged fires both
+    ways at the 0.5 threshold).  Full per-doc decision table hashed."""
+    from ..llm.decontam import bloom_decontam
+
+    d = _docs(spark, sf_dir)
+    return bloom_decontam(
+        d,
+        d.filter(F.col("source") == "src0"),
+        m_bits=16384,
+        k=3,
+        flag_ratio=0.5,
+    )
+
+
+@query(
     "normalized_hashes",
     """
     SELECT doc_id,
