@@ -592,3 +592,76 @@ def outlink_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.warc import outlink_edges
 
     return outlink_edges(pages)
+
+
+@query(
+    "robots_decisions",
+    """
+    WITH u AS (
+        SELECT doc_id, doc_id % 7 AS k,
+               'http://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+                   AS url,
+               starts_with(doc_id::VARCHAR, '1') AS one
+        FROM documents
+    )
+    SELECT doc_id, url,
+           CASE WHEN k IN (2, 4) THEN false
+                WHEN k IN (0, 6) THEN one
+                ELSE true END AS allowed,
+           cast(CASE WHEN k IN (0, 6) THEN (CASE WHEN one THEN 4 ELSE 3 END)
+                     WHEN k IN (2, 4) THEN 3
+                     WHEN k = 3 AND one THEN 4
+                     ELSE 0 END AS BIGINT) AS rule_len
+    FROM u
+    """,
+)
+def robots_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness, parsed and applied for real (llm/
+    robots.py): per-host robots bodies are synthesized with comment
+    lines, an ``evilbot`` Disallow-all group, a shared-header group
+    (host 5), an empty ``Disallow:`` (host 1), unknown fields
+    (Crawl-delay), and arithmetic Allow/Disallow rules — Disallow
+    ``/p/`` on even hosts, Allow ``/p/1`` on hosts divisible by 3 —
+    then ``parse_robots`` + ``robots_decisions('*')`` run the REAL
+    group/precedence/longest-match machinery over one URL per doc.
+    DuckDB predicts (allowed, rule_len) purely arithmetically from
+    doc_id, so a regression anywhere in comment stripping, group
+    assembly, agent scoping, prefix matching, or tie-breaking moves
+    the hash."""
+    from ..llm.robots import parse_robots, robots_decisions
+
+    k = (F.col("doc_id") % 7).cast("int")
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"),
+            k.cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    rk = F.col("id").cast("int")
+    header = F.lit(
+        "# crawl policy\nUser-agent: evilbot\nDisallow: /\n"
+    )
+    star_group = F.concat(
+        F.lit("User-agent: *\n"),
+        F.when(rk % 2 == 0, F.lit("Disallow: /p/\n")).otherwise(
+            F.when(rk == 1, F.lit("Disallow:\n")).otherwise(F.lit(""))
+        ),
+        F.when(rk % 3 == 0, F.lit("Allow: /p/1\n")).otherwise(F.lit("")),
+        F.lit("Crawl-delay: 5\n"),
+    )
+    shared_header_group = F.lit(
+        "User-agent: gptbot\nUser-agent: *\nDisallow: /q/\nCrawl-delay: 5\n"
+    )
+    robots = spark.range(7).select(
+        F.concat(
+            F.lit("h"), rk.cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.concat(
+            header,
+            F.when(rk == 5, shared_header_group).otherwise(star_group),
+        ).alias("robots_txt"),
+    )
+    return robots_decisions(urls, parse_robots(robots), agent="*")
