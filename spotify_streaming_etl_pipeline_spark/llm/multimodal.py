@@ -2014,3 +2014,152 @@ def sample_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[byte
         "into the mapInPandas batch function — the Spark plumbing is "
         "container-agnostic."
     )
+
+
+def synth_pattern_png_corpus(docs: DataFrame, n_patterns: int = 13) -> DataFrame:
+    """Deterministic PATTERN PNG corpus (the aHash gate's substrate):
+    fixed 16x12 8-bit grayscale, pixel(x, y) = (b*(x+1) + (y+1)^2)
+    % 200 plus a +40 left-edge perturbation on alternating variants —
+    docs sharing (doc_id % n_patterns, variant) are bit-identical
+    images (exact dups), same-pattern/other-variant docs are aHash
+    NEAR dups (hamming 3-9 measured), and cross-pattern pairs spread
+    wide — the three populations an image near-dup gate must
+    separate."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = i % n_patterns
+                p = (i // n_patterns) % 2
+                px = bytes(
+                    (b * (x + 1) + (y + 1) * (y + 1)) % 200
+                    + (40 if p == 1 and x < 4 else 0)
+                    for y in range(12)
+                    for x in range(16)
+                )
+                blobs.append(encode_png(16, 12, 1, px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def image_ahash(
+    media: DataFrame, hash_w: int = 8, hash_h: int = 8
+) -> DataFrame:
+    """Perceptual average-hash per image: REAL decode (any in-repo
+    raster codec) -> nearest-neighbor resample to hash_w x hash_h via
+    ``resize_image`` -> threshold each sample against the integer
+    mean (strict >) -> pack each row's bits little-endian into one
+    byte-sized band.  Returns (doc_id, bands array<int> length
+    hash_h, ahash_hex) — bands are the banding unit for
+    ``ahash_near_dup`` (pigeonhole exact recall), ahash_hex the
+    64-bit fingerprint as lowercase hex.  Arrow-batched mapInPandas,
+    the sanctioned Python zone (media decode); grayscale and
+    multi-channel inputs both work (multi-channel averages the
+    channels per sample — standard aHash luma collapse).  Poison
+    blobs yield NULL bands (dead-letter discipline), never a task
+    kill."""
+    if hash_w > 8:
+        raise ValueError("hash_w > 8 would overflow the per-row band byte")
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands_col, hex_col = [], []
+            for blob in pdf["blob"]:
+                try:
+                    thumb = decode_png(
+                        resize_image(bytes(blob), hash_w, hash_h)
+                    )
+                    ch = thumb["channels"]
+                    raw = thumb["pixels"]
+                    vals = [
+                        sum(raw[(i * ch) + c] for c in range(ch)) // ch
+                        for i in range(hash_w * hash_h)
+                    ]
+                    mean = sum(vals) // len(vals)
+                    bands = [
+                        sum(
+                            (1 << x)
+                            for x in range(hash_w)
+                            if vals[y * hash_w + x] > mean
+                        )
+                        for y in range(hash_h)
+                    ]
+                    bands_col.append(bands)
+                    hex_col.append("".join(f"{b:02x}" for b in bands))
+                except Exception:
+                    bands_col.append(None)
+                    hex_col.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bands": bands_col,
+                    "ahash_hex": hex_col,
+                }
+            )
+
+    return media.mapInPandas(
+        _batch, schema="doc_id long, bands array<int>, ahash_hex string"
+    )
+
+
+def ahash_near_dup(
+    ah: DataFrame, max_hamming: int = 4, n_bands: int = 8
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): image pairs whose aHash fingerprints
+    differ in <= max_hamming bits — EXACT recall by pigeonhole: with
+    hash_h bands, any pair within max_hamming <= hash_h - 1 must
+    agree on at least one whole band, so the (band_no, byte)
+    equi-join misses nothing and the banded plan provably equals
+    brute force.  Candidates verify with a relational popcount over
+    the zipped band arrays (8-element arrays — trivial per pair);
+    only (band_no, byte)-bucket collisions ever join, so pairwise
+    work scales with bucket co-occurrence, not |images|^2 — the
+    simhash_near_dup discipline (llm/dedup.py) applied to the image
+    modality.  ``n_bands`` must equal the producing ``image_ahash``'s
+    hash_h (the length of the bands array)."""
+    base = ah.filter(F.col("bands").isNotNull())
+    bands = base.select(
+        "doc_id", F.posexplode("bands").alias("band_no", "byte")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("_ba")
+    )
+    hb = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("_bb")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "_ba", "_bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            "pigeonhole recall needs max_hamming <= n_bands - 1"
+        )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -665,3 +665,85 @@ def robots_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return robots_decisions(urls, parse_robots(robots), agent="*")
+
+
+#: aHash substrate arithmetic (synth_pattern_png_corpus: 16x12,
+#: pixel = (b*(x+1) + (y+1)^2) % 200 + left-edge perturbation) pushed
+#: through the 8x8 nearest-neighbor index map (sx = 2x,
+#: sy = 3y // 2), thresholded at the integer mean, packed per row.
+_AHASH_BANDS_CTE = """
+    d AS (
+        SELECT doc_id, doc_id % 13 AS b, (doc_id // 13) % 2 AS p
+        FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+        SELECT doc_id, y.range AS y, x.range AS x,
+               (b * (2 * x.range + 1)
+                + ((3 * y.range) // 2 + 1) * ((3 * y.range) // 2 + 1)) % 200
+               + CASE WHEN p = 1 AND x.range < 2 THEN 40 ELSE 0 END AS v
+        FROM d, range(8) x, range(8) y
+    ),
+    m AS (SELECT doc_id, sum(v) // 64 AS mean FROM px GROUP BY doc_id),
+    bits AS (
+        SELECT px.doc_id, y,
+               sum(CASE WHEN v > mean THEN 1 ELSE 0 END * (1 << x))::INT
+                   AS byte
+        FROM px JOIN m ON m.doc_id = px.doc_id
+        GROUP BY px.doc_id, y
+    ),
+    hv AS (
+        SELECT doc_id, list(byte ORDER BY y) AS h FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "image_ahash_table",
+    f"""
+    WITH {_AHASH_BANDS_CTE}
+    SELECT doc_id,
+           string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY y)
+               AS ahash_hex
+    FROM bits GROUP BY doc_id
+    """,
+)
+def image_ahash_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per image (llm/multimodal.py:
+    image_ahash): synthesize genuine 16x12 pattern PNGs, then REAL
+    decode -> 8x8 nearest-neighbor resample (the certified
+    resize_image path) -> integer-mean threshold -> row-wise bit
+    pack.  DuckDB predicts all 64 bits arithmetically through the
+    resample index map, so a regression anywhere in decode, the
+    index math, the mean, or the packing moves some doc's hex."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media = multimodal.synth_pattern_png_corpus(d)
+    return multimodal.image_ahash(media).select("doc_id", "ahash_hex")
+
+
+@query(
+    "image_ahash_pairs",
+    f"""
+    WITH {_AHASH_BANDS_CTE}
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           list_sum(list_transform(range(1, 9),
+               i -> bit_count(xor(a.h[i]::BIGINT, c.h[i]::BIGINT))))::BIGINT
+               AS hamming
+    FROM hv a JOIN hv c ON a.doc_id < c.doc_id
+    WHERE list_sum(list_transform(range(1, 9),
+              i -> bit_count(xor(a.h[i]::BIGINT, c.h[i]::BIGINT)))) <= 4
+    """,
+)
+def image_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by banded aHash (llm/multimodal.py:
+    ahash_near_dup): hamming <= 4 over the 64-bit fingerprints, found
+    via the (band_no, byte) equi-join — exact recall by pigeonhole
+    with 8 bands — and verified with a relational popcount.  The
+    substrate plants all three populations (bit-identical images at
+    hamming 0, perturbed variants at 3-9, cross-pattern spread) and
+    the ORACLE IS BRUTE FORCE: the banded plan must equal the
+    all-pairs answer exactly, recall included."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media = multimodal.synth_pattern_png_corpus(d)
+    return multimodal.ahash_near_dup(
+        multimodal.image_ahash(media), max_hamming=4
+    )
