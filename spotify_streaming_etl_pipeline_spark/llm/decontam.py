@@ -106,6 +106,32 @@ def contamination_check(
     )
 
 
+def _gram_pair_array(text_col: str, n: int):
+    """Per-row array of DISTINCT n-gram hash pairs struct<h1, h2> —
+    both 48-bit halves of ONE md5 per gram (the md5 is materialized
+    in its own transform so the interpreted HOF evaluates it once,
+    not once per half).  Entirely narrow: the bloom family's gram
+    assembly never shuffles, where the ``dedup._posting`` form costs
+    a per-doc window exchange plus a dedup exchange — right for
+    building a reusable posting table, wrong for a probe that only
+    ever needs the grams row-locally."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    md5s = F.transform(
+        idx, lambda i: F.md5(F.concat_ws("|", F.slice(toks, i, n)))
+    )
+    pairs = F.transform(
+        md5s,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    return F.array_distinct(pairs)
+
+
 def bloom_bits(
     benchmark: DataFrame,
     text_col: str = "text",
@@ -116,16 +142,17 @@ def bloom_bits(
     """(bit): the DISTINCT bloom bit positions set by the benchmark's
     word n-grams — at most ``m_bits`` rows no matter how many grams
     went in (THE bloom property: probe-side memory is bounded by the
-    filter size, not the benchmark suite).  Grams come from
-    ``dedup._posting`` (one codegen'd md5 per gram, both 48-bit
-    halves); each gram sets k positions (h1 + i*h2) mod m."""
-    from .dedup import _posting
-
-    p = _posting(benchmark, text_col, n)
+    filter size, not the benchmark suite).  Each gram sets k
+    positions (h1 + i*h2) mod m over the shared 48-bit md5 halves;
+    gram assembly is narrow (``_gram_pair_array``), so the only
+    shuffle is the <= m-row distinct."""
+    g = benchmark.select(
+        F.explode(_gram_pair_array(text_col, n)).alias("g")
+    )
     return (
-        p.select(
-            "h1",
-            "h2",
+        g.select(
+            "g.h1",
+            "g.h2",
             F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
         )
         .select(
@@ -151,22 +178,28 @@ def bloom_decontam(
     operator REPORTS rather than hides (hit_ratio saturates toward the
     FP floor (bits_set/m)^k on clean docs; size m accordingly).
 
-    Plan shape: the corpus posting probes k bit positions per gram
-    against the broadcast ``bloom_bits`` table (<= m rows); a gram is
-    a hit iff all k probe rows survive the inner join, so only
-    MATCHED probes ever shuffle (per-(doc, gram) count, then per-doc
-    count) — on a clean corpus that is a sliver.  Every input doc
-    gets a row; docs too short for any n-gram report n_grams = 0
-    with a NULL ratio (the repetition_stats discipline)."""
-    from .dedup import _posting
-
+    Plan shape: gram assembly is NARROW on both sides
+    (``_gram_pair_array`` — no posting window, no dedup exchange);
+    the k bit probes per gram join the broadcast ``bloom_bits`` table
+    (<= m rows), and a gram is a hit iff all k probe rows survive the
+    inner join, so only MATCHED probes ever shuffle (per-(doc, gram)
+    count, then per-doc count) — on a clean corpus that is a sliver.
+    The per-doc gram totals come from a second narrow pass
+    (column-pruned scan + array expression), trading one cheap
+    re-scan for zero corpus-sized exchanges.  Every input doc gets a
+    row; docs too short for any n-gram report n_grams = 0 with a
+    NULL ratio (the repetition_stats discipline)."""
     bits = bloom_bits(benchmark, text_col, n, m_bits, k)
-    p = _posting(corpus, text_col, n)
-    totals = p.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    probes = p.select(
+    grams = _gram_pair_array(text_col, n)
+    totals = corpus.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams")
+    )
+    probes = corpus.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select(
         "doc_id",
-        "h1",
-        "h2",
+        "g.h1",
+        "g.h2",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
     ).select(
         "doc_id",
@@ -182,18 +215,15 @@ def bloom_decontam(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    n_grams = F.coalesce("n_grams", F.lit(0))
+    n_grams = F.col("n_grams")
     n_hits = F.coalesce("n_hits", F.lit(0))
     ratio = F.when(n_grams > 0, F.round(n_hits / n_grams, 4))
-    return (
-        corpus.select("doc_id")
-        .join(totals, "doc_id", "left")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_grams.alias("n_grams"),
-            n_hits.alias("n_hits"),
-            ratio.alias("hit_ratio"),
-            F.coalesce(ratio >= flag_ratio, F.lit(False)).alias("flagged"),
-        )
+    # totals already carries one row per corpus doc, so it IS the
+    # left side — no join back to the corpus needed.
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_hits"),
+        ratio.alias("hit_ratio"),
+        F.coalesce(ratio >= flag_ratio, F.lit(False)).alias("flagged"),
     )
