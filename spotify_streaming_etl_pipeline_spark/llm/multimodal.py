@@ -2121,8 +2121,14 @@ def ahash_near_dup(
     work scales with bucket co-occurrence, not |images|^2 — the
     simhash_near_dup discipline (llm/dedup.py) applied to the image
     modality.  ``n_bands`` must equal the producing ``image_ahash``'s
-    hash_h (the length of the bands array)."""
-    base = ah.filter(F.col("bands").isNotNull())
+    hash_h (the length of the bands array).
+
+    The hash table feeds FOUR plan branches (two band sides, two
+    verify sides); without lineage truncation each branch re-runs the
+    upstream decode chain — measured 4x the whole image pipeline —
+    so the (tiny: one row of n_bands ints per image) table is
+    lazily localCheckpoint-ed and computed once."""
+    base = ah.filter(F.col("bands").isNotNull()).localCheckpoint(eager=False)
     bands = base.select(
         "doc_id", F.posexplode("bands").alias("band_no", "byte")
     )
