@@ -2169,3 +2169,120 @@ def ahash_near_dup(
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+#: ahash_near_dup is modality-agnostic — any (doc_id, bands) table
+#: with byte-sized bands works (audio fingerprints reuse it).
+fingerprint_near_dup = ahash_near_dup
+
+
+def synth_tone_wav_corpus(docs: DataFrame, n_patterns: int = 13) -> DataFrame:
+    """Deterministic AMPLITUDE-MODULATED wav corpus (the audio
+    fingerprint gate's substrate): real mono 8-bit PCM, 64 frames of
+    25 samples, frame f an alternating-sign tone of amplitude
+    (b*(f+1) + (f+1)^2) % 80 + 10 with a +30 boost on the first 8
+    frames of alternating variants — docs sharing (doc_id %
+    n_patterns, variant) are bit-identical recordings, same-pattern
+    variants fingerprint 3-11 bits apart, cross-pattern pairs >= 19
+    (measured) — the populations an audio near-dup gate must
+    separate.  A constant-amplitude (square-wave) corpus could not
+    certify the frame-energy profile; a modulated one can."""
+    import struct
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                b = i % n_patterns
+                p = (i // n_patterns) % 2
+                samples: list[int] = []
+                for f in range(64):
+                    a = (b * (f + 1) + (f + 1) * (f + 1)) % 80 + 10
+                    if p == 1 and f < 8:
+                        a += 30
+                    samples.extend(
+                        a if s % 2 == 0 else -a for s in range(25)
+                    )
+                data = bytes(s + 128 for s in samples)
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                blobs.append(
+                    b"RIFF"
+                    + struct.pack("<I", 4 + len(chunks))
+                    + b"WAVE"
+                    + chunks
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def audio_fingerprint(
+    media: DataFrame, n_frames: int = 64, band_w: int = 8
+) -> DataFrame:
+    """Energy-profile audio fingerprint per recording: REAL wav
+    decode (any codec ``decode_wav`` speaks — PCM, G.711, IMA ADPCM)
+    -> split the sample stream into ``n_frames`` equal frames ->
+    integer mean |sample| per frame -> threshold each frame energy
+    against the global integer mean (strict >) -> pack ``band_w``
+    bits per band.  Returns (doc_id, bands array<int>, fp_hex) — the
+    same shape as ``image_ahash``, so ``fingerprint_near_dup`` bands
+    it with pigeonhole-exact recall.  The aHash construction applied
+    to the time axis: loudness-profile-preserving transforms (level
+    shifts move every frame AND the mean together) keep the
+    fingerprint stable, reorderings break it.  Arrow-batched; poison
+    blobs yield NULL bands (dead-letter discipline)."""
+    if band_w > 8:
+        raise ValueError("band_w > 8 would overflow the per-band byte")
+    if n_frames % band_w:
+        raise ValueError("n_frames must be a multiple of band_w")
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands_col, hex_col = [], []
+            for blob in pdf["blob"]:
+                try:
+                    wav = decode_wav(bytes(blob))
+                    s = wav["samples"]
+                    flen = len(s) // n_frames
+                    if flen == 0:
+                        raise ValueError("recording shorter than n_frames")
+                    e = [
+                        sum(
+                            abs(v)
+                            for v in s[f * flen : (f + 1) * flen]
+                        )
+                        // flen
+                        for f in range(n_frames)
+                    ]
+                    mean = sum(e) // n_frames
+                    bands = [
+                        sum(
+                            (1 << x)
+                            for x in range(band_w)
+                            if e[y * band_w + x] > mean
+                        )
+                        for y in range(n_frames // band_w)
+                    ]
+                    bands_col.append(bands)
+                    hex_col.append("".join(f"{v:02x}" for v in bands))
+                except Exception:
+                    bands_col.append(None)
+                    hex_col.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bands": bands_col,
+                    "fp_hex": hex_col,
+                }
+            )
+
+    return media.mapInPandas(
+        _batch, schema="doc_id long, bands array<int>, fp_hex string"
+    )

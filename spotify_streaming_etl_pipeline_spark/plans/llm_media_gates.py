@@ -747,3 +747,85 @@ def image_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ahash_near_dup(
         multimodal.image_ahash(media), max_hamming=4
     )
+
+
+#: Audio fingerprint substrate arithmetic (synth_tone_wav_corpus:
+#: 64 frames x 25 samples, frame amplitude (b*(f+1) + (f+1)^2) % 80
+#: + 10 with a +30 boost on the first 8 frames of odd variants) —
+#: the frame's mean |sample| IS the amplitude, thresholded at the
+#: global integer mean and packed 8 frames per band.
+_AUDIO_FP_CTE = """
+    d AS (
+        SELECT doc_id, doc_id % 13 AS b, (doc_id // 13) % 2 AS p
+        FROM documents WHERE doc_id < 200
+    ),
+    e AS (
+        SELECT doc_id, f.range AS f,
+               (b * (f.range + 1) + (f.range + 1) * (f.range + 1)) % 80 + 10
+               + CASE WHEN p = 1 AND f.range < 8 THEN 30 ELSE 0 END AS a
+        FROM d, range(64) f
+    ),
+    m AS (SELECT doc_id, sum(a) // 64 AS mean FROM e GROUP BY doc_id),
+    bits AS (
+        SELECT e.doc_id, f // 8 AS y,
+               sum(CASE WHEN a > mean THEN 1 ELSE 0 END
+                   * (1 << (f % 8)))::INT AS byte
+        FROM e JOIN m ON m.doc_id = e.doc_id
+        GROUP BY e.doc_id, f // 8
+    ),
+    hv AS (
+        SELECT doc_id, list(byte ORDER BY y) AS h FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "audio_fingerprint_table",
+    f"""
+    WITH {_AUDIO_FP_CTE}
+    SELECT doc_id,
+           string_agg(lpad(lower(to_hex(byte)), 2, '0'), '' ORDER BY y)
+               AS fp_hex
+    FROM bits GROUP BY doc_id
+    """,
+)
+def audio_fingerprint_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-profile audio fingerprint (llm/multimodal.py:
+    audio_fingerprint): synthesize genuine amplitude-modulated PCM
+    wavs, REAL decode (RIFF chunk walk), split into 64 frames,
+    threshold each frame's integer mean |sample| against the global
+    mean, pack 8 frames per band.  DuckDB predicts all 64 bits
+    arithmetically (the frame mean IS the amplitude), so a regression
+    in the chunk walk, PCM centering, framing, or packing moves some
+    recording's hex."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media = multimodal.synth_tone_wav_corpus(d)
+    return multimodal.audio_fingerprint(media).select("doc_id", "fp_hex")
+
+
+@query(
+    "audio_fingerprint_pairs",
+    f"""
+    WITH {_AUDIO_FP_CTE}
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           list_sum(list_transform(range(1, 9),
+               i -> bit_count(xor(a.h[i]::BIGINT, c.h[i]::BIGINT))))::BIGINT
+               AS hamming
+    FROM hv a JOIN hv c ON a.doc_id < c.doc_id
+    WHERE list_sum(list_transform(range(1, 9),
+              i -> bit_count(xor(a.h[i]::BIGINT, c.h[i]::BIGINT)))) <= 6
+    """,
+)
+def audio_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs by banded fingerprint — the image aHash
+    machinery applied to the audio modality (fingerprint_near_dup ==
+    ahash_near_dup; hamming <= 6 with 8 bands keeps pigeonhole recall
+    exact).  The substrate plants bit-identical recordings (hamming
+    0), loudness-perturbed variants (3-11), and cross-pattern spread
+    (>= 19); the ORACLE IS BRUTE FORCE, so banded recall is
+    certified, not assumed."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media = multimodal.synth_tone_wav_corpus(d)
+    return multimodal.fingerprint_near_dup(
+        multimodal.audio_fingerprint(media), max_hamming=6
+    )

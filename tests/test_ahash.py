@@ -80,3 +80,64 @@ def test_pigeonhole_guard_rejects_too_wide_threshold(spark):
 def test_hash_w_guard(spark):
     with pytest.raises(ValueError, match="band byte"):
         multimodal.image_ahash(_media(spark, []), hash_w=9)
+
+
+def test_audio_fingerprint_known_profile(spark):
+    """Quiet first half, loud second half -> bands 0,0,0,0,255,255,255,255."""
+    import struct
+
+    samples = [10 if i < 800 else 100 for i in range(1600)]
+    data = bytes(s + 128 for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    row = multimodal.audio_fingerprint(
+        _media(spark, [(1, blob)])
+    ).collect()[0]
+    assert row.bands == [0, 0, 0, 0, 255, 255, 255, 255]
+    assert row.fp_hex == "00000000ffffffff"
+
+
+def test_audio_fingerprint_level_shift_invariance(spark):
+    """Scaling every sample by an integer k <= 64 scales frame
+    energies AND the mean together -> identical fingerprint (the
+    aHash property on the time axis).  Amplitudes are constant
+    WITHIN each frame so the frame energy is exact and the integer
+    floor argument holds (varying intra-frame samples would add
+    floor noise the invariance claim doesn't cover)."""
+    import struct
+
+    def blob(scale):
+        amps = [((f * 37) % 90 + 10) * scale for f in range(64)]
+        samples = [
+            amps[i // 25] * (1 if i % 2 == 0 else -1) for i in range(1600)
+        ]
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = multimodal.audio_fingerprint(
+        _media(spark, [(1, blob(1)), (2, blob(3))])
+    ).collect()
+    got = {r.doc_id: r.fp_hex for r in rows}
+    assert got[1] == got[2]
+
+
+def test_audio_fingerprint_poison_and_guards(spark):
+    rows = multimodal.audio_fingerprint(
+        _media(spark, [(1, b"not a wav at all")])
+    ).collect()
+    assert rows[0].bands is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band byte"):
+        multimodal.audio_fingerprint(_media(spark, []), band_w=9)
+    with _pytest.raises(ValueError, match="multiple"):
+        multimodal.audio_fingerprint(_media(spark, []), n_frames=63)
