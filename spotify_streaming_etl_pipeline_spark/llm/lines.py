@@ -64,7 +64,9 @@ def line_table(
     """(doc_id, line_no, line): one row per non-blank line, trimmed,
     ``line_no`` the 0-based position in the ORIGINAL document (blank
     lines keep their slot, so decisions re-join cleanly).  Entirely
-    narrow — split + posexplode + filter, no shuffle."""
+    narrow — split + posexplode + filter, no shuffle.  ``line_sep``
+    is a Java regex (the default newline behaves literally; escape
+    metacharacter separators)."""
     out = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), line_sep)).alias(

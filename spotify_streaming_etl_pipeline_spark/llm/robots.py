@@ -133,8 +133,12 @@ def robots_decisions(
     count); the per-URL winner is a ``min(struct(...))`` argmax that
     partially aggregates before the shuffle."""
     a = agent.lower()
-    scoped = rules.filter(F.col("agent").isin(a, "*")).withColumn(
-        "_spec", (F.col("agent") == a).cast("int")
+    # hostnames are case-insensitive (RFC 4343) — normalize the rules
+    # side too, so a mixed-case rules table still matches URL hosts
+    scoped = (
+        rules.withColumn("host", F.lower("host"))
+        .filter(F.col("agent").isin(a, "*"))
+        .withColumn("_spec", (F.col("agent") == a).cast("int"))
     )
     best_spec = scoped.groupBy("host").agg(
         F.max("_spec").alias("_best_spec")
