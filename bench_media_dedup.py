@@ -28,9 +28,12 @@ from spotify_streaming_etl_pipeline_spark.session import get_spark
 from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
 
 
-def _noop(df) -> float:
+def _noop(build_fn) -> float:
+    """Time construction AND execution: some operators materialize
+    eagerly during construction (geometry probes, checkpoints), so
+    timing only the final action would under-count them."""
     t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
+    build_fn().write.format("noop").mode("overwrite").save()
     return round(time.time() - t0, 2)
 
 
@@ -66,8 +69,8 @@ def main() -> None:
     out: dict[str, dict] = {}
 
     def leg(name, build):
-        t1 = _noop(build(docs, n))
-        t10 = _noop(build(docs10, 10 * n))
+        t1 = _noop(lambda: build(docs, n))
+        t10 = _noop(lambda: build(docs10, 10 * n))
         out[name] = {"n_sec": t1, "n10_sec": t10, "ratio": round(t10 / max(t1, 1e-9), 2)}
         print(f"  {name}: {t1}s -> {t10}s ({out[name]['ratio']}x)", flush=True)
 

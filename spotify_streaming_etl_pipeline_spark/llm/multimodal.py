@@ -37,7 +37,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -2108,67 +2108,212 @@ def image_ahash(
 
 
 def ahash_near_dup(
-    ah: DataFrame, max_hamming: int = 4, n_bands: int = 8
+    ah: DataFrame,
+    max_hamming: int = 4,
+    band_w: int = 8,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming): image pairs whose aHash fingerprints
-    differ in <= max_hamming bits — EXACT recall by pigeonhole: with
-    hash_h bands, any pair within max_hamming <= hash_h - 1 must
-    agree on at least one whole band, so the (band_no, byte)
-    equi-join misses nothing and the banded plan provably equals
-    brute force.  Candidates verify with a relational popcount over
-    the zipped band arrays (8-element arrays — trivial per pair);
-    only (band_no, byte)-bucket collisions ever join, so pairwise
-    work scales with bucket co-occurrence, not |images|^2 — the
-    simhash_near_dup discipline (llm/dedup.py) applied to the image
-    modality.  ``n_bands`` must equal the producing ``image_ahash``'s
-    hash_h (the length of the bands array).
+    """(doc_a, doc_b, hamming): fingerprint pairs differing in <=
+    max_hamming bits, doc_a < doc_b.
 
-    The hash table feeds FOUR plan branches (two band sides, two
-    verify sides); without lineage truncation each branch re-runs the
-    upstream decode chain — measured 4x the whole image pipeline —
-    so the (tiny: one row of n_bands ints per image) table is
+    Plan shape — DEDUPE-THEN-BAND, the form that survives corpora
+    where many documents share a fingerprint (blank images, silence,
+    re-encodes):
+
+    1. collapse documents to DISTINCT fingerprints (one groupBy on
+       the 64-bit word; members stay relational, never collected);
+    2. band only the distinct fingerprints: the word is bit-sliced
+       into exactly ``max_hamming + 1`` keys, so by pigeonhole any
+       pair within the threshold agrees on >= 1 whole band and the
+       (band_no, key) equi-join has EXACT recall; slicing into t+1
+       bands makes each key as wide as the threshold allows (t=4 ->
+       12-16 bits, t=6 -> 9-10 bits) — candidates scale with
+       DISTINCT-fingerprint bucket co-occurrence, not documents
+       (banding raw documents measured 13.8x wall at 10x docs on a
+       dup-heavy corpus; fingerprint-level banding took the same leg
+       to ~linear);
+    3. verify candidate fingerprint pairs with a relational popcount
+       (zip_with xor bit_count over the band arrays);
+    4. expand back to document pairs relationally: same-fingerprint
+       groups self-join on the fingerprint id (their pairs ARE the
+       required output — hamming 0), verified cross-fingerprint
+       pairs join members on each side.
+
+    ``max_bucket_size`` is the dedup-family giant-bucket star guard
+    (llm/dedup.py discipline), applied BOTH to same-fingerprint
+    groups and to band buckets: an oversized group/bucket degrades
+    to (min-id, member) star edges instead of an all-pairs blow-up —
+    connectivity for downstream clustering is preserved, exhaustive
+    member-member pairs inside the pathology are not enumerated;
+    None disables.  The default cannot bite on the oracle substrates
+    (largest group/bucket << 4096), so the gates certify brute-force
+    equality with the guard ON.
+
+    The fingerprint tables feed several plan branches; without
+    lineage truncation each branch re-runs the upstream decode chain
+    (measured 4x the whole image pipeline), so both tiny tables are
     lazily localCheckpoint-ed and computed once."""
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
     base = ah.filter(F.col("bands").isNotNull()).localCheckpoint(eager=False)
-    bands = base.select(
-        "doc_id", F.posexplode("bands").alias("band_no", "byte")
+    # storage geometry: bands is an array of fixed-width rows; its
+    # length is data, not schema, so probe one row (a tiny job that
+    # also materializes the checkpoint the branches share)
+    first = base.select(F.size("bands").alias("n")).limit(1).collect()
+    n_rows = first[0]["n"] if first else 0
+    total_bits = n_rows * band_w
+    if total_bits == 0:
+        return base.sparkSession.createDataFrame(
+            [], "doc_a long, doc_b long, hamming long"
+        )
+    if total_bits > 64:
+        raise ValueError("fingerprints wider than 64 bits are unsupported")
+    nb = max_hamming + 1
+    if nb > total_bits:
+        raise ValueError(
+            "pigeonhole slicing needs max_hamming + 1 <= total fingerprint bits"
+        )
+    # the fingerprint as one 64-bit word (two's-complement bitwise
+    # ops are well-defined; slices below use unsigned shifts)
+    word = None
+    for i in range(n_rows):
+        part = F.shiftleft(
+            F.element_at("bands", i + 1).cast("long"), i * band_w
+        )
+        word = part if word is None else word.bitwiseOR(part)
+    docs = base.select("doc_id", F.col("bands"), word.alias("fp"))
+    fps = (
+        docs.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            # bands is a pure function of fp — any member's copy is
+            # THE value, so first() is deterministic here
+            F.first("bands").alias("bands"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .localCheckpoint(eager=False)
     )
-    cand = (
-        bands.alias("a")
+    mem = docs.select("doc_id", "fp")
+
+    # -- same-fingerprint document pairs (hamming 0) ------------------
+    mm = mem.join(fps.select("fp", "rep", "n_members"), "fp")
+    if max_bucket_size is None:
+        small_groups = mm
+        same_stars = None
+    else:
+        small_groups = mm.filter(F.col("n_members") <= max_bucket_size)
+        same_stars = (
+            mm.filter(
+                (F.col("n_members") > max_bucket_size)
+                & (F.col("doc_id") != F.col("rep"))
+            )
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).cast("long").alias("hamming"),
+            )
+        )
+    same_pairs = (
+        small_groups.alias("a")
         .join(
-            bands.alias("b"),
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.byte") == F.col("b.byte"))
+            small_groups.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
         )
-        .distinct()
     )
-    ha = base.select(
-        F.col("doc_id").alias("doc_a"), F.col("bands").alias("_ba")
+
+    # -- cross-fingerprint pairs via banded search over DISTINCT fps --
+    w_bits = total_bits // nb
+    keys = []
+    for j in range(nb):
+        lo = j * w_bits
+        width = total_bits - lo if j == nb - 1 else w_bits
+        mask = (1 << width) - 1
+        keys.append(
+            F.shiftrightunsigned(F.col("fp"), lo).bitwiseAND(F.lit(mask))
+        )
+    fband = fps.select(
+        "fp", F.posexplode(F.array(*keys)).alias("band_no", "key")
     )
-    hb = base.select(
-        F.col("doc_id").alias("doc_b"), F.col("bands").alias("_bb")
+    if max_bucket_size is None:
+        small_band, band_stars = fband, None
+    else:
+        bw = Window.partitionBy("band_no", "key")
+        marked = fband.withColumns(
+            {
+                "m": F.count(F.lit(1)).over(bw),
+                "bmin": F.min("fp").over(bw),
+            }
+        )
+        small_band = marked.filter(F.col("m") <= max_bucket_size).drop(
+            "m", "bmin"
+        )
+        band_stars = (
+            marked.filter(
+                (F.col("m") > max_bucket_size) & (F.col("fp") != F.col("bmin"))
+            )
+            .select(
+                F.col("bmin").alias("fp_a"), F.col("fp").alias("fp_b")
+            )
+        )
+    cand = (
+        small_band.alias("a")
+        .join(
+            small_band.alias("b"),
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        )
+        .select(F.col("a.fp").alias("fp_a"), F.col("b.fp").alias("fp_b"))
     )
+    if band_stars is not None:
+        # star edges carry an arbitrary fp order; normalize before the
+        # distinct so a pair never appears twice
+        cand = cand.unionByName(
+            band_stars.select(
+                F.least("fp_a", "fp_b").alias("fp_a"),
+                F.greatest("fp_a", "fp_b").alias("fp_b"),
+            )
+        )
+    cand = cand.distinct()
+    ha = fps.select(F.col("fp").alias("fp_a"), F.col("bands").alias("_ba"))
+    hb = fps.select(F.col("fp").alias("fp_b"), F.col("bands").alias("_bb"))
     hamming = F.aggregate(
-        F.zip_with(
-            "_ba", "_bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))
-        ),
+        F.zip_with("_ba", "_bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("long")
-    if max_hamming > n_bands - 1:
-        raise ValueError(
-            "pigeonhole recall needs max_hamming <= n_bands - 1"
-        )
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    fp_pairs = (
+        cand.join(ha, "fp_a")
+        .join(hb, "fp_b")
+        .select("fp_a", "fp_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    cross_pairs = (
+        fp_pairs.join(
+            mem.select(F.col("fp").alias("fp_a"), F.col("doc_id").alias("_da")),
+            "fp_a",
+        )
+        .join(
+            mem.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("_db")),
+            "fp_b",
+        )
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    out = same_pairs.unionByName(cross_pairs)
+    if same_stars is not None:
+        out = out.unionByName(same_stars)
+    return out
+
 
 
 #: ahash_near_dup is modality-agnostic — any (doc_id, bands) table

@@ -735,13 +735,15 @@ def image_ahash_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def image_ahash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by banded aHash (llm/multimodal.py:
-    ahash_near_dup): hamming <= 4 over the 64-bit fingerprints, found
-    via the (band_no, byte) equi-join — exact recall by pigeonhole
-    with 8 bands — and verified with a relational popcount.  The
-    substrate plants all three populations (bit-identical images at
-    hamming 0, perturbed variants at 3-9, cross-pattern spread) and
-    the ORACLE IS BRUTE FORCE: the banded plan must equal the
-    all-pairs answer exactly, recall included."""
+    ahash_near_dup): hamming <= 4 over the 64-bit fingerprints —
+    dedupe-then-band (distinct fingerprints band into t+1 bit-sliced
+    keys, pigeonhole-exact recall, popcount verify, relational
+    group expansion; the giant-group/bucket star guard is ON at its
+    default and provably silent here).  The substrate plants all
+    three populations (bit-identical images at hamming 0, perturbed
+    variants at 3-9, cross-pattern spread) and the ORACLE IS BRUTE
+    FORCE: the banded plan must equal the all-pairs answer exactly,
+    recall included."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = multimodal.synth_pattern_png_corpus(d)
     return multimodal.ahash_near_dup(
@@ -819,11 +821,11 @@ def audio_fingerprint_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def audio_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs by banded fingerprint — the image aHash
     machinery applied to the audio modality (fingerprint_near_dup ==
-    ahash_near_dup; hamming <= 6 with 8 bands keeps pigeonhole recall
-    exact).  The substrate plants bit-identical recordings (hamming
-    0), loudness-perturbed variants (3-11), and cross-pattern spread
-    (>= 19); the ORACLE IS BRUTE FORCE, so banded recall is
-    certified, not assumed."""
+    ahash_near_dup; dedupe-then-band with 7 bit-sliced bands keeps
+    pigeonhole recall exact at hamming <= 6).  The substrate plants
+    bit-identical recordings (hamming 0), loudness-perturbed variants
+    (3-11), and cross-pattern spread (>= 19); the ORACLE IS BRUTE
+    FORCE, so banded recall is certified, not assumed."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = multimodal.synth_tone_wav_corpus(d)
     return multimodal.fingerprint_near_dup(

@@ -69,12 +69,36 @@ def test_near_dup_exact_and_near(spark):
     assert pairs[(2, 3)] == 1
 
 
-def test_pigeonhole_guard_rejects_too_wide_threshold(spark):
+def test_pigeonhole_slicing_bounds(spark):
     ah = multimodal.image_ahash(
         _media(spark, [(1, multimodal.encode_png(8, 8, 1, bytes(64)))])
     )
+    # bit-sliced banding supports any threshold below the bit width…
+    assert multimodal.ahash_near_dup(ah, max_hamming=8).count() == 0
+    # …but not at/over it (t + 1 bands need t + 1 <= 64 bits)
     with pytest.raises(ValueError, match="pigeonhole"):
-        multimodal.ahash_near_dup(ah, max_hamming=8).collect()
+        multimodal.ahash_near_dup(ah, max_hamming=64).collect()
+
+
+def test_star_guard_degrades_giant_buckets_to_rep_edges(spark):
+    # five identical images: every band bucket has size 5 > cap 2,
+    # so the guard emits only (min, member) star edges — 4 pairs,
+    # not the 10 all-pairs — preserving cluster connectivity
+    base = bytes((200 if x >= 4 else 0) for _ in range(8) for x in range(8))
+    media = _media(
+        spark, [(i, multimodal.encode_png(8, 8, 1, base)) for i in range(5)]
+    )
+    ah = multimodal.image_ahash(media)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in multimodal.ahash_near_dup(
+            ah, max_hamming=4, max_bucket_size=2
+        ).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (0, 3), (0, 4)}
+    # guard off (or roomy): full all-pairs
+    full = multimodal.ahash_near_dup(ah, max_hamming=4, max_bucket_size=None)
+    assert full.count() == 10
 
 
 def test_hash_w_guard(spark):
