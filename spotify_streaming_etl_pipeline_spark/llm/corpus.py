@@ -6,18 +6,28 @@ operator from this package — this module only sequences them, the
   WARC bytes
     -> record table + 200/text-html filter + canonical URL + text +
        lang  (``warc.crawl_corpus`` — one narrow Arrow-batched plan)
+    -> robots.txt gate    (optional: drop pages a polite crawler may
+       not fetch — ``robots.robots_decisions`` against the supplied
+       rules table)
     -> URL-level dedup    (min page id per canonical URL — the crawl
        dedup every pipeline runs first: mirrors/params collapse)
     -> exact dedup        (content-hash groupBy keepers)
+    -> line-level dedup   (optional: C4/RefinedWeb boilerplate
+       removal — rebuild every page from its corpus-wide
+       first-occurrence lines; pages left empty drop)
     -> near dedup         (banded n-gram Jaccard pairs -> connected
        components -> min-id keepers)
+    -> decontamination    (optional: drop pages whose n-gram bloom
+       hit ratio against a benchmark suite crosses the flag
+       threshold — ``decontam.bloom_decontam``)
     -> quality filter     (composite score quantile cutoff)
     -> leakage-safe split (near-dup clusters follow their group's
        hash bucket, so survivors' near-misses can never straddle
        train/test)
 
 Scale shape: narrow until the dedup shuffles, each of which is banded
-or hash-keyed (never corpus-pairwise); the quality pass is pure
+or hash-keyed (never corpus-pairwise); the robots rules and bloom
+bits broadcast (host-bounded / m-bounded); the quality pass is pure
 codegen; the split is one shuffle_hash join + a narrow projection.
 Page ids are ``doc_id * 4 + rec`` (a WARC blob carries at most 3
 response records here) — deterministic, collision-free, and stable
@@ -30,7 +40,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .curation import cluster_aware_split, quality_filter
+from .decontam import bloom_decontam
 from .dedup import dup_clusters, exact_dedup_groups, ngram_jaccard_pairs
+from .lines import line_dedup
+from .robots import robots_decisions
 from .text import quality_metrics
 from .warc import crawl_corpus
 
@@ -45,17 +58,45 @@ def build_training_corpus(
     jaccard_threshold: float = 0.8,
     quality_quantile: float = 0.25,
     page_id_stride: int = PAGE_ID_STRIDE,
+    robots_rules: DataFrame | None = None,
+    robots_agent: str = "*",
+    line_dedup_boilerplate: bool = False,
+    benchmark: DataFrame | None = None,
+    bloom_m_bits: int = 1 << 20,
+    bloom_k: int = 3,
+    bloom_flag_ratio: float = 0.5,
 ) -> DataFrame:
     """(doc_id, url, text, lang, quality_score, split): the training
     corpus a (doc_id, blob) archive frame yields after the full
     first-mile chain.  ``doc_id`` is the folded page id; one row per
-    surviving page."""
-    pages = crawl_corpus(blobs).select(
+    surviving page.
+
+    Optional stages (each an already-certified operator, skipped when
+    its input is absent): ``robots_rules`` — a ``parse_robots`` table
+    applied for ``robots_agent`` right after the crawl (audit-time
+    politeness: pages a polite crawler may not fetch leave the
+    corpus); ``line_dedup_boilerplate`` — corpus-wide
+    first-occurrence line dedup with in-place text rebuild (C4
+    §2.2 / RefinedWeb §3.4; pages reduced to nothing drop);
+    ``benchmark`` — bloom decontamination against the suite's
+    n-grams at the given filter geometry."""
+    pages = crawl_corpus(
+        blobs, block_newlines=line_dedup_boilerplate
+    ).select(
         (F.col("doc_id") * page_id_stride + F.col("rec")).alias("doc_id"),
         "url",
         "text",
         "lang",
     )
+    if robots_rules is not None:
+        allowed = robots_decisions(
+            pages.select("doc_id", "url"), robots_rules, agent=robots_agent
+        ).filter("allowed")
+        pages = pages.join(
+            allowed.select("doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left_semi",
+        )
     # URL-level dedup: the same canonical URL crawled twice is one
     # page; keep the smallest page id (deterministic).
     url_keep = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
@@ -67,6 +108,18 @@ def build_training_corpus(
         F.col("keeper_doc_id").alias("doc_id")
     )
     pages = pages.join(exact_keep.hint("shuffle_hash"), "doc_id", "left_semi")
+    if line_dedup_boilerplate:
+        # dedup lines on the block structure, then fold the survivors
+        # back to the single-space token contract every downstream
+        # stage (shingles, quality, lang) speaks
+        rebuilt = line_dedup(pages).filter(F.col("n_kept") > 0)
+        pages = pages.drop("text").join(
+            rebuilt.select(
+                "doc_id",
+                F.translate("clean_text", "\n", " ").alias("text"),
+            ),
+            "doc_id",
+        )
     # Near dedup: banded Jaccard pairs -> components -> min-id keeper.
     pairs = ngram_jaccard_pairs(pages, threshold=jaccard_threshold)
     clusters = dup_clusters(pairs)
@@ -74,6 +127,19 @@ def build_training_corpus(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
     pages = pages.join(non_keepers.hint("shuffle_hash"), "doc_id", "left_anti")
+    if benchmark is not None:
+        contaminated = bloom_decontam(
+            pages,
+            benchmark,
+            m_bits=bloom_m_bits,
+            k=bloom_k,
+            flag_ratio=bloom_flag_ratio,
+        ).filter("flagged")
+        pages = pages.join(
+            contaminated.select("doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left_anti",
+        )
     # Quality filter on the composite score.
     scored = pages.withColumn(
         "quality_score", quality_metrics(F.col("text"))["quality_score"]

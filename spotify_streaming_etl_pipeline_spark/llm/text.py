@@ -178,12 +178,19 @@ HTML_ENTITIES: list[tuple[str, str]] = [
 ]
 
 
-def html_to_text(html: Column) -> Column:
+def html_to_text(html: Column, block_newlines: bool = False) -> Column:
     """HTML -> text extraction as pure codegen expressions — the first
     stage of every web-crawl corpus: drop script/style/noscript blocks
     wholesale (their content is never prose), drop comments, replace
     every remaining tag with a space (so '<p>a</p><p>b' keeps a word
     boundary), decode the common entities, collapse whitespace, trim.
+
+    ``block_newlines=True`` keeps BLOCK boundaries as newlines
+    (<br>, </p>, </div>, </li>, </h1..6>, </tr>, </blockquote> ->
+    '\\n') so the line-level operators (llm/lines.py — C4/RefinedWeb
+    line dedup and rules) see the document's real line structure;
+    the default collapses to one line, the certified
+    ``html_text_extract`` behavior.
 
     This is the regex tier of HTML cleaning — boilerplate REMOVAL
     (nav/footer link soup) belongs to the quality-scoring stage
@@ -196,9 +203,19 @@ def html_to_text(html: Column) -> Column:
         html, r"(?is)<(script|style|noscript)[^>]*>.*?</\1>", " "
     )
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    if block_newlines:
+        out = F.regexp_replace(
+            out, r"(?i)<(br|/p|/div|/li|/h[1-6]|/tr|/blockquote)[^>]*>", "\n"
+        )
     out = F.regexp_replace(out, r"<[^>]+>", " ")
     for ent, rep in HTML_ENTITIES:
         out = F.regexp_replace(out, ent, rep)
+    if block_newlines:
+        out = F.regexp_replace(out, r"[^\S\n]+", " ")
+        out = F.regexp_replace(out, r" ?\n ?", "\n")
+        out = F.regexp_replace(out, r"\n+", "\n")
+        # trim() strips spaces only — take the edge newlines too
+        return F.regexp_replace(F.trim(out), r"^\n+|\n+$", "")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
 

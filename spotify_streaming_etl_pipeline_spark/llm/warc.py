@@ -296,14 +296,17 @@ def outlink_edges(pages: DataFrame, url_col: str = "url", body_col: str = "body"
     ).select("src", canonical_url(F.col("href")).alias("dst"))
 
 
-def crawl_corpus(blobs: DataFrame) -> DataFrame:
+def crawl_corpus(blobs: DataFrame, block_newlines: bool = False) -> DataFrame:
     """The full crawl first mile as ONE plan: archive bytes -> record
     table (Arrow-batched parse) -> keep 200 text/html responses ->
     canonical URL + HTML-to-text + language ID, all existing native
     expressions — one scan of the blob column feeds corpus-ready
     (doc_id, rec, url, text, lang) rows with no shuffle anywhere
     (narrow end to end; dedup/quality stages chain directly on the
-    output)."""
+    output).  ``block_newlines`` threads through to ``html_to_text``
+    (keep block boundaries as newlines, for the line-level
+    operators); the default single-line form is the certified
+    ``crawl_corpus`` oracle behavior."""
     from pyspark.sql import functions as F
 
     from .text import canonical_url, html_to_text, lang_id
@@ -312,11 +315,14 @@ def crawl_corpus(blobs: DataFrame) -> DataFrame:
     ok = recs.filter(
         (F.col("status") == 200) & (F.col("content_type") == "text/html")
     )
-    text = html_to_text(F.col("body"))
+    text = html_to_text(F.col("body"), block_newlines=block_newlines)
+    # lang_id (and every other token operator) speaks the single-space
+    # contract — fold newlines back to spaces for the language column
+    lang_src = F.translate(text, "\n", " ") if block_newlines else text
     return ok.select(
         "doc_id",
         "rec",
         canonical_url(F.col("url")).alias("url"),
         text.alias("text"),
-        lang_id(text).alias("lang"),
+        lang_id(lang_src).alias("lang"),
     )

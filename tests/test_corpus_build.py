@@ -98,3 +98,58 @@ def test_build_training_corpus_split_follows_cluster(spark):
         spark.createDataFrame([(28,)], "doc_id long")
     ).collect()[0]["split"]
     assert out[0]["split"] == want
+
+
+def test_build_training_corpus_optional_stages(spark):
+    """robots gate, line-level boilerplate dedup, and bloom
+    decontamination, each doing provable work in one chain."""
+    from spotify_streaming_etl_pipeline_spark.llm.robots import parse_robots
+
+    footer = "subscribe to our newsletter for weekly updates and offers"
+    BENCH_C = (
+        "the held out evaluation passage speaks of ancient lighthouses"
+        " guiding weary sailors past treacherous basalt reefs at midnight"
+    )
+    recs = {
+        # two good pages sharing a boilerplate footer paragraph —
+        # line dedup must strip the SECOND copy only
+        0: [_page("http://a.example.com/x", f"{LONG_A}</p><p>{footer}")],
+        1: [_page("http://c.example.com/z", f"{LONG_B}</p><p>{footer}")],
+        # a page under a disallowed path — robots gate drops it
+        2: [_page("http://a.example.com/private/s", LONG_B.replace("submarine", "zeppelin"))],
+        # a page that verbatim-contains the benchmark passage — bloom
+        # decontamination drops it
+        3: [_page("http://d.example.com/leak",
+                  "intro words first then " + BENCH_C + " closing words after")],
+    }
+    blobs = spark.createDataFrame(
+        [(i, bytearray(build_warc(r, member_gzip=False))) for i, r in recs.items()],
+        "doc_id long, blob binary",
+    )
+    robots = parse_robots(
+        spark.createDataFrame(
+            [("a.example.com", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string",
+        )
+    )
+    bench = spark.createDataFrame([(1, BENCH_C)], "doc_id long, text string")
+    out = build_training_corpus(
+        blobs,
+        jaccard_threshold=0.9,
+        quality_quantile=0.0,
+        robots_rules=robots,
+        line_dedup_boilerplate=True,
+        benchmark=bench,
+        bloom_m_bits=1 << 20,
+        bloom_k=4,
+        bloom_flag_ratio=0.4,
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    # the private page and the contaminated page are gone
+    assert set(rows) == {"http://a.example.com/x", "http://c.example.com/z"}
+    # the footer survives exactly once, on the smaller page id
+    assert footer in rows["http://a.example.com/x"]["text"]
+    assert footer not in rows["http://c.example.com/z"]["text"]
+    assert LONG_B.split()[0] in rows["http://c.example.com/z"]["text"]
+    # folded back to the single-space contract
+    assert "\n" not in rows["http://a.example.com/x"]["text"]

@@ -112,3 +112,21 @@ def test_reflow_lines_chunks_and_empty(spark):
     out = {r.doc_id: r.text for r in lines.reflow_lines(df, 3).collect()}
     assert out[1] == "a b c\nd e f\ng"
     assert out[2] == ""
+
+
+def test_html_to_text_block_newlines(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.text import html_to_text
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><body><h1>Title</h1><p>first para</p>"
+        "<p>second<br>third</p><div>fourth</div>"
+        "<script>var x = 1;</script></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    one_line, lined = df.select(
+        html_to_text(F.col("h")).alias("a"),
+        html_to_text(F.col("h"), block_newlines=True).alias("b"),
+    ).collect()[0]
+    assert one_line == "Title first para second third fourth"
+    assert lined == "Title\nfirst para\nsecond\nthird\nfourth"
