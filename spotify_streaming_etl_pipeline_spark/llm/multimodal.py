@@ -2233,10 +2233,12 @@ def ahash_near_dup(
     for j in range(nb):
         lo = j * w_bits
         width = total_bits - lo if j == nb - 1 else w_bits
-        mask = (1 << width) - 1
-        keys.append(
-            F.shiftrightunsigned(F.col("fp"), lo).bitwiseAND(F.lit(mask))
-        )
+        sliced = F.shiftrightunsigned(F.col("fp"), lo)
+        if width < 64:
+            # a 64-bit mask literal overflows the long; a full-width
+            # band (t=0, one band) needs no mask at all
+            sliced = sliced.bitwiseAND(F.lit((1 << width) - 1))
+        keys.append(sliced)
     fband = fps.select(
         "fp", F.posexplode(F.array(*keys)).alias("band_no", "key")
     )
