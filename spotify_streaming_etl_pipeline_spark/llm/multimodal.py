@@ -1365,13 +1365,18 @@ def video_frame_features(media: DataFrame, max_frames: int = 8) -> DataFrame:
     )
 
 
-def synth_video_corpus(docs: DataFrame) -> DataFrame:
+def synth_video_corpus(
+    docs: DataFrame, shared_patterns: int | None = None
+) -> DataFrame:
     """Deterministic video-container corpus from doc ids: even ids get
     a real RIFF/AVI (LIST movi of 00dc chunks), odd ids a real ISO-BMFF
     mp4 (ftyp + mdat + moov with stsz/stsc/stco tables; no stss, so
     every sample is sync) — SAME frame payload formula for both, so one
     oracle covers both container walks.  Frame j of doc i is
-    bytes([(i + j) % 256]) * (10 + j), frame count 3 + i % 6."""
+    bytes([(b + j) % 256]) * (10 + j), frame count 3 + i % 6, with
+    b = i (default: all videos distinct) or i % shared_patterns (the
+    near-dup substrate: same-pattern docs share every common-index
+    frame ACROSS container types, different patterns share none)."""
     import struct
 
     def _avi(frames: list[bytes]) -> bytes:
@@ -1410,8 +1415,9 @@ def synth_video_corpus(docs: DataFrame) -> DataFrame:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
+                b = i if shared_patterns is None else i % shared_patterns
                 frames = [
-                    bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
+                    bytes([(b + j) % 256]) * (10 + j) for j in range(3 + i % 6)
                 ]
                 blobs.append(_avi(frames) if i % 2 == 0 else _mp4(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
@@ -2432,4 +2438,67 @@ def audio_fingerprint(
 
     return media.mapInPandas(
         _batch, schema="doc_id long, bands array<int>, fp_hex string"
+    )
+
+
+def video_fingerprint(media: DataFrame, max_frames: int = 16) -> DataFrame:
+    """(doc_id, h1, h2): one row per DISTINCT sampled frame payload —
+    the video modality's posting table.  REAL demux (``sample_frames``
+    walks RIFF/AVI, ISO-BMFF, or Matroska), one md5 per frame split
+    into the family-standard 48-bit halves; repeated frames within a
+    video collapse (set semantics, like document shingles).
+    Undemuxable blobs contribute no rows (dead-letter discipline —
+    audit them with ``video_frame_features``, whose summary nulls
+    out).  The output IS a ``dedup._posting``-shaped table, so the
+    whole n-gram near-dup machinery applies verbatim —
+    ``video_near_dup`` below feeds it to ``ngram_jaccard_pairs``."""
+    import hashlib
+    import struct
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    frames = sample_frames(bytes(blob), max_frames=max_frames)
+                except (ValueError, NotImplementedError, struct.error):
+                    continue
+                seen = set()
+                for f in frames:
+                    h = hashlib.md5(bytes(f)).hexdigest()
+                    pair = (int(h[:12], 16), int(h[12:24], 16))
+                    if pair not in seen:
+                        seen.add(pair)
+                        rows.append((int(doc_id), pair[0], pair[1]))
+            yield pd.DataFrame(rows, columns=["doc_id", "h1", "h2"])
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _batch, schema="doc_id long, h1 long, h2 long"
+    )
+
+
+def video_near_dup(
+    media: DataFrame,
+    threshold: float = 0.5,
+    max_frames: int = 16,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): video pairs whose sampled-frame SETS
+    overlap at jaccard >= threshold — re-encodes, trims, and
+    re-containered copies share exact frame payloads, so frame-set
+    Jaccard is the video analog of document shingle Jaccard.  The
+    frame posting from ``video_fingerprint`` drops straight into
+    ``dedup.ngram_jaccard_pairs`` (inverted index on the frame hash,
+    df-capped against pathological frames — a black frame shared by
+    millions of videos hits the same ``cap_doc_freq`` guard as a
+    boilerplate shingle).  Container-agnostic by construction: an AVI
+    and an mp4 of the same frames match."""
+    from .dedup import ngram_jaccard_pairs
+
+    posting = video_fingerprint(media, max_frames).persist()
+    return ngram_jaccard_pairs(
+        None,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+        _posting_df=posting,
     )

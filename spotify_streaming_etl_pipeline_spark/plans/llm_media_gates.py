@@ -831,3 +831,39 @@ def audio_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.fingerprint_near_dup(
         multimodal.audio_fingerprint(media), max_hamming=6
     )
+
+
+@query(
+    "video_near_dup",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id % 10 AS b,
+               cast(3 + doc_id % 6 AS BIGINT) AS n
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           round(least(a.n, c.n)
+                 / (a.n + c.n - least(a.n, c.n)), 4) AS jaccard
+    FROM d a JOIN d c ON a.b = c.b AND a.doc_id < c.doc_id
+    WHERE round(least(a.n, c.n)
+                / (a.n + c.n - least(a.n, c.n)), 4) >= 0.5
+    """,
+)
+def video_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup by frame-set Jaccard (llm/multimodal.py:
+    video_near_dup): synthesize genuine AVI (even ids) and mp4 (odd
+    ids) containers whose frame payloads follow a shared pattern
+    (b = doc_id % 10), REAL-demux every container, md5 the frames,
+    and run the n-gram Jaccard machinery on the frame posting.
+    Same-pattern docs share every common-index frame ACROSS container
+    types — so a surviving pair proves the AVI walk, the BMFF sample
+    tables, the frame hashing, and the Jaccard arithmetic all agree —
+    and DuckDB predicts the overlap purely arithmetically
+    (shared = min(n_a, n_b) within a pattern, 0 across patterns; the
+    0.5 threshold provably drops the 3-vs-8-frame pairs and keeps
+    5-vs-6)."""
+    from ..llm import multimodal
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    media = multimodal.synth_video_corpus(d, shared_patterns=10)
+    return multimodal.video_near_dup(media, threshold=0.5)

@@ -165,3 +165,42 @@ def test_audio_fingerprint_poison_and_guards(spark):
         multimodal.audio_fingerprint(_media(spark, []), band_w=9)
     with _pytest.raises(ValueError, match="multiple"):
         multimodal.audio_fingerprint(_media(spark, []), n_frames=63)
+
+
+def test_video_near_dup_cross_container_and_reorder(spark):
+    """An AVI and an mp4 with the same frames match at jaccard 1.0;
+    frame ORDER does not matter (set semantics); repeated frames
+    within one video count once; poison blobs drop."""
+    import struct
+
+    def avi(frames):
+        movi = b"movi"
+        for f in frames:
+            movi += b"00dc" + struct.pack("<I", len(f)) + f + (
+                b"\x00" if len(f) & 1 else b""
+            )
+        body = b"AVI LIST" + struct.pack("<I", 4) + b"hdrl"
+        body += b"LIST" + struct.pack("<I", len(movi)) + movi
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    f1, f2, f3 = b"frame-one!", b"frame-two!", b"frame-three"
+    media = spark.createDataFrame(
+        [
+            (1, avi([f1, f2, f3])),
+            (2, avi([f3, f1, f2])),        # reordered -> still 1.0
+            (3, avi([f1, f1, f2, f2])),    # dup frames collapse -> 2/3
+            (4, b"not a container"),       # poison -> contributes nothing
+        ],
+        "doc_id long, blob binary",
+    )
+    from spotify_streaming_etl_pipeline_spark.llm.multimodal import (
+        video_near_dup,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in video_near_dup(media, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == round(2 / 3, 4)
+    assert not any(4 in p for p in pairs)
