@@ -46,7 +46,12 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
                      "video_frame_summary", "mkv_frame_summary",
                      # WARC blob synth + parse are the per-blob codec
                      # path — Arrow-batched by design, like the codecs
-                     "warc_records", "crawl_corpus", "webgraph_ranks"}
+                     "warc_records", "crawl_corpus", "webgraph_ranks",
+                     # perceptual fingerprints decode real media bytes
+                     # (synth + decode + resample are per-blob codecs)
+                     "image_ahash_table", "image_ahash_pairs",
+                     "audio_fingerprint_table", "audio_fingerprint_pairs",
+                     "video_near_dup"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
@@ -279,3 +284,35 @@ def test_corpus_diff_shuffles_hashes_not_text(spark, sf_dir, queries):
         assert "text" not in exch
     # text appears only below the hash projection, never as a join output
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_bloom_probe_broadcasts_bits_and_skips_posting_windows(
+    spark, sf_dir, queries
+):
+    """The bloom bit table must BROADCAST (bounded by m, never by the
+    benchmark suite), and gram assembly must be narrow — no window
+    exchange from a posting build anywhere in the plan."""
+    plan = _plan(queries["bloom_decontam"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_robots_rules_broadcast(spark, sf_dir, queries):
+    """Rules are host-bounded — the decision join must broadcast them
+    — and the per-URL winner must be a partial aggregate, never a
+    window sort over the URL table (the parser's per-HOST line window
+    is fine: it scales with robots bytes, not the corpus)."""
+    plan = _plan(queries["robots_decisions"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "windowspecdefinition(_host" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_shuffles_hashes_not_text(spark, sf_dir, queries):
+    """The keeper aggregation must partially aggregate BEFORE its
+    exchange (map-side combine on the md5 halves) and never
+    sort-merge; line text stays out of the shuffled keeper key."""
+    plan = _plan(queries["line_dedup_decisions"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
