@@ -303,3 +303,46 @@ def weighted_sample(
         F.lit(100),
     )
     return df.filter(h < rate_pct)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    n_buckets: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic curriculum ordering for training: input columns
+    plus (bucket, position) — ``bucket`` the score band (scores in
+    [0, 1] threshold-bucketed, highest-quality band first: bucket 0 =
+    easiest/cleanest, the curriculum-learning convention), ``position``
+    the document's 0-based rank WITHIN its bucket under the portable
+    hash of its id (a deterministic shuffle — training order must not
+    correlate with ingest order, and reruns must produce the same
+    epoch).  Global training order = (bucket, position).
+
+    Threshold bucketing, not quantile bucketing, on purpose: quantile
+    edges are a whole-corpus action (and drift as the corpus grows),
+    where thresholds are narrow arithmetic both engines replay
+    exactly; feed pre-normalized scores.  The rank window partitions
+    by BUCKET — n_buckets-way parallel, each partition sorting only
+    its band's (hash, id) pairs — never a single global sort.  At
+    shard scale, compose with ``shard_assignments`` downstream."""
+    from pyspark.sql import Window
+
+    score = F.coalesce(F.col(score_col), F.lit(0.0))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(
+            F.lit(0), F.floor((1.0 - score) * n_buckets).cast("int")
+        ),
+    )
+    salt = portable_hash48(F.col(id_col).cast("string"))
+    w = Window.partitionBy("bucket").orderBy("_salt", id_col)
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("_salt", salt)
+        .withColumn(
+            "position", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_salt")
+    )

@@ -702,3 +702,42 @@ def cluster_aware_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
     clusters = dedup.dup_clusters(pairs)
     return cluster_aware_split(d, clusters).select("doc_id", "split")
+
+
+@query(
+    "curriculum_order",
+    """
+    WITH s AS (
+        SELECT doc_id, round((doc_id % 97) / 96.0, 4) AS quality_score
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               least(3, greatest(0,
+                   cast(floor((1.0 - quality_score) * 4) AS INT))) AS bucket,
+               ('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                   AS salt
+        FROM s
+    )
+    SELECT doc_id, bucket,
+           cast(row_number() OVER (PARTITION BY bucket
+                                   ORDER BY salt, doc_id) - 1 AS BIGINT)
+               AS position
+    FROM b
+    """,
+)
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering (llm/curation.py:
+    curriculum_order): threshold-bucket a [0,1] quality score into 4
+    bands (cleanest first) and rank each document within its band by
+    the portable hash of its id — a reproducible shuffled epoch
+    order.  The substrate attaches an arithmetic score
+    ((doc_id % 97) / 96, 4dp) so DuckDB replays the banding, the
+    hash salt, and the full per-band rank; the rank window partitions
+    by band (parallel), never a global sort."""
+    from ..llm.curation import curriculum_order
+
+    d = _docs(spark, sf_dir).withColumn(
+        "quality_score", F.round((F.col("doc_id") % 97) / 96.0, 4)
+    )
+    return curriculum_order(d).select("doc_id", "bucket", "position")

@@ -130,3 +130,32 @@ def test_html_to_text_block_newlines(spark):
     ).collect()[0]
     assert one_line == "Title first para second third fourth"
     assert lined == "Title\nfirst para\nsecond\nthird\nfourth"
+
+
+def test_curriculum_order_bands_and_determinism(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.curation import (
+        curriculum_order,
+    )
+
+    rows = [(i, [0.9, 0.6, 0.3, 0.1, None][i % 5]) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, quality_score double")
+    out = curriculum_order(df).collect()
+    got = {r.doc_id: r for r in out}
+    # threshold bands, cleanest first; null score -> worst band
+    assert got[0].bucket == 0   # 0.9
+    assert got[1].bucket == 1   # 0.6
+    assert got[2].bucket == 2   # 0.3
+    assert got[3].bucket == 3   # 0.1
+    assert got[4].bucket == 3   # None -> 0.0
+    # positions are a 0-based permutation within each band
+    from collections import defaultdict
+
+    bands = defaultdict(list)
+    for r in out:
+        bands[r.bucket].append(r.position)
+    for b, ps in bands.items():
+        assert sorted(ps) == list(range(len(ps))), b
+    # deterministic across runs
+    again = {r.doc_id: (r.bucket, r.position)
+             for r in curriculum_order(df).collect()}
+    assert again == {r.doc_id: (r.bucket, r.position) for r in out}
