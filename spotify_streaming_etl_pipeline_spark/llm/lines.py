@@ -132,6 +132,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_sep: str = "\n",
+    join_sep: str | None = None,
 ) -> DataFrame:
     """Corpus-wide exact line dedup, document form: (doc_id, n_lines,
     n_kept, clean_text) — every input document gets a row; documents
@@ -139,10 +140,19 @@ def line_dedup(
     clean_text rather than vanishing (dropping them silently would
     corrupt joins downstream — the repetition_stats discipline).
 
+    Separator asymmetry: ``line_sep`` SPLITS as a Java regex but
+    ``clean_text`` is rebuilt by JOINING with a literal string —
+    ``join_sep`` when given, else ``line_sep`` verbatim.  For the
+    default newline the two coincide; for an escaped/metacharacter
+    separator (e.g. ``line_sep='\\\\|'``) pass the literal
+    ``join_sep='|'`` or the rebuilt text diverges from the original.
+
     The rebuild is a per-doc ``collect_list(struct(line_no, line))``
     sorted in-array — doc-sized state partitioned by doc_id, so it
     scales with document count; the order key makes the output
     byte-deterministic under any shuffle placement."""
+    if join_sep is None:
+        join_sep = line_sep
     lt = line_table(df, text_col, id_col, line_sep)
     dec = line_dedup_decisions(df, text_col, id_col, line_sep)
     kept = lt.join(dec.filter("kept"), ["doc_id", "line_no"], "left_semi")
@@ -153,7 +163,7 @@ def line_dedup(
                 F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                 lambda s: s["line"],
             ),
-            line_sep,
+            join_sep,
         ).alias("clean_text"),
     )
     totals = lt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
@@ -244,6 +254,8 @@ def c4_doc_filter(
         F.col(id_col).alias("doc_id"),
         F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem"),
     )
+    # has_lorem is always REPORTED; it only FIRES when lorem_filter
+    lorem_fires = F.col("has_lorem") if lorem_filter else F.lit(False)
     return (
         base.join(per_doc, "doc_id", "left")
         .select(
@@ -253,7 +265,7 @@ def c4_doc_filter(
             "has_lorem",
             (
                 (F.coalesce("n_kept_lines", F.lit(0)) >= min_kept_lines)
-                & ~F.col("has_lorem")
+                & ~lorem_fires
             ).alias("kept"),
         )
     )

@@ -2329,34 +2329,40 @@ def ahash_near_dup(
 fingerprint_near_dup = ahash_near_dup
 
 
+def _tone_samples(i: int, n_patterns: int) -> list[int]:
+    """The audio substrate's shared sample arithmetic: 64 frames of
+    25 alternating-sign samples at amplitude
+    (b*(f+1) + (f+1)^2) % 80 + 10, +30 on the first 8 frames of
+    alternating variants (b = i % n_patterns, variant = (i //
+    n_patterns) % 2).  Docs sharing (b, variant) are sample-identical
+    REGARDLESS of which container encodes them."""
+    b = i % n_patterns
+    p = (i // n_patterns) % 2
+    samples: list[int] = []
+    for f in range(64):
+        a = (b * (f + 1) + (f + 1) * (f + 1)) % 80 + 10
+        if p == 1 and f < 8:
+            a += 30
+        samples.extend(a if s % 2 == 0 else -a for s in range(25))
+    return samples
+
+
 def synth_tone_wav_corpus(docs: DataFrame, n_patterns: int = 13) -> DataFrame:
     """Deterministic AMPLITUDE-MODULATED wav corpus (the audio
-    fingerprint gate's substrate): real mono 8-bit PCM, 64 frames of
-    25 samples, frame f an alternating-sign tone of amplitude
-    (b*(f+1) + (f+1)^2) % 80 + 10 with a +30 boost on the first 8
-    frames of alternating variants — docs sharing (doc_id %
-    n_patterns, variant) are bit-identical recordings, same-pattern
-    variants fingerprint 3-11 bits apart, cross-pattern pairs >= 19
-    (measured) — the populations an audio near-dup gate must
-    separate.  A constant-amplitude (square-wave) corpus could not
-    certify the frame-energy profile; a modulated one can."""
+    fingerprint gate's substrate): real mono 8-bit PCM over
+    ``_tone_samples`` — docs sharing (doc_id % n_patterns, variant)
+    are bit-identical recordings, same-pattern variants fingerprint
+    3-11 bits apart, cross-pattern pairs >= 19 (measured) — the
+    populations an audio near-dup gate must separate.  A
+    constant-amplitude (square-wave) corpus could not certify the
+    frame-energy profile; a modulated one can."""
     import struct
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
-                i = int(doc_id)
-                b = i % n_patterns
-                p = (i // n_patterns) % 2
-                samples: list[int] = []
-                for f in range(64):
-                    a = (b * (f + 1) + (f + 1) * (f + 1)) % 80 + 10
-                    if p == 1 and f < 8:
-                        a += 30
-                    samples.extend(
-                        a if s % 2 == 0 else -a for s in range(25)
-                    )
+                samples = _tone_samples(int(doc_id), n_patterns)
                 data = bytes(s + 128 for s in samples)
                 fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
                 chunks = (
@@ -2376,11 +2382,62 @@ def synth_tone_wav_corpus(docs: DataFrame, n_patterns: int = 13) -> DataFrame:
     )
 
 
+def synth_tone_audio_corpus(
+    docs: DataFrame, n_patterns: int = 13, flac_mod: int = 3
+) -> DataFrame:
+    """Mixed-CONTAINER tone corpus: the same ``_tone_samples`` stream
+    per doc, encoded as REAL FLAC (fixed-order-1 Rice entropy path,
+    llm/flac.py) when ``doc_id % flac_mod == 0`` and 8-bit PCM
+    RIFF/WAVE otherwise.  Docs sharing (doc_id % n_patterns, variant)
+    decode to IDENTICAL samples across containers, so the
+    ``audio_fingerprint`` gate built on this corpus certifies the
+    ``decode_audio`` dispatch: a WAV and a FLAC of the same recording
+    must land in the same near-dup cluster at hamming 0 (a regression
+    to a WAV-only decode dead-letters every FLAC doc and both oracle
+    pairs move)."""
+    import struct
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .flac import encode_flac
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                samples = _tone_samples(i, n_patterns)
+                if i % flac_mod == 0:
+                    blobs.append(
+                        encode_flac(
+                            [samples], sample_rate=8000, fixed_order=1
+                        )
+                    )
+                else:
+                    data = bytes(s + 128 for s in samples)
+                    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+                    chunks = (
+                        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                    blobs.append(
+                        b"RIFF"
+                        + struct.pack("<I", 4 + len(chunks))
+                        + b"WAVE"
+                        + chunks
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def audio_fingerprint(
     media: DataFrame, n_frames: int = 64, band_w: int = 8
 ) -> DataFrame:
-    """Energy-profile audio fingerprint per recording: REAL wav
-    decode (any codec ``decode_wav`` speaks — PCM, G.711, IMA ADPCM)
+    """Energy-profile audio fingerprint per recording: REAL decode
+    through the ``decode_audio`` container dispatch (RIFF/WAVE PCM,
+    G.711, IMA ADPCM — and FLAC via ``llm.flac.decode_flac``, so a
+    WAV and a FLAC of the same audio fingerprint IDENTICALLY)
     -> split the sample stream into ``n_frames`` equal frames ->
     integer mean |sample| per frame -> threshold each frame energy
     against the global integer mean (strict >) -> pack ``band_w``
@@ -2390,7 +2447,8 @@ def audio_fingerprint(
     to the time axis: loudness-profile-preserving transforms (level
     shifts move every frame AND the mean together) keep the
     fingerprint stable, reorderings break it.  Arrow-batched; poison
-    blobs yield NULL bands (dead-letter discipline)."""
+    blobs and unsupported codecs (mp3) yield NULL bands (dead-letter
+    discipline)."""
     if band_w > 8:
         raise ValueError("band_w > 8 would overflow the per-band byte")
     if n_frames % band_w:
@@ -2401,7 +2459,7 @@ def audio_fingerprint(
             bands_col, hex_col = [], []
             for blob in pdf["blob"]:
                 try:
-                    wav = decode_wav(bytes(blob))
+                    wav = decode_audio(bytes(blob))
                     s = wav["samples"]
                     flen = len(s) // n_frames
                     if flen == 0:

@@ -47,10 +47,24 @@ def parse_robots(
 
     Group semantics per RFC 9309 §2.1: a group is one or more
     consecutive ``User-agent`` lines followed by its rules; a rule
-    belongs to EVERY agent named in its group's header run.  Lines
-    are trimmed, ``#`` comments stripped, field names matched
-    case-insensitively; empty-path Disallow rules and (unsupported)
-    wildcard patterns are dropped."""
+    belongs to EVERY agent named in its group's header run.  Group
+    boundaries are computed over ALL non-blank lines BEFORE unknown
+    fields are filtered out, so two header runs separated only by,
+    say, a ``Crawl-delay`` stay distinct groups (filtering first
+    would merge them and mis-attribute the later run's rules).
+    Lines are trimmed, ``#`` comments stripped, field names matched
+    case-insensitively; empty-path Allow rules (no-ops) and
+    (unsupported) wildcard patterns are dropped.
+
+    Fail-open markers: a group whose every rule was dropped — an
+    empty ``Disallow:`` (= no restriction), nothing but wildcard
+    patterns, or no rules at all — still EXISTS for agent scoping
+    (RFC 9309 §2.2.1: the most-specific matching group applies even
+    when it has no rules), so such groups emit one marker row per
+    agent: ``allow=true, path_prefix='', rule_len=0``.  The marker
+    matches every path at length 0, losing every contest against a
+    real rule, but lets ``robots_decisions`` select the exact-agent
+    group instead of falling back (and over-blocking) on ``*``."""
     w = Window.partitionBy("host").orderBy("line_no")
     lines = (
         df.select(
@@ -75,43 +89,67 @@ def parse_robots(
                 "value"
             ),
         )
-        .filter(F.col("field").isin("user-agent", "allow", "disallow"))
     )
     is_agent = F.col("field") == "user-agent"
     prev_agent = F.lag(is_agent.cast("int"), 1, 0).over(w)
-    # a new group starts at a user-agent line NOT preceded by one
+    # a new group starts at a user-agent line NOT preceded by one;
+    # unknown fields participate in boundary detection, then drop
     marked = lines.withColumn(
         "group_id",
         F.sum(
             (is_agent.cast("int") * (1 - prev_agent)).cast("long")
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
     agents = (
         marked.filter(is_agent)
         .select("host", "group_id", F.lower("value").alias("agent"))
         .distinct()
     )
-    rules = marked.filter(~is_agent).select(
-        "host",
-        "group_id",
-        "line_no",
-        (F.col("field") == "allow").alias("allow"),
-        F.col("value").alias("path_prefix"),
-    )
-    return (
-        rules.join(agents, ["host", "group_id"])
+    rules = (
+        marked.filter(~is_agent)
+        .select(
+            "host",
+            "group_id",
+            (F.col("field") == "allow").alias("allow"),
+            F.col("value").alias("path_prefix"),
+        )
+        # empty Allow is a no-op; empty Disallow = "no restriction"
+        # (handled by the group marker below); wildcards unsupported
         .filter(F.col("path_prefix") != "")
         .filter(
             ~F.col("path_prefix").contains("*")
             & ~F.col("path_prefix").contains("$")
         )
+    )
+    # marker rows for groups with agents but zero surviving rules
+    markers = (
+        agents.select("host", "group_id")
+        .distinct()
+        .join(
+            rules.select("host", "group_id").distinct(),
+            ["host", "group_id"],
+            "left_anti",
+        )
         .select(
             "host",
-            "agent",
-            "allow",
-            "path_prefix",
-            F.length("path_prefix").cast("long").alias("rule_len"),
+            "group_id",
+            F.lit(True).alias("allow"),
+            F.lit("").alias("path_prefix"),
         )
+    )
+    joined = rules.join(agents, ["host", "group_id"]).select(
+        "host", "agent", "allow", "path_prefix"
+    )
+    return joined.unionByName(
+        markers.join(agents, ["host", "group_id"]).select(
+            "host", "agent", "allow", "path_prefix"
+        )
+    ).select(
+        "host",
+        "agent",
+        "allow",
+        "path_prefix",
+        F.length("path_prefix").cast("long").alias("rule_len"),
     )
 
 
@@ -131,7 +169,16 @@ def robots_decisions(
     matching path prefixes the longest wins, allow wins length ties;
     no match = allowed.  The rules table broadcasts (bounded by host
     count); the per-URL winner is a ``min(struct(...))`` argmax that
-    partially aggregates before the shuffle."""
+    partially aggregates before the shuffle.
+
+    URL parsing: schemes match case-insensitively (RFC 3986 §3.1),
+    and a URL with no path component ('http://host') is treated as
+    path '/' per RFC 9309 §2.2.2, so ``Disallow: /`` blocks it.
+    Trailing-slash caveat: matching is EXACT prefix, so a rule
+    ``Disallow: /dir/`` does not match the path '/dir' that
+    ``text.canonical_url`` produces by stripping a trailing slash —
+    canonicalize BEFORE the robots gate consistently on both the
+    fetch and audit sides, or keep rule prefixes slash-free."""
     a = agent.lower()
     # hostnames are case-insensitive (RFC 4343) — normalize the rules
     # side too, so a mixed-case rules table still matches URL hosts
@@ -146,9 +193,24 @@ def robots_decisions(
     scoped = scoped.join(best_spec, "host").filter(
         F.col("_spec") == F.col("_best_spec")
     )
-    u = urls.withColumn(
-        "_host", F.lower(F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1))
-    ).withColumn("_path", F.regexp_extract(url_col, r"^[a-z]+://[^/]+(/.*)?$", 1))
+    scheme = r"(?i)^[a-z][a-z0-9+.-]*://"
+    u = (
+        urls.withColumn(
+            "_host",
+            F.lower(F.regexp_extract(url_col, scheme + r"([^/]+)", 1)),
+        )
+        .withColumn(
+            "_raw_path",
+            F.regexp_extract(url_col, scheme + r"[^/]+(/.*)?$", 1),
+        )
+        # RFC 9309 §2.2.2: the empty path is evaluated as '/'
+        .withColumn(
+            "_path",
+            F.when(F.col("_raw_path") == "", F.lit("/")).otherwise(
+                F.col("_raw_path")
+            ),
+        )
+    )
     cand = u.join(
         F.broadcast(scoped), u["_host"] == scoped["host"], "left"
     ).withColumn(

@@ -598,57 +598,84 @@ def outlink_edges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "robots_decisions",
     """
     WITH u AS (
-        SELECT doc_id, doc_id % 7 AS k,
-               'http://h' || (doc_id % 7) || '.example.com/p/' || doc_id
-                   AS url,
+        SELECT doc_id, doc_id % 7 AS k, doc_id % 5 = 0 AS pathless,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'HTTP://h' || (doc_id % 7) || '.example.com'
+                    ELSE 'http://h' || (doc_id % 7) || '.example.com/p/'
+                         || doc_id END AS url,
                starts_with(doc_id::VARCHAR, '1') AS one
         FROM documents
     )
-    SELECT doc_id, url,
-           CASE WHEN k IN (2, 4) THEN false
+    SELECT doc_id, url, agent,
+           CASE WHEN agent = 'evilbot' THEN true
+                WHEN pathless THEN k != 4
+                WHEN k IN (2, 4) THEN false
                 WHEN k IN (0, 6) THEN one
                 ELSE true END AS allowed,
-           cast(CASE WHEN k IN (0, 6) THEN (CASE WHEN one THEN 4 ELSE 3 END)
+           cast(CASE WHEN agent = 'evilbot' THEN 0
+                     WHEN pathless THEN (CASE WHEN k = 4 THEN 1 ELSE 0 END)
+                     WHEN k IN (0, 6) THEN (CASE WHEN one THEN 4 ELSE 3 END)
                      WHEN k IN (2, 4) THEN 3
                      WHEN k = 3 AND one THEN 4
                      ELSE 0 END AS BIGINT) AS rule_len
-    FROM u
+    FROM u CROSS JOIN (VALUES ('*'), ('evilbot')) AS a(agent)
     """,
 )
 def robots_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness, parsed and applied for real (llm/
     robots.py): per-host robots bodies are synthesized with comment
-    lines, an ``evilbot`` Disallow-all group, a shared-header group
-    (host 5), an empty ``Disallow:`` (host 1), unknown fields
-    (Crawl-delay), and arithmetic Allow/Disallow rules — Disallow
-    ``/p/`` on even hosts, Allow ``/p/1`` on hosts divisible by 3 —
-    then ``parse_robots`` + ``robots_decisions('*')`` run the REAL
-    group/precedence/longest-match machinery over one URL per doc.
-    DuckDB predicts (allowed, rule_len) purely arithmetically from
-    doc_id, so a regression anywhere in comment stripping, group
-    assembly, agent scoping, prefix matching, or tie-breaking moves
-    the hash."""
+    lines, two header runs separated ONLY by an unknown field (an
+    ``evilbot`` group with zero rules, then ``probot`` Disallow-all —
+    merging them would leak the Disallow onto evilbot), a
+    shared-header group (host 5), an empty ``Disallow:`` (host 1),
+    and arithmetic Allow/Disallow rules — Disallow ``/p/`` on even
+    hosts, an extra Disallow ``/`` on host 4, Allow ``/p/1`` on
+    hosts divisible by 3.  Every 5th URL is pathless with an
+    UPPERCASE scheme (RFC 9309 evaluates the empty path as '/', so
+    host 4 blocks it at rule_len 1).  Decisions run for BOTH the
+    ``*`` agent and ``evilbot`` (whose empty exact group must
+    allow everything — RFC 9309 §2.2.1 group existence — rather
+    than fall back to the ``*`` rules).  DuckDB predicts
+    (allowed, rule_len) purely arithmetically from doc_id, so a
+    regression anywhere in comment stripping, unknown-field group
+    boundaries, empty-group markers, agent scoping, empty-path
+    defaulting, scheme casing, prefix matching, or tie-breaking
+    moves the hash."""
     from ..llm.robots import parse_robots, robots_decisions
 
     k = (F.col("doc_id") % 7).cast("int")
+    pathless = F.col("doc_id") % 5 == 0
     urls = _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat(
-            F.lit("http://h"),
-            k.cast("string"),
-            F.lit(".example.com/p/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
+        F.when(
+            pathless,
+            F.concat(
+                F.lit("HTTP://h"), k.cast("string"), F.lit(".example.com")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://h"),
+                k.cast("string"),
+                F.lit(".example.com/p/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("url"),
     )
     rk = F.col("id").cast("int")
+    # evilbot's header run is separated from probot's by Crawl-delay
+    # only: distinct groups, so evilbot keeps ZERO rules (marker)
     header = F.lit(
-        "# crawl policy\nUser-agent: evilbot\nDisallow: /\n"
+        "# crawl policy\nUser-agent: evilbot\nCrawl-delay: 9\n"
+        "User-agent: probot\nDisallow: /\n"
     )
     star_group = F.concat(
         F.lit("User-agent: *\n"),
         F.when(rk % 2 == 0, F.lit("Disallow: /p/\n")).otherwise(
             F.when(rk == 1, F.lit("Disallow:\n")).otherwise(F.lit(""))
         ),
+        F.when(rk == 4, F.lit("Disallow: /\n")).otherwise(F.lit("")),
         F.when(rk % 3 == 0, F.lit("Allow: /p/1\n")).otherwise(F.lit("")),
         F.lit("Crawl-delay: 5\n"),
     )
@@ -664,7 +691,14 @@ def robots_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(rk == 5, shared_header_group).otherwise(star_group),
         ).alias("robots_txt"),
     )
-    return robots_decisions(urls, parse_robots(robots), agent="*")
+    rules = parse_robots(robots)
+    star = robots_decisions(urls, rules, agent="*").withColumn(
+        "agent", F.lit("*")
+    )
+    evil = robots_decisions(urls, rules, agent="evilbot").withColumn(
+        "agent", F.lit("evilbot")
+    )
+    return star.unionByName(evil)
 
 
 #: aHash substrate arithmetic (synth_pattern_png_corpus: 16x12,
@@ -793,15 +827,19 @@ _AUDIO_FP_CTE = """
 )
 def audio_fingerprint_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Energy-profile audio fingerprint (llm/multimodal.py:
-    audio_fingerprint): synthesize genuine amplitude-modulated PCM
-    wavs, REAL decode (RIFF chunk walk), split into 64 frames,
-    threshold each frame's integer mean |sample| against the global
-    mean, pack 8 frames per band.  DuckDB predicts all 64 bits
-    arithmetically (the frame mean IS the amplitude), so a regression
-    in the chunk walk, PCM centering, framing, or packing moves some
-    recording's hex."""
+    audio_fingerprint): synthesize genuine amplitude-modulated
+    recordings in MIXED containers — every 3rd doc a real FLAC
+    (fixed-order Rice entropy path), the rest 8-bit PCM wavs — REAL
+    decode through the ``decode_audio`` dispatch, split into 64
+    frames, threshold each frame's integer mean |sample| against the
+    global mean, pack 8 frames per band.  DuckDB predicts all 64
+    bits arithmetically (the frame mean IS the amplitude, identical
+    across containers), so a regression in the container dispatch,
+    the RIFF chunk walk, the FLAC frame/Rice decode, PCM centering,
+    framing, or packing moves some recording's hex — and a fallback
+    to a WAV-only decode nulls every FLAC doc out of the table."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    media = multimodal.synth_tone_wav_corpus(d)
+    media = multimodal.synth_tone_audio_corpus(d)
     return multimodal.audio_fingerprint(media).select("doc_id", "fp_hex")
 
 
@@ -825,9 +863,12 @@ def audio_fingerprint_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole recall exact at hamming <= 6).  The substrate plants
     bit-identical recordings (hamming 0), loudness-perturbed variants
     (3-11), and cross-pattern spread (>= 19); the ORACLE IS BRUTE
-    FORCE, so banded recall is certified, not assumed."""
+    FORCE, so banded recall is certified, not assumed.  The substrate
+    mixes containers (synth_tone_audio_corpus: every 3rd doc FLAC,
+    the rest WAV), so sample-identical WAV/FLAC pairs MUST surface at
+    hamming 0 — the cross-container dedup a real crawl needs."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    media = multimodal.synth_tone_wav_corpus(d)
+    media = multimodal.synth_tone_audio_corpus(d)
     return multimodal.fingerprint_near_dup(
         multimodal.audio_fingerprint(media), max_hamming=6
     )

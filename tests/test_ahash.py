@@ -154,6 +154,36 @@ def test_audio_fingerprint_level_shift_invariance(spark):
     assert got[1] == got[2]
 
 
+def test_audio_fingerprint_flac_matches_wav(spark):
+    """A FLAC and a WAV of the SAME samples fingerprint identically
+    (the decode_audio dispatch — a WAV-only decode would null the
+    FLAC row), and the mixed-container substrate pairs them at
+    hamming 0."""
+    import struct
+
+    from spotify_streaming_etl_pipeline_spark.llm.flac import encode_flac
+    from spotify_streaming_etl_pipeline_spark.llm.multimodal import (
+        _tone_samples,
+    )
+
+    samples = _tone_samples(5, 13)
+    data = bytes(s + 128 for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    flac = encode_flac([samples], sample_rate=8000, fixed_order=1)
+    fps = multimodal.audio_fingerprint(
+        _media(spark, [(1, wav), (2, flac)])
+    )
+    got = {r.doc_id: r.fp_hex for r in fps.collect()}
+    assert got[1] is not None and got[1] == got[2]
+    pairs = multimodal.fingerprint_near_dup(fps, max_hamming=6).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
 def test_audio_fingerprint_poison_and_guards(spark):
     rows = multimodal.audio_fingerprint(
         _media(spark, [(1, b"not a wav at all")])

@@ -105,6 +105,25 @@ def test_c4_doc_filter_lorem_and_min_lines(spark):
     assert out[1].kept and out[1].n_kept_lines == 3
     assert out[2].has_lorem and not out[2].kept
     assert out[3].n_kept_lines == 1 and not out[3].kept
+    # lorem_filter=False: the column still reports, the rule no
+    # longer fires (doc 2 has 4 kept lines, so it survives)
+    off = {
+        r.doc_id: r
+        for r in lines.c4_doc_filter(df, lorem_filter=False).collect()
+    }
+    assert off[2].has_lorem and off[2].kept
+    assert off[1].kept and not off[3].kept
+
+
+def test_line_dedup_join_sep_for_regex_separators(spark):
+    # line_sep is a regex; '\\|' splits on literal '|' but would
+    # re-join as the two characters '\|' — join_sep restores it
+    df = _df(spark, [(1, "alpha beta|alpha beta|gamma delta")])
+    out = lines.line_dedup(
+        df, line_sep=r"\|", join_sep="|"
+    ).collect()[0]
+    assert out.n_lines == 3 and out.n_kept == 2
+    assert out.clean_text == "alpha beta|gamma delta"
 
 
 def test_reflow_lines_chunks_and_empty(spark):
