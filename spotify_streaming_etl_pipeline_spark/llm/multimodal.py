@@ -640,13 +640,27 @@ def jpeg_features(media: DataFrame) -> DataFrame:
 
 def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-JPEG corpus from doc ids (the synthesized-
-    real-bytes gate discipline): grayscale baseline JPEGs of solid
-    8x8 blocks — block b (row-major) holds value base + b with
-    base = (doc_id*17) % 200 — encoded through the full entropy
-    pipeline (``llm.jpeg.encode_jpeg``, flat-8 quant). Solid blocks
-    make the DC round-trip EXACT (DC = 8*(v-128) quantized by 8), so
+    real-bytes gate discipline), cycling doc_id % 3 over the three
+    baseline forms a crawl actually contains:
+
+    - mode 0: GRAYSCALE, solid 8x8 luma blocks — block b (row-major)
+      holds base + b with base = (doc_id*17) % 200.
+    - mode 1: COLOR 4:2:0 (sampling [(2,2),(1,1),(1,1)]) — same solid
+      luma blocks over base = (doc_id*17) % 180 + 10 (headroom so no
+      channel clips), Cb solid 128, Cr solid 133.  The chroma DC
+      round-trips exactly through box-downsample + replication
+      upsample, and rint(1.402*5)=+7, rint(-0.714136*5)=-4,
+      rint(0)=0 shift R/G/B off luma by integers, so the
+      channel-interleaved mean is EXACTLY luma_mean + 1.
+    - mode 2: COLOR 4:2:2 (sampling [(2,1),(1,1),(1,1)]) — Cb solid
+      123, Cr solid 128: shifts (0, +2, -9), mean = luma_mean - 7/3.
+
+    All blobs go through the full entropy pipeline
+    (``llm.jpeg.encode_jpeg``, flat-8 quant); solid blocks make the
+    DC round-trip EXACT (DC = 8*(v-128) quantized by 8), so
     ``jpeg_features`` decodes means that are exact rational functions
-    of doc_id: base + (n_blocks - 1) / 2."""
+    of doc_id — and a decoder that refuses or mis-upsamples
+    subsampled chroma nulls (or moves) two-thirds of the table."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .jpeg import encode_jpeg
@@ -655,13 +669,32 @@ def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
+                mode = i % 3
                 wb, hb = 1 + i % 3, 1 + i % 2
-                base = (i * 17) % 200
+                base = (
+                    (i * 17) % 200 if mode == 0 else (i * 17) % 180 + 10
+                )
                 img = [
                     [base + (y // 8) * wb + (x // 8) for x in range(8 * wb)]
                     for y in range(8 * hb)
                 ]
-                blobs.append(encode_jpeg([img]))
+                if mode == 0:
+                    blobs.append(encode_jpeg([img]))
+                else:
+                    cb, cr = (128, 133) if mode == 1 else (123, 128)
+                    solid = lambda v: [
+                        [v] * (8 * wb) for _ in range(8 * hb)
+                    ]
+                    sampling = (
+                        [(2, 2), (1, 1), (1, 1)]
+                        if mode == 1
+                        else [(2, 1), (1, 1), (1, 1)]
+                    )
+                    blobs.append(
+                        encode_jpeg(
+                            [img, solid(cb), solid(cr)], sampling=sampling
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.select("doc_id").mapInPandas(

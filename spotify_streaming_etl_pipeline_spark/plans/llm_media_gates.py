@@ -271,25 +271,41 @@ def g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "jpeg_image_features",
     """
+    WITH p AS (
+        SELECT doc_id, doc_id % 3 AS mode,
+               1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+               CASE WHEN doc_id % 3 = 0 THEN (doc_id * 17) % 200
+                    ELSE (doc_id * 17) % 180 + 10 END AS base
+        FROM documents WHERE doc_id < 200
+    )
     SELECT doc_id,
-           cast(8 * (1 + doc_id % 3) AS BIGINT) AS width,
-           cast(8 * (1 + doc_id % 2) AS BIGINT) AS height,
-           cast(1 AS BIGINT) AS channels,
-           round((doc_id * 17) % 200
-                 + ((1 + doc_id % 3) * (1 + doc_id % 2) - 1) / 2.0,
+           cast(8 * wb AS BIGINT) AS width,
+           cast(8 * hb AS BIGINT) AS height,
+           cast(CASE WHEN mode = 0 THEN 1 ELSE 3 END AS BIGINT)
+               AS channels,
+           round(base + (wb * hb - 1) / 2.0
+                 + CASE WHEN mode = 1 THEN 1.0
+                        WHEN mode = 2 THEN -7.0 / 3.0
+                        ELSE 0.0 END,
                  4) AS mean_pixel
-    FROM documents WHERE doc_id < 200
+    FROM p
     """,
 )
 def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode behind an oracle gate: synthesize a
-    genuine baseline JPEG per doc — full entropy pipeline: forward
+    genuine baseline JPEG per doc — grayscale, COLOR 4:2:0, and
+    COLOR 4:2:2 cycling by doc_id % 3, full entropy pipeline: forward
     DCT, flat-8 quantization, zigzag RLE, canonical Huffman from DHT,
     byte stuffing (llm/jpeg.py:encode_jpeg via synth_jpeg_corpus) —
     then decode through ``jpeg_features`` (marker walk, Huffman,
-    dequant, exact IDCT). Solid 8x8 blocks make the DC round-trip
-    exact, so DuckDB predicts width/height/channels and the
-    fractional mean (base + (n_blocks-1)/2) arithmetically."""
+    dequant, exact IDCT, interleaved-MCU chroma upsample, YCbCr->RGB).
+    Solid 8x8 blocks make every DC round-trip exact and the solid
+    chroma planes shift R/G/B off luma by exact integers, so DuckDB
+    predicts width/height/channels and the fractional mean
+    arithmetically: base + (n_blocks-1)/2, +1 for the 4:2:0 chroma
+    pair (128,133), -7/3 for the 4:2:2 pair (123,128).  A decoder
+    that refuses or mis-indexes subsampled chroma nulls or moves
+    two-thirds of the rows."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return multimodal.jpeg_features(multimodal.synth_jpeg_corpus(d))
 
