@@ -18,7 +18,7 @@ dedup's cap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import window_hashes
@@ -116,6 +116,129 @@ def winnowed_fingerprints(
     )
     return (
         wh.select("doc_id", F.min("h").over(frame).alias("h")).distinct()
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    min_len: int = 20,
+    text_col: str = "text",
+    window: int = WINDOW,
+    max_postings: int | None = 1000,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact verbatim duplicate SPANS between document pairs — the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") surgical-removal primitive that doc-level and
+    line-level dedup both miss: (doc_a, doc_b, a_start, b_start,
+    span_len) with doc_a < doc_b, ``a_start``/``b_start`` the 1-based
+    character offsets of a MAXIMAL shared substring of length
+    ``span_len`` >= ``min_len``.
+
+    Relational suffix-array stand-in: position-keeping
+    ``window_hashes`` -> posting grouped by hash (hot-hash star guard:
+    postings longer than ``max_postings`` — corpus boilerplate — are
+    dropped whole, the ``posting_buckets`` discipline) -> within-row
+    double explode pairs matched positions join-free -> matched
+    positions sharing a DIAGONAL (ia - ib) merge into runs by the
+    gaps-and-islands rewrite (ia - row_number), each island one span
+    of length max(ia) - min(ia) + window.
+
+    Scale posture: the one corpus-sized shuffle carries (h, doc_id,
+    i) ~ 22 B per CHARACTER of corpus — inherently heavier than the
+    thinned fingerprint families, exactly as the suffix-array
+    original is.  At 100 TB run it funneled: ``candidates`` (any
+    (doc_a, doc_b) table, e.g. ``winnowed_overlap_pairs`` output)
+    semi-joins the posting down to documents already known to
+    overlap before the position join.  The island window partitions
+    by (doc_a, doc_b, diag) — pair-sized state, never corpus-sized.
+
+    Caveat (documented, inherent to hash-position matching):
+    self-PERIODIC shared text (e.g. "abab...") also matches on
+    shifted diagonals, reporting sub-spans of the maximal span;
+    downstream removal is interval-UNION per doc
+    (``removal_intervals``), which collapses them."""
+    wh = window_hashes(df, text_col, window, with_pos=True)
+    if candidates is not None:
+        docs = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        wh = wh.join(docs, "doc_id", "left_semi")
+    posting = wh.groupBy("h").agg(
+        F.collect_list(F.struct("doc_id", "i")).alias("ps")
+    )
+    if max_postings is not None:
+        posting = posting.filter(F.size("ps") <= max_postings)
+    matched = (
+        posting.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("c"))
+        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("a.i").alias("ia"),
+            (F.col("a.i") - F.col("c.i")).alias("diag"),
+        )
+        .dropDuplicates(["doc_a", "doc_b", "diag", "ia"])
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = matched.withColumn(
+        "island", F.col("ia") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("ia").alias("a_start"),
+            (F.max("ia") - F.min("ia") + window).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("a_start").cast("long").alias("a_start"),
+            (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+        )
+    )
+
+
+def removal_intervals(spans: DataFrame) -> DataFrame:
+    """Per-document character intervals to DELETE for surgical
+    verbatim dedup: (doc_id, start, length), 1-based, overlapping
+    intervals merged.  Keeper policy: min doc_id keeps its text —
+    every span charges its interval to ``doc_b`` only (deterministic,
+    oracle-replayable; the doc-level ``cluster_keepers`` uses the
+    same min-id convention).  Interval union is the running-max
+    gaps-and-islands rewrite — one window partitioned by doc_id,
+    doc-sized state."""
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("start"),
+        (F.col("b_start") + F.col("span_len")).alias("end"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start", "end")
+    prev_max = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = iv.withColumn(
+        "new_island",
+        (prev_max.isNull() | (F.col("start") > prev_max)).cast("int"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        runs.groupBy("doc_id", "island")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .select(
+            "doc_id",
+            F.col("start").cast("long").alias("start"),
+            (F.col("end") - F.col("start")).cast("long").alias("length"),
+        )
     )
 
 

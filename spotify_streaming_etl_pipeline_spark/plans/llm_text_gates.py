@@ -457,6 +457,145 @@ def winnowed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
 
 
+def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-span substrate with arithmetically PLANTED spans:
+    doc layout  prefix G s1 G mid G s0 G mid G s2 G  where the
+    prefix/mid runs are doc-UNIQUE markers (every 16-char window
+    contains the full ``<%06d>`` doc id, so they never match across
+    docs), G is a doc-unique GUARD letter (same-group docs differ by
+    multiples of 25, never 0 mod 26, so guards always differ —
+    pinning span boundaries exactly: without guards the markers'
+    shared structural chars '>'/'<0000' would extend spans
+    pair-dependently), s1/s0/s2 are group-shared (g = doc_id % 25)
+    non-periodic counter strings of lengths 9*(4+g%3) / exactly 16 /
+    27, and the prefix length 8*(2+doc_id%3) varies PER DOC so
+    matched spans sit on non-zero diagonals.  Same-group pairs share
+    exactly three spans of known offsets; the 16-char s0 pins the
+    min_len threshold (dropped at the default 20)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150).select("doc_id")
+    g = (F.col("doc_id") % 25).cast("int")
+    m1 = (F.lit(4) + g % 3).cast("int")
+    marker = F.format_string("<%06d>", F.col("doc_id"))
+    letters = F.lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    guard = F.substring(
+        letters, ((F.col("doc_id") % 26) + 1).cast("int"), 1
+    )
+
+    def rep(n: int):
+        return F.concat(*([marker] * n))
+
+    k = F.col("doc_id") % 3
+    prefix = (
+        F.when(k == 0, rep(2)).when(k == 1, rep(3)).otherwise(rep(4))
+    )
+    s1 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), m1 - 1),
+            lambda j: F.format_string("(%04d:%02d)", g, j),
+        ),
+        "",
+    )
+    s0 = F.format_string("<<%04d:abcdefg>>", g)
+    s2 = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda j: F.format_string("[%04d:%02d]", g, j),
+        ),
+        "",
+    )
+    text = F.concat(
+        prefix, guard, s1, guard, rep(2), guard, s0, guard, rep(2),
+        guard, s2, guard,
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+#: the span substrate's per-doc arithmetic, shared by both oracles:
+#: pa = prefix chars, L1 = first shared block's length
+_SPAN_CTE = """
+    d AS (
+        SELECT doc_id, doc_id % 25 AS g,
+               8 * (2 + doc_id % 3) AS pa,
+               9 * (4 + (doc_id % 25) % 3) AS l1
+        FROM documents WHERE doc_id < 150
+    )
+"""
+
+
+@query(
+    "verbatim_spans",
+    f"""
+    WITH {_SPAN_CTE},
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pa AS paa, b.pa AS pab, a.l1 AS l1
+        FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           cast(paa + 2 AS BIGINT) AS a_start,
+           cast(pab + 2 AS BIGINT) AS b_start,
+           cast(l1 AS BIGINT) AS span_len
+    FROM p
+    UNION ALL
+    SELECT doc_a, doc_b,
+           cast(paa + l1 + 54 AS BIGINT),
+           cast(pab + l1 + 54 AS BIGINT),
+           cast(27 AS BIGINT)
+    FROM p
+    """,
+)
+def verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact verbatim duplicate-span extraction (llm/overlap.py:
+    duplicate_spans) — the Lee et al. 2022 surgical-removal primitive:
+    maximal shared substrings with 1-based offsets in BOTH documents,
+    found by position-keeping window hashes -> hot-capped posting ->
+    join-free matched-position explode -> same-diagonal
+    gaps-and-islands merge.  The substrate (``_span_corpus``) PLANTS
+    the spans arithmetically: same-group docs share blocks of length
+    9*(4+g%3) and 27 at prefix-dependent offsets, plus a 16-char
+    block that the min_len=20 threshold must drop — so DuckDB
+    predicts every (a_start, b_start, span_len) by construction and
+    a regression in hashing, posting, diagonal math, island merge,
+    or thresholding moves rows."""
+    from ..llm.overlap import duplicate_spans
+
+    return duplicate_spans(_span_corpus(spark, sf_dir), min_len=20)
+
+
+@query(
+    "verbatim_removal",
+    f"""
+    WITH {_SPAN_CTE},
+    k AS (SELECT g, min(doc_id) AS keeper FROM d GROUP BY g),
+    nk AS (
+        SELECT doc_id, pa, l1 FROM d JOIN k USING (g)
+        WHERE doc_id != keeper
+    )
+    SELECT doc_id, cast(pa + 2 AS BIGINT) AS start,
+           cast(l1 AS BIGINT) AS length
+    FROM nk
+    UNION ALL
+    SELECT doc_id, cast(pa + l1 + 54 AS BIGINT), cast(27 AS BIGINT)
+    FROM nk
+    """,
+)
+def verbatim_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical-removal intervals (llm/overlap.py:
+    removal_intervals): per-document merged character intervals to
+    delete, min-doc_id keeper policy — every span charges doc_b, and
+    the interval union (running-max gaps-and-islands window) merges
+    the duplicate charges a doc receives from its many keepers.
+    DuckDB predicts the intervals by construction: every non-keeper
+    group member deletes exactly its two planted blocks (the
+    identical intervals charged once per same-group keeper pair must
+    collapse to one row each, or the hash moves)."""
+    from ..llm.overlap import duplicate_spans, removal_intervals
+
+    return removal_intervals(
+        duplicate_spans(_span_corpus(spark, sf_dir), min_len=20)
+    )
+
+
 @query(
     "repetition_signals",
     """

@@ -1,0 +1,95 @@
+"""Units for exact verbatim duplicate-span extraction
+(llm/overlap.py: duplicate_spans / removal_intervals) — the
+Lee et al. 2022 surgical-removal primitive: offsets, maximality,
+min_len thresholding, the periodic-text caveat, interval union, and
+the candidate funnel."""
+
+from __future__ import annotations
+
+from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+    duplicate_spans,
+    removal_intervals,
+)
+
+S45 = "The quick brown fox jumps over the lazy dog!!"  # 45 chars
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_single_span_offsets_and_length(spark):
+    assert len(S45) == 45
+    a = "qwertyuiopasdfgh" + S45 + "zxcvbnmmnbvcxzas"
+    b = "0a1b2c3d4e5f6g7h8i9j" + S45
+    spans = duplicate_spans(_df(spark, [(1, a), (2, b)])).collect()
+    assert [(s.doc_a, s.doc_b, s.a_start, s.b_start, s.span_len)
+            for s in spans] == [(1, 2, 17, 21, 45)]
+
+
+def test_two_spans_and_min_len_threshold(spark):
+    short = "ABCDEFGHIJKLMNOP"  # exactly 16 shared chars
+    assert len(short) == 16
+    a = S45 + "qwertyuiopasdfgh" + short + "zxcvbnmmnbvcxzas" + S45.upper()
+    b = "0a1b2c3d4e5f6g7h" + S45 + "8i9jKLmnOPqrSTuv" + short + S45.upper()
+    df = _df(spark, [(3, a), (7, b)])
+    got = {
+        (s.a_start, s.b_start, s.span_len)
+        for s in duplicate_spans(df, min_len=20).collect()
+    }
+    # the 16-char block is below min_len; the two 45-char spans keep
+    assert got == {(1, 17, 45), (94, 94, 45)}
+    with_short = {
+        (s.a_start, s.b_start, s.span_len)
+        for s in duplicate_spans(df, min_len=16).collect()
+    }
+    assert with_short == got | {(62, 78, 16)}
+
+
+def test_periodic_text_subspans_union_in_removal(spark):
+    # self-periodic shared text matches on shifted diagonals too —
+    # sub-spans are reported, but interval union collapses them
+    per = "ab" * 11  # 22 chars, period 2
+    a = "qwertyuiopasdfgh" + per + "zxcvnmmlkjhgfdsq"
+    b = "0a1b2c3d4e5f6g7j" + per  # filler last char differs from a's
+    spans = duplicate_spans(_df(spark, [(1, a), (2, b)]), min_len=20)
+    rows = spans.collect()
+    lens = sorted(s.span_len for s in rows)
+    assert 22 in lens and all(l >= 20 for l in lens)
+    iv = removal_intervals(spans).collect()
+    assert [(r.doc_id, r.start, r.length) for r in iv] == [(2, 17, 22)]
+
+
+def test_removal_charges_larger_doc_and_merges_overlaps(spark):
+    # doc 9 shares S45 with BOTH 1 and 2 -> identical intervals merge;
+    # docs 1 and 2 (keepers in their pairs with 9) are never charged
+    a = "qwertyuiopasdfgh" + S45
+    b = "0a1b2c3d4e5f6g7j" + S45
+    c = "zxcvbnmasdfghjkq" + S45
+    spans = duplicate_spans(_df(spark, [(1, a), (2, b), (9, c)]))
+    iv = removal_intervals(spans).collect()
+    assert {(r.doc_id, r.start, r.length) for r in iv} == {
+        (2, 17, 45),
+        (9, 17, 45),
+    }
+
+
+def test_candidates_funnel_restricts_docs(spark):
+    a = "qwertyuiopasdfgh" + S45
+    b = "0a1b2c3d4e5f6g7j" + S45
+    c = "zxcvbnmasdfghjkq" + S45
+    df = _df(spark, [(1, a), (2, b), (9, c)])
+    cand = spark.createDataFrame([(1, 9)], "doc_a long, doc_b long")
+    got = {
+        (s.doc_a, s.doc_b)
+        for s in duplicate_spans(df, candidates=cand).collect()
+    }
+    assert got == {(1, 9)}
+
+
+def test_hot_posting_guard_drops_boilerplate(spark):
+    # a window present in > max_postings docs is dropped whole
+    rows = [(i, "qwertyuiopasdfgh" + S45) for i in range(1, 6)]
+    df = _df(spark, rows)
+    assert duplicate_spans(df, max_postings=4).count() == 0
+    assert duplicate_spans(df, max_postings=None).count() == 10
