@@ -17,12 +17,13 @@ channel count, G.711 mu-law/A-law companding expansion, mono IMA
 ADPCM) feeds ``wav_features`` the same way, and ``avi_frames`` /
 ``mp4_frames`` / ``mkv_frames`` walk the RIFF/AVI chunk tree, the
 ISO-BMFF sample tables (stsz/stsc/stco/co64/stss), and the EBML
-cluster tree (Matroska keyness rules) to sample real video frame
-payloads without decoding them. Baseline JPEG decodes for real too
-(``llm/jpeg.py``: DQT/DHT/DRI marker walk, byte-stuffed Huffman
-entropy decode, dequant + exact IDCT, JFIF YCbCr->RGB) behind
-``jpeg_features``. The remaining surfaces (progressive/subsampled
-JPEG, mp3/FLAC, laced Matroska blocks, multi-channel ADPCM) raise
+cluster tree (Matroska keyness rules, Xiph/fixed/EBML lace-size
+parsing) to sample real video frame payloads without decoding them.
+Baseline JPEG decodes for real too (``llm/jpeg.py``: DQT/DHT/DRI
+marker walk, byte-stuffed Huffman entropy decode, dequant + exact
+IDCT, chroma-subsampled interleaved MCUs, JFIF YCbCr->RGB) behind
+``jpeg_features``; FLAC via ``llm/flac.py``. The remaining surfaces
+(progressive/12-bit JPEG, mp3 PCM, multi-channel ADPCM) raise
 NotImplementedError because their codecs aren't in this container —
 nothing fabricates pseudo-frames;
 ``extract_blob_features`` computes a deterministic byte-level feature
@@ -1463,11 +1464,21 @@ def synth_video_corpus(
 def synth_mkv_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic Matroska corpus from doc ids: a real EBML stream
     (EBML header element, Segment, one Cluster with a Timestamp and
-    one keyframe SimpleBlock per frame — marker-bit varint ids and
-    minimal-length size varints throughout), SAME frame payload
-    formula as ``synth_video_corpus`` so the mkv walk is gated by the
-    same arithmetic oracle: frame j of doc i is
-    bytes([(i + j) % 256]) * (10 + j), frame count 3 + i % 6."""
+    keyframe SimpleBlocks — marker-bit varint ids and minimal-length
+    size varints throughout), SAME frame payload formula as
+    ``synth_video_corpus`` so the mkv walk is gated by the same
+    arithmetic oracle: frame j of doc i is
+    bytes([(i + j) % 256]) * (10 + j), frame count 3 + i % 6.
+
+    Frames PACK by doc_id % 4 so the oracle also pins lace-size
+    parsing (the decoded frames must be identical in all four):
+    mode 0 one plain block per frame, mode 1 ONE Xiph-laced block
+    (255-continued size bytes), mode 2 ONE EBML-laced block (vint
+    first size + signed-vint deltas; the +1/frame growth encodes as
+    delta vints), mode 3 one fixed-laced block per frame (lace-count
+    byte present, count 1 — the degenerate fixed form some muxers
+    emit; multi-frame fixed lacing needs equal sizes, which the
+    growth formula never produces, and is unit-pinned instead)."""
 
     def _size(n: int) -> bytes:
         for ln in range(1, 9):
@@ -1478,12 +1489,52 @@ def synth_mkv_corpus(docs: DataFrame) -> DataFrame:
     def _elem(eid: bytes, body: bytes) -> bytes:
         return eid + _size(len(body)) + body
 
-    def _mkv(frames: list[bytes]) -> bytes:
-        header = _elem(_EBML_SIG, _elem(b"\x42\x86", b"\x01"))  # EBMLVersion
-        blocks = b"".join(
-            _elem(b"\xa3", b"\x81" + b"\x00\x00" + b"\x80" + f)
-            for f in frames
+    def _xiph_block(frames: list[bytes]) -> bytes:
+        sizes = b""
+        for f in frames[:-1]:
+            s = len(f)
+            sizes += b"\xff" * (s // 255) + bytes([s % 255])
+        body = (
+            b"\x81\x00\x00"
+            + bytes([0x80 | 0x02, len(frames) - 1])
+            + sizes
+            + b"".join(frames)
         )
+        return _elem(b"\xa3", body)
+
+    def _ebml_lace_block(frames: list[bytes]) -> bytes:
+        # first size as a plain vint; each next as a signed-vint
+        # delta (1-byte form: stored = delta + 63, marker 0x80)
+        sizes = _size(len(frames[0]))
+        for a, b in zip(frames, frames[1:-1]):
+            delta = len(b) - len(a)
+            if not -63 <= delta <= 63:
+                raise ValueError("delta too wide for 1-byte signed vint")
+            sizes += bytes([0x80 | (delta + 63)])
+        body = (
+            b"\x81\x00\x00"
+            + bytes([0x80 | 0x06, len(frames) - 1])
+            + sizes
+            + b"".join(frames)
+        )
+        return _elem(b"\xa3", body)
+
+    def _mkv(frames: list[bytes], mode: int) -> bytes:
+        header = _elem(_EBML_SIG, _elem(b"\x42\x86", b"\x01"))  # EBMLVersion
+        if mode == 1 and len(frames) > 1:
+            blocks = _xiph_block(frames)
+        elif mode == 2 and len(frames) > 1:
+            blocks = _ebml_lace_block(frames)
+        elif mode == 3:
+            blocks = b"".join(
+                _elem(b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x04, 0]) + f)
+                for f in frames
+            )
+        else:
+            blocks = b"".join(
+                _elem(b"\xa3", b"\x81" + b"\x00\x00" + b"\x80" + f)
+                for f in frames
+            )
         cluster = _elem(b"\x1f\x43\xb6\x75", _elem(b"\xe7", b"\x00") + blocks)
         return header + _elem(b"\x18\x53\x80\x67", cluster)
 
@@ -1495,7 +1546,7 @@ def synth_mkv_corpus(docs: DataFrame) -> DataFrame:
                 frames = [
                     bytes([(i + j) % 256]) * (10 + j) for j in range(3 + i % 6)
                 ]
-                blobs.append(_mkv(frames))
+                blobs.append(_mkv(frames, i % 4))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.select("doc_id").mapInPandas(
@@ -1988,26 +2039,73 @@ def mkv_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
     SimpleBlock is a keyframe iff its header flag 0x80 is set; a
     BlockGroup's Block is a keyframe iff the group carries no
     ReferenceBlock. Frame PAYLOADS are returned as stored (compressed
-    video samples) — sampling never decodes what it skips. Laced
-    blocks (Xiph/EBML/fixed lacing packs several frames per block)
-    raise NotImplementedError rather than mis-splitting payloads;
-    unknown-size elements (live-streamed Matroska) are handled."""
+    video samples) — sampling never decodes what it skips. LACED
+    blocks (several frames per block — common in webm audio and some
+    video muxes) are split for real in all three modes (Matroska
+    §Block structure): Xiph (255-continued size bytes), fixed (equal
+    division), and EBML (first size a vint, then signed-vint deltas);
+    the last lace is always the remainder. Unknown-size elements
+    (live-streamed Matroska) are handled."""
     blob = bytes(blob)
     if blob[:4] != _EBML_SIG:
         raise ValueError("not an EBML (mkv/webm) byte string")
     frames: list[bytes] = []
 
-    def block(body: int, body_end: int) -> tuple[bool, bytes]:
+    def lace_sizes(flags: int, p: int, body_end: int) -> tuple[list[int], int]:
+        """Frame sizes within one (Simple)Block payload starting at
+        ``p``; returns (sizes, payload_start)."""
+        mode = flags & 0x06
+        if mode == 0x00:
+            return [body_end - p], p
+        n = blob[p] + 1  # lace-count byte stores count - 1
+        p += 1
+        sizes: list[int] = []
+        if mode == 0x04:  # fixed: equal division of the remainder
+            total = body_end - p
+            if total % n:
+                raise ValueError(
+                    "fixed-laced Matroska block payload not divisible "
+                    "by its lace count (corrupt stream)"
+                )
+            return [total // n] * n, p
+        if mode == 0x02:  # Xiph: 255-continued bytes per size
+            for _ in range(n - 1):
+                s = 0
+                while True:
+                    b = blob[p]
+                    p += 1
+                    s += b
+                    if b != 255:
+                        break
+                sizes.append(s)
+        else:  # 0x06 EBML: first size a vint, then signed-vint deltas
+            prev, p2 = _ebml_vint(blob, p, keep_marker=False)
+            sizes.append(prev)
+            p = p2
+            for _ in range(n - 2):
+                raw, p2 = _ebml_vint(blob, p, keep_marker=False)
+                prev += raw - ((1 << (7 * (p2 - p) - 1)) - 1)
+                if prev < 0:
+                    raise ValueError("negative EBML lace size")
+                sizes.append(prev)
+                p = p2
+        rest = (body_end - p) - sum(sizes)
+        if rest < 0:
+            raise ValueError("laced Matroska sizes overrun the block")
+        sizes.append(rest)  # last lace is the remainder
+        return sizes, p
+
+    def block(body: int, body_end: int) -> tuple[bool, list[bytes]]:
         _track, p = _ebml_vint(blob, body, keep_marker=False)
         p += 2  # int16 timestamp relative to the cluster
         flags = blob[p]
         p += 1
-        if flags & 0x06:
-            raise NotImplementedError(
-                "laced Matroska blocks (multiple frames per block) need "
-                "lace-size parsing; refusing to mis-split payloads"
-            )
-        return bool(flags & 0x80), blob[p:body_end]
+        sizes, p = lace_sizes(flags, p, body_end)
+        payloads = []
+        for s in sizes:
+            payloads.append(blob[p : p + s])
+            p += s
+        return bool(flags & 0x80), payloads
 
     for eid, body, bend in _ebml_elements(blob, 0, len(blob)):
         if eid != 0x18538067:  # Segment
@@ -2019,18 +2117,18 @@ def mkv_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
                 if len(frames) >= max_frames * every:
                     break
                 if eid3 == 0xA3:  # SimpleBlock
-                    key, payload = block(b3, e3)
+                    key, payloads = block(b3, e3)
                     if key:
-                        frames.append(payload)
+                        frames.extend(payloads)
                 elif eid3 == 0xA0:  # BlockGroup
-                    payload, has_ref = None, False
+                    payloads, has_ref = None, False
                     for eid4, b4, e4 in _ebml_elements(blob, b3, e3):
                         if eid4 == 0xA1:  # Block (flag bits reserved)
-                            payload = block(b4, e4)[1]
+                            payloads = block(b4, e4)[1]
                         elif eid4 == 0xFB:  # ReferenceBlock -> delta frame
                             has_ref = True
-                    if payload is not None and not has_ref:
-                        frames.append(payload)
+                    if payloads is not None and not has_ref:
+                        frames.extend(payloads)
     return frames[::every][:max_frames]
 
 

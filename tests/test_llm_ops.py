@@ -1409,14 +1409,62 @@ def test_mkv_frames_unknown_size_segment_and_refusals():
     f0 = b"streamed-frame"
     blocks = _ebml(b"\xa3", b"\x81\x00\x00\x80" + f0)
     assert multimodal.mkv_frames(_encode_mkv(blocks, unknown_size=True)) == [f0]
-    with pytest.raises(NotImplementedError, match="lace"):
-        multimodal.mkv_frames(
-            _encode_mkv(_ebml(b"\xa3", b"\x81\x00\x00\x86xx"))
-        )
     with pytest.raises(ValueError):
         multimodal.mkv_frames(b"not ebml at all")
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"unknowncontainerbytes")
+
+
+def test_mkv_laced_blocks_all_three_modes():
+    """Xiph (255-continued sizes, incl. one frame > 255 bytes), EBML
+    (vint first size + signed-vint deltas), and fixed (equal split)
+    lacing all recover the exact frame payloads; the keyframe flag
+    applies to every lace in the block."""
+    f0, f1, f2 = b"A" * 300, b"BB", b"CCCC"  # Xiph: 300 = 255 + 45
+    xiph = _ebml(
+        b"\xa3",
+        b"\x81\x00\x00" + bytes([0x80 | 0x02, 2])
+        + b"\xff" + bytes([45]) + bytes([2])
+        + f0 + f1 + f2,
+    )
+    assert multimodal.mkv_frames(_encode_mkv(xiph)) == [f0, f1, f2]
+    # EBML lacing: sizes 10, 12, remainder; deltas stored +63
+    g0, g1, g2 = b"x" * 10, b"y" * 12, b"z" * 7
+    ebml = _ebml(
+        b"\xa3",
+        b"\x81\x00\x00" + bytes([0x80 | 0x06, 2])
+        + bytes([0x80 | 10]) + bytes([0x80 | (2 + 63)])
+        + g0 + g1 + g2,
+    )
+    assert multimodal.mkv_frames(_encode_mkv(ebml)) == [g0, g1, g2]
+    # fixed lacing: three equal 6-byte frames
+    h0, h1, h2 = b"111111", b"222222", b"333333"
+    fixed = _ebml(
+        b"\xa3",
+        b"\x81\x00\x00" + bytes([0x80 | 0x04, 2]) + h0 + h1 + h2,
+    )
+    assert multimodal.mkv_frames(_encode_mkv(fixed)) == [h0, h1, h2]
+    # a DELTA laced block (no keyframe flag) contributes nothing
+    delta = _ebml(
+        b"\xa3",
+        b"\x81\x00\x00" + bytes([0x04, 2]) + h0 + h1 + h2,
+    )
+    assert multimodal.mkv_frames(_encode_mkv(delta)) == []
+
+
+def test_mkv_laced_corrupt_blocks_raise():
+    # fixed lacing whose payload does not divide by the lace count
+    bad_fixed = _ebml(
+        b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x04, 2]) + b"1234567"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        multimodal.mkv_frames(_encode_mkv(bad_fixed))
+    # Xiph sizes that overrun the block
+    bad_xiph = _ebml(
+        b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x02, 1, 200]) + b"short"
+    )
+    with pytest.raises(ValueError, match="overrun"):
+        multimodal.mkv_frames(_encode_mkv(bad_xiph))
 
 
 def test_decode_image_dispatches_bmp():
