@@ -457,6 +457,88 @@ def winnowed_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowed_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
 
 
+#: unigram substrate: 8 letter-disjoint 2-char pieces; doc d's text
+#: is piece[d % 8] repeated 2 + d % 5 times (one word, no spaces)
+_UNI_PIECES = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+_UNI_SQL_LIST = "['" + "','".join(_UNI_PIECES) + "']"
+
+
+def _unigram_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id")
+    piece = F.element_at(
+        F.array(*[F.lit(p) for p in _UNI_PIECES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    m = (F.col("doc_id") % 5 + 2).cast("int")
+    text = F.array_join(
+        F.transform(F.sequence(F.lit(1), m), lambda _: piece), ""
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+@query(
+    "unigram_vocab",
+    f"""
+    SELECT ({_UNI_SQL_LIST})[(doc_id % 8)::INT + 1] AS piece,
+           cast(sum(2 + doc_id % 5) AS BIGINT) AS cnt
+    FROM documents WHERE doc_id < 200
+    GROUP BY 1
+    """,
+)
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    (llm/unigram.py:unigram_train, hard-EM variant): seed every
+    <=2-char substring count, quantize integer costs
+    round(1000*ln(T/cnt)), Viterbi-segment the distinct words with a
+    native-fold DP, re-count pieces from the segmentations.  The
+    substrate plants 8 letter-disjoint bigram pieces, each doc one
+    word of piece^(2+d%5) — the optimal segmentation is [piece]*m by
+    construction (the only m-piece path; singles cost the same per
+    char but double the count), so the trained vocabulary must prune
+    to EXACTLY the 8 planted pieces with usage counts DuckDB predicts
+    arithmetically.  A regression in seeding, cost quantization, the
+    DP fold, tie-breaking, or the EM recount changes the piece set or
+    its counts."""
+    from ..llm.unigram import unigram_train
+
+    return unigram_train(_unigram_corpus(spark, sf_dir), rounds=1)
+
+
+@query(
+    "unigram_tokens",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               ({_UNI_SQL_LIST})[(doc_id % 8)::INT + 1] AS piece,
+               2 + doc_id % 5 AS m
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, cast(m AS BIGINT) AS n_tokens,
+           rtrim(repeat(piece || ' ', m::INT)) AS tokens_str
+    FROM d
+    """,
+)
+def unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer SERVING (llm/unigram.py:unigram_encode):
+    train on the substrate (one hard-EM round prunes to the 8 planted
+    pieces), re-quantize costs, then Viterbi-tokenize every document
+    — distinct words segment once, documents reassemble by position.
+    DuckDB predicts each doc's token sequence by construction
+    ([piece] * m, space-joined); a regression anywhere in the
+    train->costs->DP->backpointer-walk->reassembly chain moves
+    token strings or counts."""
+    from ..llm.unigram import piece_costs, unigram_encode, unigram_train
+
+    corpus = _unigram_corpus(spark, sf_dir)
+    costs = piece_costs(unigram_train(corpus, rounds=1))
+    enc = unigram_encode(corpus, costs)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.array_join("tokens", " ").alias("tokens_str"),
+    )
+
+
 def _span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verbatim-span substrate with arithmetically PLANTED spans:
     doc layout  prefix G s1 G mid G s0 G mid G s2 G  where the
