@@ -9,8 +9,11 @@ The driver caps each run at ~50 query pairs and walks the dict in
 insertion order, so ordering here controls which pairs get a
 correctness row each round.  ``_verification_order`` sorts the
 registry by driver-verification history (never-green first, then
-stalest-green ascending) so that every declared pair cycles through
-the cap within two rounds without manual curation — see COVERAGE.md.
+stalest-green ascending), so every declared pair cycles through the
+cap within ceil(registry/50) rounds (~4 at the current size) without
+manual curation; between driver visits, the full registry is
+execution-verified locally every round by
+``tests/test_oracle_parity.py`` — see COVERAGE.md.
 """
 
 from __future__ import annotations
