@@ -1,17 +1,23 @@
-"""Scale legs for the round-9 curation families: line dedup, bloom
-decontamination, and the image/audio fingerprint near-dups at n and
-10n documents — the 100 TB design check (does wall-clock grow ~
-linearly when the problem grows 10x AT CONSTANT DUP-GROUP SIZE?).
+"""Scale legs for the curation families: line dedup, bloom
+decontamination, and the image/audio/video near-dups at n, 10n, and
+(opt-in) 100n documents — the 100 TB design check (does wall-clock
+grow ~linearly when the problem grows 10x/100x AT CONSTANT DUP-GROUP
+SIZE?).
 
 Group sizes are held constant by scaling the pattern count with n
 (n_patterns = n // 16) — the make_sf1.py discipline: 10 verbatim
 pattern copies would turn every dup group into a 10x clique and the
-pair count quadratic, benchmarking a different problem.  Documents
-come from the sf0.1 substrate (n = full table) and a 10x replica
-salt (same rule make_sf1.py uses for text).
+pair count quadratic, benchmarking a different problem.  Text legs
+replicate the sf0.1 substrate with replica-salted tokens (same rule
+make_sf1.py uses); media legs need only doc ids (the synth corpora
+are arithmetic functions of doc_id), so they scale by widening the
+id range.
 
-Usage: python bench_media_dedup.py   [env: SPARK_GRAFT_SF_DIR]
-Prints one JSON line {family: {n: sec, 10n: sec, ratio: x}}.
+Usage: python bench_media_dedup.py
+  env: SPARK_GRAFT_SF_DIR       (default /root/testdata/sf0.1)
+       SPARK_GRAFT_MEDIA_SCALES (default "1,10"; set "1,10,100" for
+                                 the full 100x leg)
+Prints one JSON line {family: {sec per scale, ratios}}.
 """
 
 from __future__ import annotations
@@ -37,16 +43,15 @@ def _noop(build_fn) -> float:
     return round(time.time() - t0, 2)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench-media-dedup")
-    spark.sparkContext.setLogLevel("ERROR")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = docs.count()
-    # 10x replica: keys strided, tokens replica-salted (cross-replica
-    # line/gram similarity collapses; within-replica structure intact)
-    replicas = spark.range(10).select(F.col("id").alias("r"))
-    docs10 = (
+def _replicate_text(spark, docs, n: int, k: int):
+    """k-fold text replica: keys strided, tokens replica-salted
+    (cross-replica line/gram similarity collapses; within-replica
+    structure intact — near-dup work scales linearly, not
+    quadratically)."""
+    if k == 1:
+        return docs
+    replicas = spark.range(k).select(F.col("id").alias("r"))
+    return (
         docs.crossJoin(replicas)
         .select(
             (F.col("doc_id") + F.col("r") * (n + 1)).alias("doc_id"),
@@ -66,24 +71,52 @@ def main() -> None:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scales = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_MEDIA_SCALES", "1,10").split(",")
+    ]
+    spark = get_spark("bench-media-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    text_ds = {k: _replicate_text(spark, docs, n, k) for k in scales}
     out: dict[str, dict] = {}
 
-    def leg(name, build):
-        t1 = _noop(lambda: build(docs, n))
-        t10 = _noop(lambda: build(docs10, 10 * n))
-        out[name] = {"n_sec": t1, "n10_sec": t10, "ratio": round(t10 / max(t1, 1e-9), 2)}
-        print(f"  {name}: {t1}s -> {t10}s ({out[name]['ratio']}x)", flush=True)
+    def leg(name, build, datasets):
+        row: dict[str, float] = {}
+        prev_key = None
+        for k in scales:
+            t = _noop(lambda: build(datasets[k], k * n))
+            row[f"x{k}_sec"] = t
+            if prev_key is not None:
+                row[f"ratio_{prev_key}_to_x{k}"] = round(
+                    t / max(row[f"x{prev_key}_sec"], 1e-9), 2
+                )
+            prev_key = k
+        out[name] = row
+        print(f"  {name}: {row}", flush=True)
 
     leg(
         "line_dedup_decisions",
         lambda d, _n: lines.line_dedup_decisions(lines.reflow_lines(d, 3)),
+        text_ds,
     )
     leg(
         "bloom_decontam",
         lambda d, _n: bloom_decontam(
             d, d.filter(F.col("doc_id") % 10 == 0), m_bits=1 << 20, k=3
         ),
+        text_ds,
     )
+
+    # media legs: the synth corpora are pure functions of doc_id, so
+    # scaling = widening the id range (no text replication needed)
+    id_ds = {k: spark.range(k * n).select(F.col("id").alias("doc_id"))
+             for k in scales}
 
     def fp_leg(name, synth, fingerprint, max_h):
         def build(d, n_docs):
@@ -92,7 +125,7 @@ def main() -> None:
                 fingerprint(media), max_hamming=max_h
             )
 
-        leg(name, build)
+        leg(name, build, id_ds)
 
     fp_leg(
         "image_ahash_pairs",
@@ -106,7 +139,35 @@ def main() -> None:
         multimodal.audio_fingerprint,
         6,
     )
-    print(json.dumps({"metric": "media_dedup_scaling", "n_docs": n, "legs": out}))
+
+    # the audio SCALE form: 128-bit fingerprints (n_frames=128) widen
+    # the t=6 band keys from ~9 to ~18 bits — the 64-bit form's
+    # 512-key space saturates at large distinct-fingerprint counts
+    # (measured 47x wall at the 10->100x step before this path)
+    fp_leg(
+        "audio_fp128_pairs",
+        multimodal.synth_tone_wav_corpus,
+        lambda media: multimodal.audio_fingerprint(media, n_frames=128),
+        6,
+    )
+
+    def video_build(d, n_docs):
+        media = multimodal.synth_video_corpus(
+            d, shared_patterns=max(13, n_docs // 16)
+        )
+        return multimodal.video_near_dup(media, threshold=0.5)
+
+    leg("video_near_dup", video_build, id_ds)
+    print(
+        json.dumps(
+            {
+                "metric": "media_dedup_scaling",
+                "n_docs": n,
+                "scales": scales,
+                "legs": out,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

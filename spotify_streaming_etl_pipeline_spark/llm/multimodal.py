@@ -2264,11 +2264,20 @@ def ahash_near_dup(
        pair within the threshold agrees on >= 1 whole band and the
        (band_no, key) equi-join has EXACT recall; slicing into t+1
        bands makes each key as wide as the threshold allows (t=4 ->
-       12-16 bits, t=6 -> 9-10 bits) — candidates scale with
-       DISTINCT-fingerprint bucket co-occurrence, not documents
-       (banding raw documents measured 13.8x wall at 10x docs on a
-       dup-heavy corpus; fingerprint-level banding took the same leg
-       to ~linear);
+       12-16 bits, t=6 -> 9-10 bits on 64-bit fingerprints) —
+       candidates scale with DISTINCT-fingerprint bucket
+       co-occurrence, not documents (banding raw documents measured
+       13.8x wall at 10x docs on a dup-heavy corpus;
+       fingerprint-level banding took the same leg to ~linear).
+       KEY-WIDTH SIZING at corpus scale: once distinct fingerprints
+       approach 2^(total_bits/(t+1)), buckets saturate uniformly and
+       candidates grow quadratically (measured: 64-bit/t=6 = 9-bit
+       keys, 28x wall at the 10->100x leg; 128-bit/t=6 = 18-bit
+       keys, 14x — BENCH_sf10.json round10_media_dedup).  Size the
+       fingerprint so total_bits/(max_hamming+1) >= ~16 — e.g.
+       ``audio_fingerprint(n_frames=128)``, ``image_ahash(hash_h=16)``;
+       wide fingerprints pack into a words struct and band keys are
+       bit ranges crossing word boundaries;
     3. verify candidate fingerprint pairs with a relational popcount
        (zip_with xor bit_count over the band arrays);
     4. expand back to document pairs relationally: same-fingerprint
@@ -2303,22 +2312,48 @@ def ahash_near_dup(
         return base.sparkSession.createDataFrame(
             [], "doc_a long, doc_b long, hamming long"
         )
-    if total_bits > 64:
-        raise ValueError("fingerprints wider than 64 bits are unsupported")
     nb = max_hamming + 1
     if nb > total_bits:
         raise ValueError(
             "pigeonhole slicing needs max_hamming + 1 <= total fingerprint bits"
         )
-    # the fingerprint as one 64-bit word (two's-complement bitwise
-    # ops are well-defined; slices below use unsigned shifts)
-    word = None
-    for i in range(n_rows):
-        part = F.shiftleft(
-            F.element_at("bands", i + 1).cast("long"), i * band_w
+    # the fingerprint as 64-bit words (two's-complement bitwise ops
+    # are well-defined; slices below use unsigned shifts).  WIDE
+    # fingerprints (> 64 bits) pack into a words STRUCT — the scale
+    # path: at a fixed threshold, band-key width grows with
+    # fingerprint bits (64-bit/t=6 keys are ~9 bits and their 512-key
+    # space saturates around ~50k distinct fingerprints, measured
+    # 47x wall at the 10->100x leg; 128-bit keys are ~18 bits and
+    # keep bucket growth linear)
+    bands_per_word = 64 // band_w
+    n_words = (n_rows + bands_per_word - 1) // bands_per_word
+    words = []
+    for wdx in range(n_words):
+        word = None
+        for k in range(bands_per_word):
+            i = wdx * bands_per_word + k
+            if i >= n_rows:
+                break
+            part = F.shiftleft(
+                F.element_at("bands", i + 1).cast("long"), k * band_w
+            )
+            word = part if word is None else word.bitwiseOR(part)
+        words.append(word)
+    if n_words == 1:
+        fp_col = words[0]
+    else:
+        fp_col = F.struct(
+            *[w.alias(f"w{i}") for i, w in enumerate(words)]
         )
-        word = part if word is None else word.bitwiseOR(part)
-    docs = base.select("doc_id", F.col("bands"), word.alias("fp"))
+    # band keys are equality-join keys, so a full 64-bit key is fine
+    # (sign bit included); only a > 64-bit band cannot fit a long
+    if total_bits // nb + total_bits % nb > 64:
+        raise ValueError(
+            "a band key would exceed 64 bits; raise max_hamming or "
+            "shorten the fingerprint (t=0 on wide fingerprints is "
+            "exact dedup — use the same-fingerprint path directly)"
+        )
+    docs = base.select("doc_id", F.col("bands"), fp_col.alias("fp"))
     fps = (
         docs.groupBy("fp")
         .agg(
@@ -2365,17 +2400,29 @@ def ahash_near_dup(
     )
 
     # -- cross-fingerprint pairs via banded search over DISTINCT fps --
+    def _word(w: int):
+        return F.col("fp") if n_words == 1 else F.col("fp")[f"w{w}"]
+
+    def _bit_range(lo: int, width: int):
+        """The fingerprint bits [lo, lo+width) as one <=63-bit long,
+        crossing word boundaries where needed."""
+        w0, off = divmod(lo, 64)
+        col = F.shiftrightunsigned(_word(w0), off)
+        got = 64 - off
+        if got >= width:
+            if width < 64:
+                col = col.bitwiseAND(F.lit((1 << width) - 1))
+            return col
+        col = col.bitwiseAND(F.lit((1 << got) - 1))
+        high = _word(w0 + 1).bitwiseAND(F.lit((1 << (width - got)) - 1))
+        return col.bitwiseOR(F.shiftleft(high, got))
+
     w_bits = total_bits // nb
     keys = []
     for j in range(nb):
         lo = j * w_bits
         width = total_bits - lo if j == nb - 1 else w_bits
-        sliced = F.shiftrightunsigned(F.col("fp"), lo)
-        if width < 64:
-            # a 64-bit mask literal overflows the long; a full-width
-            # band (t=0, one band) needs no mask at all
-            sliced = sliced.bitwiseAND(F.lit((1 << width) - 1))
-        keys.append(sliced)
+        keys.append(_bit_range(lo, width))
     fband = fps.select(
         "fp", F.posexplode(F.array(*keys)).alias("band_no", "key")
     )

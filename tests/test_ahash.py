@@ -154,6 +154,47 @@ def test_audio_fingerprint_level_shift_invariance(spark):
     assert got[1] == got[2]
 
 
+def test_wide_fingerprint_banding_matches_brute_force(spark):
+    """128-bit fingerprints (the audio scale path: wider fingerprints
+    keep band keys ~18 bits at t=6, where 64-bit keys are ~9 bits and
+    saturate around ~50k distinct fingerprints) band through the
+    multi-word struct path and must equal brute force exactly."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = [rng.randrange(256) for _ in range(16)]
+
+    def flip(b, k):
+        out = list(b)
+        for bit in rng.sample(range(128), k):
+            out[bit // 8] ^= 1 << (bit % 8)
+        return out
+
+    other = [rng.randrange(256) for _ in range(16)]
+    rows = [
+        (0, base), (1, list(base)), (2, flip(base, 3)),
+        (3, flip(base, 6)), (4, flip(base, 40)),
+        (5, other), (6, flip(other, 5)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bands array<int>")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.fingerprint_near_dup(df, max_hamming=6).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    by_id = dict(rows)
+    exp = {
+        (a, b, ham(by_id[a], by_id[b]))
+        for a, b in itertools.combinations(range(7), 2)
+        if ham(by_id[a], by_id[b]) <= 6
+    }
+    assert got == exp
+
+
 def test_audio_fingerprint_flac_matches_wav(spark):
     """A FLAC and a WAV of the SAME samples fingerprint identically
     (the decode_audio dispatch — a WAV-only decode would null the
