@@ -242,6 +242,68 @@ def removal_intervals(spans: DataFrame) -> DataFrame:
     )
 
 
+def apply_removal(
+    df: DataFrame,
+    intervals: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute the surgical dedup: delete each document's
+    ``removal_intervals`` from its text.  Returns (doc_id, n_removed
+    chars, clean_text) for EVERY input document — uncharged docs pass
+    through with n_removed = 0 (the repetition_stats discipline:
+    nothing vanishes silently).
+
+    Relational form: intervals collapse to one sorted array per doc
+    (doc-sized state), and the text is rebuilt with one native fold
+    over the KEPT gaps — substring slices between interval ends, all
+    codegen, no explode of characters, no UDF.  Intervals are
+    expected non-overlapping and 1-based (what ``removal_intervals``
+    emits); the fold tolerates out-of-range ends by clamping to the
+    document length."""
+    iv = intervals.groupBy(F.col("doc_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct("start", "length"))
+        ).alias("ivs")
+    )
+    joined = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).join(iv, "doc_id", "left")
+    n = F.length("_t")
+    # fold state: (pos = 1-based cursor, acc = kept text so far);
+    # each interval appends the gap before it and jumps the cursor
+    state = F.aggregate(
+        F.coalesce(
+            F.col("ivs"),
+            F.array().cast("array<struct<start:long,length:long>>"),
+        ),
+        F.struct(
+            F.lit(1).cast("long").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda st, i: F.struct(
+            F.greatest(
+                st["pos"], F.least(i["start"] + i["length"], n + 1)
+            ).alias("pos"),
+            F.concat(
+                st["acc"],
+                F.substring(
+                    F.col("_t"),
+                    st["pos"],
+                    F.greatest(i["start"] - st["pos"], F.lit(0)),
+                ),
+            ).alias("acc"),
+        ),
+    )
+    clean = F.concat(
+        state["acc"], F.substring(F.col("_t"), state["pos"], n)
+    )
+    return joined.select(
+        "doc_id",
+        (n - F.length(clean)).cast("long").alias("n_removed"),
+        clean.alias("clean_text"),
+    )
+
+
 def winnowed_overlap_pairs(
     df: DataFrame,
     min_shared: int = 2,

@@ -679,6 +679,64 @@ def verbatim_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "verbatim_clean_docs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % 25 AS g,
+               2 + doc_id % 3 AS np,
+               4 + (doc_id % 25) % 3 AS m1,
+               '<' || lpad(doc_id::VARCHAR, 6, '0') || '>' AS mk,
+               substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                      (doc_id % 26)::INT + 1, 1) AS gu
+        FROM documents WHERE doc_id < 150
+    ),
+    t AS (
+        SELECT doc_id, g, gu, m1,
+               repeat(mk, np::INT) AS pre,
+               array_to_string(list_transform(range(m1),
+                   j -> printf('(%04d:%02d)', g, j)), '') AS s1,
+               repeat(mk, 2) AS mid,
+               '<<' || lpad(g::VARCHAR, 4, '0') || ':abcdefg>>' AS s0,
+               array_to_string(list_transform(range(3),
+                   j -> printf('[%04d:%02d]', g, j)), '') AS s2
+        FROM d
+    ),
+    k AS (SELECT g AS kg, min(doc_id) AS keeper FROM d GROUP BY g)
+    SELECT doc_id,
+           cast(CASE WHEN doc_id = keeper THEN 0
+                     ELSE 9 * m1 + 27 END AS BIGINT) AS n_removed,
+           CASE WHEN doc_id = keeper
+                THEN pre || gu || s1 || gu || mid || gu || s0 || gu
+                     || mid || gu || s2 || gu
+                ELSE pre || gu || gu || mid || gu || s0 || gu || mid
+                     || gu || gu
+           END AS clean_text
+    FROM t JOIN k ON t.g = k.kg
+    """,
+)
+def verbatim_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgical dedup EXECUTED (llm/overlap.py:apply_removal):
+    spans -> merged removal intervals -> native-fold text rebuild
+    (substring slices over the kept gaps — no char explode, no UDF).
+    DuckDB predicts every document's FULL cleaned text by
+    construction: non-keepers lose exactly the two planted blocks
+    (their guards survive, pinning slice boundaries to the
+    character), keepers and uncharged docs pass through verbatim
+    with n_removed = 0.  Gates the whole chain end to end: a
+    one-character slip anywhere in span offsets, interval union, or
+    the rebuild fold moves the text hash."""
+    from ..llm.overlap import (
+        apply_removal,
+        duplicate_spans,
+        removal_intervals,
+    )
+
+    corpus = _span_corpus(spark, sf_dir)
+    iv = removal_intervals(duplicate_spans(corpus, min_len=20))
+    return apply_removal(corpus, iv)
+
+
+@query(
     "repetition_signals",
     """
     WITH toks AS (

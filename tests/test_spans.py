@@ -87,6 +87,38 @@ def test_candidates_funnel_restricts_docs(spark):
     assert got == {(1, 9)}
 
 
+def test_apply_removal_rebuilds_clean_text(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        apply_removal,
+    )
+
+    df = _df(spark, [(1, "abcdefghij"), (2, "0123456789"), (3, "keepme")])
+    iv = spark.createDataFrame(
+        [(1, 3, 2), (1, 7, 2), (2, 9, 5)],  # doc 2's interval overruns
+        "doc_id long, start long, length long",
+    )
+    out = {r.doc_id: r for r in apply_removal(df, iv).collect()}
+    assert (out[1].clean_text, out[1].n_removed) == ("abefij", 4)
+    assert (out[2].clean_text, out[2].n_removed) == ("01234567", 2)
+    # uncharged docs pass through untouched
+    assert (out[3].clean_text, out[3].n_removed) == ("keepme", 0)
+
+
+def test_end_to_end_surgical_dedup(spark):
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        apply_removal,
+    )
+
+    a = "qwertyuiopasdfgh" + S45 + "zxcvbnmmnbvcxzas"
+    b = "0a1b2c3d4e5f6g7j" + S45
+    df = _df(spark, [(1, a), (2, b)])
+    iv = removal_intervals(duplicate_spans(df))
+    out = {r.doc_id: r for r in apply_removal(df, iv).collect()}
+    assert out[1].clean_text == a          # keeper untouched
+    assert out[2].clean_text == "0a1b2c3d4e5f6g7j"
+    assert out[2].n_removed == 45
+
+
 def test_hot_posting_guard_drops_boilerplate(spark):
     # a window present in > max_postings docs is dropped whole
     rows = [(i, "qwertyuiopasdfgh" + S45) for i in range(1, 6)]
