@@ -600,14 +600,15 @@ JPEG_FEATURE_SCHEMA = StructType(
 
 
 def jpeg_features(media: DataFrame) -> DataFrame:
-    """Real baseline JPEG pixel decode in the standard multimodal
-    plumbing (same contract as ``png_features``): Arrow-batched
-    mapInPandas, blobs decoded with ``llm.jpeg.decode_jpeg`` into
-    (width, height, channels, mean pixel), poison blobs — corrupt
-    streams, progressive scans, truncated entropy data — null out
-    instead of killing the task (dead-letter contract). Mean is a
-    DOUBLE (rounded to 4) because decoded pixel means are generally
-    fractional, unlike the constant-pixel PNG/BMP/GIF corpora."""
+    """Real JPEG pixel decode (baseline AND progressive) in the
+    standard multimodal plumbing (same contract as ``png_features``):
+    Arrow-batched mapInPandas, blobs decoded with
+    ``llm.jpeg.decode_jpeg`` into (width, height, channels, mean
+    pixel), poison blobs — corrupt streams, arithmetic-coded scans,
+    truncated entropy data — null out instead of killing the task
+    (dead-letter contract). Mean is a DOUBLE (rounded to 4) because
+    decoded pixel means are generally fractional, unlike the
+    constant-pixel PNG/BMP/GIF corpora."""
 
     def _jpeg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -641,11 +642,11 @@ def jpeg_features(media: DataFrame) -> DataFrame:
 
 def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-JPEG corpus from doc ids (the synthesized-
-    real-bytes gate discipline), cycling doc_id % 3 over the three
-    baseline forms a crawl actually contains:
+    real-bytes gate discipline), cycling doc_id % 4 over the forms a
+    crawl actually contains:
 
-    - mode 0: GRAYSCALE, solid 8x8 luma blocks — block b (row-major)
-      holds base + b with base = (doc_id*17) % 200.
+    - mode 0: GRAYSCALE baseline, solid 8x8 luma blocks — block b
+      (row-major) holds base + b with base = (doc_id*17) % 200.
     - mode 1: COLOR 4:2:0 (sampling [(2,2),(1,1),(1,1)]) — same solid
       luma blocks over base = (doc_id*17) % 180 + 10 (headroom so no
       channel clips), Cb solid 128, Cr solid 133.  The chroma DC
@@ -655,25 +656,31 @@ def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
       channel-interleaved mean is EXACTLY luma_mean + 1.
     - mode 2: COLOR 4:2:2 (sampling [(2,1),(1,1),(1,1)]) — Cb solid
       123, Cr solid 128: shifts (0, +2, -9), mean = luma_mean - 7/3.
+    - mode 3: GRAYSCALE PROGRESSIVE (SOF2, encode_jpeg_progressive:
+      DC first at Al=1 + DC refinement + spectral AC bands with
+      their refinement scans) over the mode-0 arithmetic — same
+      coefficients, so the decoded mean equals mode 0's formula and
+      a decoder that refuses or mis-accumulates multi-scan
+      coefficients nulls (or moves) a quarter of the table.
 
-    All blobs go through the full entropy pipeline
-    (``llm.jpeg.encode_jpeg``, flat-8 quant); solid blocks make the
-    DC round-trip EXACT (DC = 8*(v-128) quantized by 8), so
-    ``jpeg_features`` decodes means that are exact rational functions
-    of doc_id — and a decoder that refuses or mis-upsamples
-    subsampled chroma nulls (or moves) two-thirds of the table."""
+    All blobs go through the full entropy pipeline (flat-8 quant);
+    solid blocks make the DC round-trip EXACT (DC = 8*(v-128)
+    quantized by 8), so ``jpeg_features`` decodes means that are
+    exact rational functions of doc_id."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .jpeg import encode_jpeg
+        from .jpeg import encode_jpeg, encode_jpeg_progressive
 
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                mode = i % 3
+                mode = i % 4
                 wb, hb = 1 + i % 3, 1 + i % 2
                 base = (
-                    (i * 17) % 200 if mode == 0 else (i * 17) % 180 + 10
+                    (i * 17) % 200
+                    if mode in (0, 3)
+                    else (i * 17) % 180 + 10
                 )
                 img = [
                     [base + (y // 8) * wb + (x // 8) for x in range(8 * wb)]
@@ -681,6 +688,8 @@ def synth_jpeg_corpus(docs: DataFrame) -> DataFrame:
                 ]
                 if mode == 0:
                     blobs.append(encode_jpeg([img]))
+                elif mode == 3:
+                    blobs.append(encode_jpeg_progressive([img]))
                 else:
                     cb, cr = (128, 133) if mode == 1 else (123, 128)
                     solid = lambda v: [

@@ -272,16 +272,16 @@ def g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jpeg_image_features",
     """
     WITH p AS (
-        SELECT doc_id, doc_id % 3 AS mode,
+        SELECT doc_id, doc_id % 4 AS mode,
                1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
-               CASE WHEN doc_id % 3 = 0 THEN (doc_id * 17) % 200
+               CASE WHEN doc_id % 4 IN (0, 3) THEN (doc_id * 17) % 200
                     ELSE (doc_id * 17) % 180 + 10 END AS base
         FROM documents WHERE doc_id < 200
     )
     SELECT doc_id,
            cast(8 * wb AS BIGINT) AS width,
            cast(8 * hb AS BIGINT) AS height,
-           cast(CASE WHEN mode = 0 THEN 1 ELSE 3 END AS BIGINT)
+           cast(CASE WHEN mode IN (0, 3) THEN 1 ELSE 3 END AS BIGINT)
                AS channels,
            round(base + (wb * hb - 1) / 2.0
                  + CASE WHEN mode = 1 THEN 1.0
@@ -292,20 +292,23 @@ def g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def jpeg_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline JPEG decode behind an oracle gate: synthesize a
-    genuine baseline JPEG per doc — grayscale, COLOR 4:2:0, and
-    COLOR 4:2:2 cycling by doc_id % 3, full entropy pipeline: forward
-    DCT, flat-8 quantization, zigzag RLE, canonical Huffman from DHT,
-    byte stuffing (llm/jpeg.py:encode_jpeg via synth_jpeg_corpus) —
-    then decode through ``jpeg_features`` (marker walk, Huffman,
-    dequant, exact IDCT, interleaved-MCU chroma upsample, YCbCr->RGB).
-    Solid 8x8 blocks make every DC round-trip exact and the solid
-    chroma planes shift R/G/B off luma by exact integers, so DuckDB
-    predicts width/height/channels and the fractional mean
-    arithmetically: base + (n_blocks-1)/2, +1 for the 4:2:0 chroma
-    pair (128,133), -7/3 for the 4:2:2 pair (123,128).  A decoder
-    that refuses or mis-indexes subsampled chroma nulls or moves
-    two-thirds of the rows."""
+    """REAL JPEG decode behind an oracle gate: synthesize a genuine
+    JPEG per doc — grayscale baseline, COLOR 4:2:0, COLOR 4:2:2, and
+    grayscale PROGRESSIVE (SOF2 multi-scan successive approximation)
+    cycling by doc_id % 4, full entropy pipeline: forward DCT, flat-8
+    quantization, zigzag RLE, canonical Huffman from DHT, byte
+    stuffing (llm/jpeg.py via synth_jpeg_corpus) — then decode
+    through ``jpeg_features`` (marker walk, Huffman, multi-scan
+    coefficient accumulation, dequant, exact IDCT, interleaved-MCU
+    chroma upsample, YCbCr->RGB).  Solid 8x8 blocks make every DC
+    round-trip exact and the solid chroma planes shift R/G/B off
+    luma by exact integers, so DuckDB predicts width/height/channels
+    and the fractional mean arithmetically: base + (n_blocks-1)/2,
+    +1 for the 4:2:0 chroma pair (128,133), -7/3 for the 4:2:2 pair
+    (123,128), the baseline formula again for progressive (same
+    quantized coefficients by construction).  A decoder that refuses
+    or mis-indexes subsampled chroma or mis-accumulates progressive
+    scans nulls or moves half the rows."""
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     return multimodal.jpeg_features(multimodal.synth_jpeg_corpus(d))
 

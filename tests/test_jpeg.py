@@ -1,4 +1,5 @@
-"""Unit tests for the pure-python baseline JPEG codec (llm/jpeg.py):
+"""Unit tests for the pure-python JPEG codec (llm/jpeg.py), baseline
+AND progressive:
 exact solid-block round-trips, bounded lossy error, restart markers,
 4:4:4 color conversion, honest NotImplementedError boundaries, and the
 dead-letter contract of the Spark feature stage."""
@@ -13,6 +14,7 @@ from spotify_streaming_etl_pipeline_spark.llm.jpeg import (
     _ZZ,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -77,13 +79,20 @@ def test_color_444_converts_ycbcr_to_rgb():
     assert (px == px[0, 0]).all()  # solid in, solid out
 
 
-def test_progressive_refuses_honestly():
+def test_arithmetic_refuses_and_fake_progressive_rejects():
     blob = bytearray(encode_jpeg([_solid_image(1, 1, 50)]))
     i = blob.find(b"\xff\xc0")
-    prog = bytearray(blob)
-    prog[i + 1] = 0xC2
+    arith = bytearray(blob)
+    arith[i + 1] = 0xC9  # arithmetic coding: honest refusal
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(prog))
+        decode_jpeg(bytes(arith))
+    # a baseline stream re-labeled SOF2 is MALFORMED progressive
+    # (its interleaved scan declares the full 0..63 band): rejected,
+    # not mis-decoded
+    fake = bytearray(blob)
+    fake[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(fake))
 
 
 def test_chroma_subsampling_decodes():
@@ -180,5 +189,64 @@ def test_jpeg_features_dead_letters_poison_blobs(spark):
         for r in multimodal.jpeg_features(poisoned).collect()
     }
     assert got[99] == (None, None)  # poison nulls out, task survives
-    assert got[0][0] == 8 and got[0][1] == 0.0  # doc 0: base 0, 1 block
-    assert got[1][0] == 16 and got[1][1] == 18.5  # base 17, 4 blocks
+    assert got[0][0] == 8 and got[0][1] == 0.0  # doc 0: gray, base 0
+    # doc 1 is color 4:2:0 (mode 1): base 17%180+10 = 27, 4 blocks,
+    # chroma (128,133) shifts the channel-interleaved mean by +1
+    assert got[1][0] == 16 and got[1][1] == 29.5
+
+
+def test_progressive_decode_equals_baseline_decode():
+    """decode(progressive_encode(img)) == decode(baseline_encode(img))
+    bit for bit — both encoders share one quantization, so spectral
+    selection, DC/AC successive approximation (first + refinement
+    scans), EOBn runs, buffered correction bits, restart intervals,
+    and chroma subsampling must all reconstruct the SAME coefficients.
+    Deterministic pseudo-random battery over gray/color, 4:4:4/4:2:0/
+    4:2:2, Al 0..2, and restart intervals 0..2."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(10):
+        h = 8 * rng.choice([1, 2, 3])
+        w = 8 * rng.choice([1, 2, 3])
+        nplanes = rng.choice([1, 3])
+        planes = [
+            [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+            for _ in range(nplanes)
+        ]
+        sampling = None
+        if nplanes == 3 and rng.random() < 0.6:
+            sampling = rng.choice(
+                [[(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)]]
+            )
+        ri = rng.choice([0, 0, 1, 2])
+        al = rng.choice([0, 1, 2])
+        base = decode_jpeg(encode_jpeg(planes, sampling=sampling))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                planes, sampling=sampling, restart_interval=ri,
+                al_first=al,
+            )
+        )
+        assert (base["width"], base["height"], base["channels"]) == (
+            prog["width"], prog["height"], prog["channels"],
+        ), (trial, h, w, nplanes, sampling, ri, al)
+        assert base["pixels"] == prog["pixels"], (
+            trial, h, w, nplanes, sampling, ri, al,
+        )
+
+
+def test_progressive_solid_blocks_decode_exactly():
+    img = _solid_image(3, 2, 40)
+    out = decode_jpeg(encode_jpeg_progressive([img]))
+    assert out["width"] == 24 and out["height"] == 16
+    assert np.array_equal(np.array(out["pixels"]).reshape(16, 24), img)
+
+
+def test_progressive_malformed_scans_reject():
+    blob = bytearray(encode_jpeg_progressive([_solid_image(1, 1, 50)]))
+    # truncating must raise (both dead-letter-caught types), not
+    # fabricate pixels
+    for cut in (len(blob) // 2, len(blob) - 3):
+        with pytest.raises((ValueError, IndexError)):
+            decode_jpeg(bytes(blob[:cut]))
