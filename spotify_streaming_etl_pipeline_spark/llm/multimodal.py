@@ -19,11 +19,12 @@ ADPCM) feeds ``wav_features`` the same way, and ``avi_frames`` /
 ISO-BMFF sample tables (stsz/stsc/stco/co64/stss), and the EBML
 cluster tree (Matroska keyness rules, Xiph/fixed/EBML lace-size
 parsing) to sample real video frame payloads without decoding them.
-Baseline JPEG decodes for real too (``llm/jpeg.py``: DQT/DHT/DRI
-marker walk, byte-stuffed Huffman entropy decode, dequant + exact
-IDCT, chroma-subsampled interleaved MCUs, JFIF YCbCr->RGB) behind
+Baseline AND progressive JPEG decode for real too (``llm/jpeg.py``:
+DQT/DHT/DRI marker walk, byte-stuffed Huffman entropy decode,
+multi-scan successive approximation, dequant + exact IDCT,
+chroma-subsampled interleaved MCUs, JFIF YCbCr->RGB) behind
 ``jpeg_features``; FLAC via ``llm/flac.py``. The remaining surfaces
-(progressive/12-bit JPEG, mp3 PCM, multi-channel ADPCM) raise
+(12-bit/arithmetic JPEG, mp3/AAC PCM) raise
 NotImplementedError because their codecs aren't in this container —
 nothing fabricates pseudo-frames;
 ``extract_blob_features`` computes a deterministic byte-level feature
@@ -746,31 +747,59 @@ _IMA_STEPS = [
 ]
 
 
-def _ima_adpcm_decode(data: bytes, block_align: int) -> list[int]:
-    """Mono IMA ADPCM block decode: each block is a 4-byte header
-    (int16 predictor = sample 0, uint8 step index, reserved) followed
-    by 4-bit nibbles, low nibble first."""
+def _ima_adpcm_decode(
+    data: bytes, block_align: int, channels: int = 1
+) -> list[int]:
+    """IMA ADPCM block decode, any channel count: each block carries
+    one 4-byte header PER CHANNEL (int16 predictor = sample 0, uint8
+    step index, reserved), then the nibble stream interleaves in
+    4-BYTE WORDS per channel (8 samples of ch0, 8 of ch1, ..., the
+    WAVE IMA layout).  Nibbles decode low-first; output is a flat
+    channel-interleaved frame list."""
     import struct
 
     out: list[int] = []
+    hdr = 4 * channels
     for bs in range(0, len(data) - block_align + 1, block_align):
-        pred, index, _ = struct.unpack_from("<hBB", data, bs)
-        index = max(0, min(88, index))
-        out.append(pred)
-        for byte in data[bs + 4 : bs + block_align]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = _IMA_STEPS[index]
-                diff = step >> 3
-                if nib & 1:
-                    diff += step >> 2
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 4:
-                    diff += step
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = max(-32768, min(32767, pred))
-                index = max(0, min(88, index + _IMA_INDEX[nib & 7]))
-                out.append(pred)
+        preds, idxs = [], []
+        for ch in range(channels):
+            pred, index, _ = struct.unpack_from("<hBB", data, bs + 4 * ch)
+            preds.append(pred)
+            idxs.append(max(0, min(88, index)))
+        out.extend(preds)  # frame 0 = the headers' predictors
+        body = data[bs + hdr : bs + block_align]
+
+        def _nib(ch: int, nib: int) -> int:
+            step = _IMA_STEPS[idxs[ch]]
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            p = preds[ch]
+            p = p - diff if nib & 8 else p + diff
+            preds[ch] = max(-32768, min(32767, p))
+            idxs[ch] = max(0, min(88, idxs[ch] + _IMA_INDEX[nib & 7]))
+            return preds[ch]
+
+        if channels == 1:
+            # mono bodies need no word alignment: plain nibble stream
+            for byte in body:
+                out.append(_nib(0, byte & 0x0F))
+                out.append(_nib(0, byte >> 4))
+            continue
+        chans: list[list[int]] = [[] for _ in range(channels)]
+        for g in range(len(body) // 4):
+            ch = g % channels
+            for byte in body[g * 4 : g * 4 + 4]:
+                chans[ch].append(_nib(ch, byte & 0x0F))
+                chans[ch].append(_nib(ch, byte >> 4))
+        frames = min(len(c) for c in chans)
+        for i in range(frames):
+            for ch in range(channels):
+                out.append(chans[ch][i])
     return out
 
 
@@ -780,13 +809,14 @@ def decode_wav(blob: bytes) -> dict:
     integer samples for integer PCM (8-bit unsigned offset-128
     centered on return / 16-bit signed LE, any channel count) AND the
     compressed-in-RIFF codecs: G.711 A-law (format 6) and mu-law
-    (format 7) companding expansion to linear 16-bit, and mono
-    IMA/DVI ADPCM (format 0x11) block decode. Returns {"sample_rate",
-    "channels", "bits", "n_samples", "samples"} with samples as a
-    flat channel-interleaved list of centered ints and n_samples =
-    frames per channel. Remaining compressed WAVs (mp3-in-RIFF,
-    multi-channel ADPCM, ...) raise NotImplementedError — they need a
-    real codec."""
+    (format 7) companding expansion to linear 16-bit, and IMA/DVI
+    ADPCM (format 0x11) block decode at ANY channel count (4-byte
+    headers per channel, nibble words interleaved per channel).
+    Returns {"sample_rate", "channels", "bits", "n_samples",
+    "samples"} with samples as a flat channel-interleaved list of
+    centered ints and n_samples = frames per channel. Remaining
+    compressed WAVs (mp3-in-RIFF, ...) raise NotImplementedError —
+    they need a real codec."""
     import struct
 
     if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
@@ -820,15 +850,13 @@ def decode_wav(blob: bytes) -> dict:
         n_samples = len(data) // block_align
         data = data[: n_samples * block_align]
         samples = [expand(b) for b in data]
-    elif audio_format == 0x11:  # IMA/DVI ADPCM
-        if channels != 1:
-            raise NotImplementedError(
-                "multi-channel IMA ADPCM (per-channel 4-byte interleave)"
-            )
-        if block_align < 5:
+    elif audio_format == 0x11:  # IMA/DVI ADPCM, any channel count
+        if channels < 1:
+            raise ValueError("WAVE fmt declares zero channels")
+        if block_align < 4 * channels + (1 if channels == 1 else 4):
             raise ValueError("IMA ADPCM block_align too small")
-        samples = _ima_adpcm_decode(data, block_align)
-        n_samples = len(samples)
+        samples = _ima_adpcm_decode(data, block_align, channels)
+        n_samples = len(samples) // channels
     elif audio_format != 1:
         raise NotImplementedError(
             "decode_wav supports integer PCM (1), G.711 a-law/mu-law "

@@ -1183,12 +1183,43 @@ def test_ima_adpcm_tracks_a_ramp():
     assert err <= 3 * max(multimodal._IMA_STEPS[:12])  # tight envelope
 
 
-def test_adpcm_stereo_refuses_honestly():
+def test_adpcm_stereo_decodes_word_interleaved():
+    """Stereo IMA ADPCM: one 4-byte header per channel, then the
+    nibble stream interleaves in 4-byte words (8 samples ch0, 8
+    ch1, ...).  Nibble 0 at index 0 leaves predictors unchanged
+    (step 7 >> 3 == 0), so the decode is exactly the header
+    predictors, channel-interleaved."""
     import struct
 
-    data = struct.pack("<hBB", 0, 0, 0) + b"\x00\x00\x00\x00"
-    with pytest.raises(NotImplementedError, match="multi-channel"):
-        multimodal.decode_wav(_encode_wav_raw(0x11, 2, 8000, 8, 4, data))
+    data = (
+        struct.pack("<hBB", 100, 0, 0)
+        + struct.pack("<hBB", -50, 0, 0)
+        + b"\x00" * 8
+    )
+    w = multimodal.decode_wav(_encode_wav_raw(0x11, 2, 8000, 16, 4, data))
+    assert w["channels"] == 2 and w["n_samples"] == 9
+    assert w["samples"] == [100, -50] + [100, -50] * 8
+
+
+def test_adpcm_stereo_channels_track_independently():
+    """Feed ch0 rising nibbles and ch1 falling ones: the per-channel
+    predictor/index state must not cross-contaminate."""
+    import struct
+
+    up, down = 0x44, 0xCC  # nib 4: +step; nib 12: -step
+    data = (
+        struct.pack("<hBB", 0, 8, 0)
+        + struct.pack("<hBB", 0, 8, 0)
+        + bytes([up] * 4 + [down] * 4)
+    )
+    w = multimodal.decode_wav(_encode_wav_raw(0x11, 2, 8000, 16, 4, data))
+    ch0 = w["samples"][0::2]
+    ch1 = w["samples"][1::2]
+    assert ch0[0] == 0 and ch1[0] == 0
+    assert all(b > a for a, b in zip(ch0, ch0[1:]))  # rising
+    assert all(b < a for a, b in zip(ch1, ch1[1:]))  # falling
+    # mirrored nibbles from the same start -> mirrored samples
+    assert ch1[1:] == [-v for v in ch0[1:]]
 
 
 def _mp3_frame(br_idx: int, rate_idx: int, version: int = 3) -> bytes:
