@@ -517,7 +517,9 @@ def test_resize_blobs_real_thumbnails(spark):
         (multimodal.synth_png_corpus, 1),
         (multimodal.synth_bmp_corpus, None),
         (multimodal.synth_gif_corpus, None),
-        (multimodal.synth_jpeg_corpus, 1),
+        # jpeg corpus cycles modes by doc_id % 4: doc 0 grayscale
+        # baseline, doc 1 color 4:2:0
+        (multimodal.synth_jpeg_corpus, {0: 1, 1: 3}),
     ]:
         media = synth(docs)
         out = multimodal.resize_blobs(media, width=5, height=4).collect()
@@ -525,7 +527,9 @@ def test_resize_blobs_real_thumbnails(spark):
         for r in out:
             img = multimodal.decode_png(bytes(r["blob"]))
             assert (img["width"], img["height"]) == (5, 4)
-            if ch is not None:
+            if isinstance(ch, dict):
+                assert img["channels"] == ch[r["doc_id"]]
+            elif ch is not None:
                 assert img["channels"] == ch
     poisoned = spark.createDataFrame(
         [(9, bytearray(b"\x89PNGbroken")), (10, bytearray(b"junk"))],
