@@ -710,7 +710,10 @@ def robots_decisions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(rk == 5, shared_header_group).otherwise(star_group),
         ).alias("robots_txt"),
     )
-    rules = parse_robots(robots)
+    # the parsed rules table is tiny and feeds BOTH agent branches of
+    # the union — truncate lineage so the parser (explode + window)
+    # runs once, not once per branch
+    rules = parse_robots(robots).localCheckpoint(eager=False)
     star = robots_decisions(urls, rules, agent="*").withColumn(
         "agent", F.lit("*")
     )
