@@ -316,3 +316,28 @@ def test_line_dedup_shuffles_hashes_not_text(spark, sf_dir, queries):
     plan = _plan(queries["line_dedup_decisions"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_verbatim_spans_join_free_and_no_smj(spark, sf_dir, queries):
+    """The span extractor's pairing is a within-row double explode of
+    the hot-capped posting — NO join of any kind reaches the physical
+    plan (the only exchanges are the posting groupBy, the island
+    window, and the final span aggregation)."""
+    plan = _plan(queries["verbatim_spans"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the posting explode
+
+
+def test_unigram_edges_broadcast(spark, sf_dir, queries):
+    """Viterbi candidate edges come from ONE broadcast join of word
+    substrings against the piece-cost table (explicitly hinted — the
+    piece table shrinks every EM round).  The only other join is the
+    words -> segmentation reassembly, keyed on the word — a
+    vocabulary-keyed shuffle that is the CORRECT plan (the distinct
+    -word side has no static size bound), so exactly one non-broadcast
+    join is allowed and a cartesian never is."""
+    plan = _plan(queries["unigram_tokens"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+    assert "CartesianProduct" not in plan
