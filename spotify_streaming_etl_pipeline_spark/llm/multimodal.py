@@ -1063,6 +1063,78 @@ def decode_audio(blob: bytes) -> dict:
     )
 
 
+def pdf_text_features(media: DataFrame) -> DataFrame:
+    """REAL PDF text extraction in the standard multimodal plumbing
+    (llm/pdf.py:extract_pdf_text — object scan, page tree, raw +
+    FlateDecode content streams, the text-operator walk):
+    Arrow-batched mapInPandas into (doc_id, n_pages, n_chars, text)
+    with pages joined by form-feed; poison blobs — non-PDF bytes,
+    encrypted documents, /ObjStm packing, non-Flate filters, corrupt
+    zlib — null out instead of killing the task (dead-letter
+    contract)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .pdf import extract_pdf_text
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    out = extract_pdf_text(bytes(blob))
+                    rows.append(
+                        (
+                            doc_id,
+                            out["n_pages"],
+                            len(out["text"]),
+                            out["text"],
+                        )
+                    )
+                except (ValueError, NotImplementedError, IndexError,
+                        KeyError):
+                    rows.append((doc_id, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "n_chars", "text"]
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _batch,
+        schema="doc_id long, n_pages long, n_chars long, text string",
+    )
+
+
+def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PDF corpus from doc ids (the synthesized-
+    real-bytes gate discipline): doc i gets 1 + i % 3 pages, page q
+    gets 2 + (i + q) % 2 lines, line j reads
+    ``[%05d:%d:%d] word%02d.`` % (i, q, j, (i*7 + q*3 + j) % 100) —
+    every extracted character is an arithmetic function of
+    (i, q, j).  Even docs FlateDecode-compress their content streams,
+    odd docs store them raw, so the oracle gates both stream paths
+    plus the xref/page-tree/text-operator walk."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .pdf import encode_pdf
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                pages = [
+                    [
+                        "[%05d:%d:%d] word%02d."
+                        % (i, q, j, (i * 7 + q * 3 + j) % 100)
+                        for j in range(2 + (i + q) % 2)
+                    ]
+                    for q in range(1 + i % 3)
+                ]
+                blobs.append(encode_pdf(pages, compress=i % 2 == 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def flac_features(media: DataFrame) -> DataFrame:
     """Real FLAC decode in the standard multimodal plumbing (same
     output contract as ``wav_features``): Arrow-batched mapInPandas,

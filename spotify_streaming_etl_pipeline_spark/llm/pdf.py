@@ -1,0 +1,399 @@
+"""REAL subset-PDF text extraction, dependency-free (stdlib only).
+
+Crawled corpora are full of PDFs; a training-data engine that can
+only read HTML leaves a major text source on the floor.  This module
+is the PDF sibling of the image/audio codecs (llm/jpeg.py,
+llm/flac.py): a genuine parser for the classic PDF object model, not
+a regex scrape of visible ASCII.
+
+``extract_pdf_text`` walks the file for real:
+
+- object discovery by scanning ``N G obj .. endobj`` spans (robust to
+  broken/absent xref tables, incremental updates — later definitions
+  of the same object number win, matching update semantics),
+- trailer ``/Root`` -> catalog ``/Pages`` -> recursive ``/Kids`` page
+  tree with inheritance-free leaf pages (``/Type /Page``),
+- per page, ``/Contents`` as a direct stream, an indirect reference,
+  or an ARRAY of refs (concatenated in order, as the spec requires),
+- stream decoding: raw or ``/FlateDecode`` (zlib — the overwhelmingly
+  dominant content filter); other filters raise,
+- a real content-stream tokenizer for the text operators: ``Tj``
+  (literal and <hex> strings), ``TJ`` (array form with kerning
+  numbers), ``'`` and ``"`` (next-line shows), with PDF literal
+  -string escapes (\\( \\) \\\\ \\n \\r \\t octal) and balanced
+  parentheses; ``Td``/``TD``/``T*`` line moves become newlines,
+  adjacent shows on one line join with nothing (the writer controls
+  spacing inside the shown strings, like real generators do).
+
+Honest boundaries (explicit ``NotImplementedError``): encrypted
+documents (``/Encrypt`` in the trailer), non-Flate stream filters
+(DCT/LZW/ASCII85/RunLength), and compressed object streams
+(``/ObjStm`` — PDF 1.5 packing; the classic layout this module
+writes and reads is what text-bearing generators still emit most).
+Text is returned as the raw bytes of show operators decoded latin-1:
+simple-font PDFs map bytes ~identity; CID/Type0 CMap remapping is a
+codec this container does not ship, and pages whose fonts need it
+come out garbled rather than silently empty — the audit columns
+(n_pages, chars) stay honest either way.
+
+``encode_pdf`` is the matching writer — real xref table with correct
+byte offsets, page tree, Helvetica text objects, optional
+FlateDecode content compression — so the oracle gate synthesizes
+conformant PDFs deterministically (the synthesized-real-bytes
+discipline of every media gate in this repo).
+
+Reference parity note: the reference pipeline has no document-parsing
+surface (BASELINE.md); additive LLM-curation family.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["extract_pdf_text", "encode_pdf"]
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_REF_RE = re.compile(rb"^(\d+)\s+(\d+)\s+R\b")
+
+
+def _find_objects(blob: bytes) -> dict[int, bytes]:
+    """num -> object body bytes (between ``obj`` and ``endobj``);
+    later definitions win (incremental-update semantics)."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(blob):
+        end = blob.find(b"endobj", m.end())
+        if end < 0:
+            continue
+        objs[int(m.group(1))] = blob[m.end() : end]
+    return objs
+
+
+def _dict_region(body: bytes) -> bytes:
+    """The top-level << .. >> dictionary of an object body (balanced;
+    streams keep their dict before the ``stream`` keyword)."""
+    start = body.find(b"<<")
+    if start < 0:
+        return b""
+    depth = 0
+    i = start
+    while i < len(body) - 1:
+        if body[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif body[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return body[start:]
+
+
+def _dict_value(d: bytes, key: bytes) -> bytes | None:
+    """The raw value bytes after ``/key`` in a dict region — enough
+    structure for refs, names, numbers, and [..] arrays."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])\s*", d)
+    if not m:
+        return None
+    rest = d[m.end() :]
+    if rest.startswith(b"["):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == 0x5B:
+                depth += 1
+            elif ch == 0x5D:
+                depth -= 1
+                if depth == 0:
+                    return rest[: i + 1]
+        return rest
+    if rest.startswith(b"/"):  # name value, e.g. /Filter /FlateDecode
+        m2 = re.match(rb"/[A-Za-z0-9.+-]*", rest)
+        return m2.group(0)
+    m2 = re.match(rb"[^/\]>\r\n]*", rest)
+    return m2.group(0).strip() if m2 else None
+
+
+def _resolve(objs: dict[int, bytes], val: bytes) -> bytes | None:
+    """Follow one ``N 0 R`` indirect reference; pass through
+    direct values."""
+    m = _REF_RE.match(val.strip())
+    if m:
+        return objs.get(int(m.group(1)))
+    return val
+
+
+def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
+    """Decoded bytes of a stream object (raw or FlateDecode)."""
+    d = _dict_region(body)
+    s = body.find(b"stream")
+    if s < 0:
+        raise ValueError("PDF content object has no stream")
+    s += len(b"stream")
+    if body[s : s + 2] == b"\r\n":
+        s += 2
+    elif body[s : s + 1] in (b"\n", b"\r"):
+        s += 1
+    e = body.rfind(b"endstream")
+    data = body[s:e]
+    # /Length may be indirect and the scan keeps exact spans anyway —
+    # trim one trailing EOL the writer put before ``endstream``
+    if data.endswith(b"\r\n"):
+        data = data[:-2]
+    elif data.endswith((b"\n", b"\r")):
+        data = data[:-1]
+    filt = _dict_value(d, b"Filter")
+    if filt is None:
+        return data
+    if b"FlateDecode" in filt:
+        if filt.strip() not in (b"/FlateDecode", b"[/FlateDecode]",
+                                b"[ /FlateDecode ]"):
+            raise NotImplementedError(
+                f"PDF filter chain {filt!r} (only plain FlateDecode)"
+            )
+        try:
+            return zlib.decompress(data)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
+    raise NotImplementedError(
+        f"PDF stream filter {filt!r} (only FlateDecode decodes; "
+        "DCT/LZW/ASCII85 need codecs this container does not ship)"
+    )
+
+
+def _literal_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ( .. ) literal at data[i] -> (text, next index) with
+    PDF escapes and balanced nesting."""
+    assert data[i : i + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i += 1
+    esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b",
+           0x66: b"\f", 0x28: b"(", 0x29: b")", 0x5C: b"\\"}
+    while i < len(data):
+        c = data[i]
+        if c == 0x5C:  # backslash
+            nxt = data[i + 1 : i + 2]
+            if nxt and nxt[0] in esc:
+                out += esc[nxt[0]]
+                i += 2
+            elif nxt.isdigit():  # up to 3 octal digits
+                j = i + 1
+                while j < len(data) and j < i + 4 and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i + 1 : j], 8) & 0xFF)
+                i = j
+            else:
+                i += 2  # line continuation / unknown: drop
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated PDF literal string")
+
+
+def _hex_string(data: bytes, i: int) -> tuple[str, int]:
+    end = data.find(b">", i)
+    if end < 0:
+        raise ValueError("unterminated PDF hex string")
+    hx = re.sub(rb"\s", b"", data[i + 1 : end])
+    if len(hx) % 2:
+        hx += b"0"  # spec: odd final digit implies trailing 0
+    return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), end + 1
+
+
+def _page_text(content: bytes) -> str:
+    """Run the text operators of one content stream: shows append to
+    the current line; Td/TD/T*/'/" start a new one."""
+    lines: list[list[str]] = [[]]
+    pending: list[str] = []  # operands (strings) awaiting an operator
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i : i + 1]
+        if c == b"(":
+            s, i = _literal_string(content, i)
+            pending.append(s)
+            continue
+        if c == b"<" and content[i : i + 2] != b"<<":
+            s, i = _hex_string(content, i)
+            pending.append(s)
+            continue
+        if c == b"[":
+            i += 1
+            continue  # TJ arrays: strings collect, numbers skip below
+        m = re.match(
+            rb"(TJ|Tj|Td|TD|T\*|'|\")(?![A-Za-z])", content[i:]
+        )
+        if m:
+            op = m.group(1)
+            if op in (b"Tj", b"TJ"):
+                lines[-1].extend(pending)
+            elif op in (b"Td", b"TD", b"T*"):
+                if lines[-1]:
+                    lines.append([])
+            elif op in (b"'", b'"'):
+                if lines[-1]:
+                    lines.append([])
+                lines[-1].extend(pending)
+            pending = []
+            i += len(op)
+            continue
+        if re.match(rb"[A-Za-z]", c):
+            # any other operator consumes pending operands
+            m2 = re.match(rb"[A-Za-z*0-9]+", content[i:])
+            pending = []
+            i += len(m2.group(0))
+            continue
+        i += 1
+    return "\n".join("".join(parts) for parts in lines if parts)
+
+
+def extract_pdf_text(blob: bytes) -> dict:
+    """Extract text from a classic-layout PDF. Returns {"n_pages",
+    "pages": [str, ...], "text": all pages joined with \\f}."""
+    blob = bytes(blob)
+    if not blob.startswith(b"%PDF-"):
+        raise ValueError("not a PDF byte string (missing %PDF header)")
+    objs = _find_objects(blob)
+    if not objs:
+        raise ValueError("PDF has no indirect objects")
+    if any(b"/ObjStm" in _dict_region(b) for b in objs.values()):
+        raise NotImplementedError(
+            "PDF 1.5 compressed object streams (/ObjStm)"
+        )
+    # catalog: via trailer /Root when present, else scan for /Catalog
+    root = None
+    tr = blob.rfind(b"trailer")
+    if tr >= 0:
+        rv = _dict_value(_dict_region(blob[tr:]), b"Root")
+        if rv is not None:
+            root = _resolve(objs, rv)
+        if _dict_value(_dict_region(blob[tr:]), b"Encrypt") is not None:
+            raise NotImplementedError("encrypted PDF")
+    if root is None:
+        for b in objs.values():
+            if b"/Catalog" in _dict_region(b):
+                root = b
+                break
+    if root is None:
+        raise ValueError("PDF has no document catalog")
+    pages_ref = _dict_value(_dict_region(root), b"Pages")
+    if pages_ref is None:
+        raise ValueError("PDF catalog has no /Pages")
+    leaves: list[bytes] = []
+
+    def walk(node: bytes | None) -> None:
+        if node is None:
+            return
+        d = _dict_region(node)
+        if b"/Page" in d and b"/Pages" not in d:
+            leaves.append(node)
+            return
+        kids = _dict_value(d, b"Kids")
+        if kids is None:
+            return
+        for km in re.finditer(rb"(\d+)\s+\d+\s+R", kids):
+            walk(objs.get(int(km.group(1))))
+
+    walk(_resolve(objs, pages_ref))
+    pages: list[str] = []
+    for leaf in leaves:
+        cv = _dict_value(_dict_region(leaf), b"Contents")
+        if cv is None:
+            pages.append("")
+            continue
+        parts: list[bytes] = []
+        if cv.strip().startswith(b"["):
+            for km in re.finditer(rb"(\d+)\s+\d+\s+R", cv):
+                body = objs.get(int(km.group(1)))
+                if body is not None:
+                    parts.append(_stream_data(objs, body))
+        else:
+            body = _resolve(objs, cv)
+            if body is not None:
+                parts.append(_stream_data(objs, body))
+        pages.append(_page_text(b"\n".join(parts)))
+    return {
+        "n_pages": len(pages),
+        "pages": pages,
+        "text": "\f".join(pages),
+    }
+
+
+def _pdf_escape(s: str) -> bytes:
+    return (
+        s.encode("latin-1")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+    """Write a REAL classic-layout PDF: header, catalog, page tree,
+    one Helvetica content stream per page (one ``Tj`` per line with
+    ``Td`` line moves), a correct xref table with byte offsets, and a
+    trailer.  ``pages`` is a list of pages, each a list of text
+    lines; ``compress`` FlateDecodes every content stream.  Any
+    conformant reader opens the output."""
+    objects: list[bytes] = []  # bodies; object number = index + 1
+    n_pages = len(pages)
+    # layout: 1 catalog, 2 pages tree, 3 font, then per page:
+    # page object, content object
+    page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, lines in enumerate(pages):
+        content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
+        for j, line in enumerate(lines):
+            if j:
+                content += b"0 -14 Td\n"
+            content += b"(" + _pdf_escape(line) + b") Tj\n"
+        content += b"ET"
+        data = bytes(content)
+        filt = b""
+        if compress:
+            data = zlib.compress(data)
+            filt = b" /Filter /FlateDecode"
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (page_obj_nums[i] + 1)
+        )
+        objects.append(
+            b"<< /Length %d%s >>\nstream\n" % (len(data), filt)
+            + data
+            + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_at)
+    )
+    return bytes(out)

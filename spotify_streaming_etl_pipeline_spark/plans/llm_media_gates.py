@@ -361,6 +361,46 @@ def video_frame_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pdf_text_extract",
+    r"""
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 3 AS p FROM documents
+        WHERE doc_id < 200
+    ),
+    t AS (
+        SELECT doc_id, p,
+               array_to_string(list_transform(range(p), q ->
+                   array_to_string(list_transform(
+                       range(2 + (doc_id + q) % 2), j ->
+                       printf('[%05d:%d:%d] word%02d.',
+                              doc_id, q, j,
+                              (doc_id * 7 + q * 3 + j) % 100)),
+                       chr(10))),
+                   chr(12)) AS text
+        FROM d
+    )
+    SELECT doc_id, cast(p AS BIGINT) AS n_pages,
+           cast(length(text) AS BIGINT) AS n_chars, text
+    FROM t
+    """,
+)
+def pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction behind an oracle gate: synthesize a
+    genuine classic-layout PDF per doc (llm/pdf.py:encode_pdf —
+    catalog, page tree, Helvetica text objects, correct xref byte
+    offsets; even docs FlateDecode their content streams), then
+    extract through ``pdf_text_features`` (object scan, /Root ->
+    /Pages -> /Kids walk, stream decode, the Tj/Td text-operator
+    tokenizer).  Every character of every page is an arithmetic
+    function of (doc_id, page, line), so DuckDB reconstructs the FULL
+    extracted text — a regression anywhere in object discovery, the
+    page tree, zlib framing, string escapes, or line-break operators
+    moves the text hash."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.pdf_text_features(multimodal.synth_pdf_corpus(d))
+
+
+@query(
     "mkv_frame_summary",
     """
     SELECT doc_id,

@@ -1,0 +1,114 @@
+"""Units for the subset-PDF codec (llm/pdf.py): writer/extractor
+round-trips, string escapes, hex strings and TJ arrays, page trees,
+FlateDecode, contents arrays, incremental-update semantics, honest
+refusals, and the Spark dead-letter stage."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from spotify_streaming_etl_pipeline_spark.llm import multimodal
+from spotify_streaming_etl_pipeline_spark.llm.pdf import (
+    _page_text,
+    encode_pdf,
+    extract_pdf_text,
+)
+
+
+def test_roundtrip_multipage_and_escapes():
+    pages = [
+        ["Hello world.", "Parens (nested (deep)) and \\ slash"],
+        ["Page two, line one", "tab\tand\nnewline escapes"],
+        [],
+    ]
+    out = extract_pdf_text(encode_pdf(pages))
+    assert out["n_pages"] == 3
+    assert out["pages"][0] == "\n".join(pages[0])
+    assert out["pages"][1] == "\n".join(pages[1])
+    assert out["pages"][2] == ""
+    assert out["text"].count("\f") == 2
+
+
+def test_flate_compressed_streams_roundtrip():
+    pages = [["compressed line %d" % i for i in range(5)]]
+    raw = extract_pdf_text(encode_pdf(pages, compress=False))
+    comp = extract_pdf_text(encode_pdf(pages, compress=True))
+    assert raw["pages"] == comp["pages"]
+
+
+def test_text_operators_tj_arrays_hex_and_quotes():
+    # TJ with kerning numbers joins; hex strings decode; ' breaks line
+    s = b"BT [(ab) -120 (cd)] TJ 0 -14 Td <414243> Tj (x)' (y)\" ET"
+    assert _page_text(s) == "abcd\nABC\nx\ny"
+    # octal escapes and balanced parens inside literals
+    assert _page_text(rb"BT (\101\102(in)\051) Tj ET") == "AB(in))"
+
+
+def test_contents_array_concatenates_in_order():
+    pdf = bytearray(encode_pdf([["first"], ["second"]]))
+    # page 1's /Contents 5 0 R -> rewrite to [5 0 R 7 0 R]: page one
+    # must now show both streams' text in order
+    pdf = bytes(pdf).replace(b"/Contents 5 0 R", b"/Contents [5 0 R 7 0 R]")
+    out = extract_pdf_text(pdf)
+    assert out["pages"][0] == "first\nsecond"
+
+
+def test_incremental_update_later_object_wins():
+    base = encode_pdf([["old text"]])
+    # append an update redefining content object 5 (classic
+    # incremental-update layout: new body after the old %%EOF)
+    new_stream = b"BT /F1 12 Tf 72 720 Td (new text) Tj ET"
+    update = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+        + new_stream
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(base + update)["pages"] == ["new text"]
+
+
+def test_refusals_and_poison():
+    with pytest.raises(ValueError):
+        extract_pdf_text(b"not a pdf")
+    enc = encode_pdf([["x"]]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        extract_pdf_text(enc)
+    objstm = encode_pdf([["x"]]) + (
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First 4 >>\nstream\nx\nendstream"
+        b"\nendobj\n"
+    )
+    with pytest.raises(NotImplementedError, match="ObjStm"):
+        extract_pdf_text(objstm)
+    lzw = encode_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    with pytest.raises(NotImplementedError, match="filter"):
+        extract_pdf_text(lzw)
+    # corrupt zlib body in a declared-Flate stream
+    broken = encode_pdf([["x"]], compress=True)
+    i = broken.find(b"stream\n", broken.find(b"FlateDecode")) + 7
+    broken = broken[:i] + b"\x00\x00\x00\x00" + broken[i + 4 :]
+    with pytest.raises(ValueError, match="FlateDecode"):
+        extract_pdf_text(broken)
+
+
+def test_pdf_text_features_dead_letters(spark):
+    docs = spark.createDataFrame([(0,), (1,), (2,)], "doc_id: long")
+    media = multimodal.synth_pdf_corpus(docs)
+    poisoned = media.unionByName(
+        spark.createDataFrame(
+            [(9, bytearray(b"%PDF-1.4 broken")), (10, bytearray(b"junk"))],
+            "doc_id: long, blob: binary",
+        )
+    )
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.pdf_text_features(poisoned).collect()
+    }
+    assert got[9].text is None and got[10].text is None
+    # doc 0: 1 page, 2 lines; arithmetic text
+    assert got[0].n_pages == 1
+    assert got[0].text == "[00000:0:0] word00.\n[00000:0:1] word01."
+    assert got[2].n_pages == 3
+    assert got[1].n_chars == len(got[1].text)
