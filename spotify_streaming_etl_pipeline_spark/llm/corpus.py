@@ -6,6 +6,10 @@ operator from this package — this module only sequences them, the
   WARC bytes
     -> record table + 200/text-html filter + canonical URL + text +
        lang  (``warc.crawl_corpus`` — one narrow Arrow-batched plan)
+    -> PDF route          (optional: 200/application-pdf records
+       re-parsed with raw bytes and text-extracted through the REAL
+       PDF parser — ``warc.pdf_record_table`` +
+       ``multimodal.pdf_text_features`` — then unioned in as pages)
     -> robots.txt gate    (optional: drop pages a polite crawler may
        not fetch — ``robots.robots_decisions`` against the supplied
        rules table)
@@ -60,6 +64,7 @@ def build_training_corpus(
     page_id_stride: int = PAGE_ID_STRIDE,
     robots_rules: DataFrame | None = None,
     robots_agent: str = "*",
+    include_pdfs: bool = False,
     line_dedup_boilerplate: bool = False,
     benchmark: DataFrame | None = None,
     bloom_m_bits: int = 1 << 20,
@@ -72,7 +77,11 @@ def build_training_corpus(
     surviving page.
 
     Optional stages (each an already-certified operator, skipped when
-    its input is absent): ``robots_rules`` — a ``parse_robots`` table
+    its input is absent): ``include_pdfs`` — route the archives'
+    200/application-pdf records through the real PDF text extractor
+    and union them in as pages (form-feeds/newlines folded to the
+    single-space token contract; pages whose extraction dead-letters
+    drop); ``robots_rules`` — a ``parse_robots`` table
     applied for ``robots_agent`` right after the crawl (audit-time
     politeness: pages a polite crawler may not fetch leave the
     corpus); ``line_dedup_boilerplate`` — corpus-wide
@@ -88,6 +97,31 @@ def build_training_corpus(
         "text",
         "lang",
     )
+    if include_pdfs:
+        from .multimodal import pdf_text_features
+        from .text import canonical_url, lang_id
+        from .warc import pdf_record_table
+
+        pdf_recs = pdf_record_table(blobs).select(
+            (F.col("doc_id") * page_id_stride + F.col("rec")).alias(
+                "doc_id"
+            ),
+            canonical_url(F.col("url")).alias("url"),
+            "blob",
+        )
+        pdf_text = F.translate("text", "\f\n", "  ")
+        pdf_pages = (
+            pdf_text_features(pdf_recs)
+            .filter(F.col("text").isNotNull())
+            .join(pdf_recs.select("doc_id", "url"), "doc_id")
+            .select(
+                "doc_id",
+                "url",
+                pdf_text.alias("text"),
+                lang_id(pdf_text).alias("lang"),
+            )
+        )
+        pages = pages.unionByName(pdf_pages)
     if robots_rules is not None:
         allowed = robots_decisions(
             pages.select("doc_id", "url"), robots_rules, agent=robots_agent

@@ -132,6 +132,9 @@ def parse_warc(blob: bytes) -> list[dict]:
                 "content_type": ctype,
                 "n_body_bytes": len(body),
                 "body": body.decode("utf-8", errors="replace"),
+                # raw bytes for binary payload routes (PDF): the
+                # utf-8-replace decode above is lossy for non-text
+                "raw_body": body,
             }
         )
         pos = body_start + clen + 4  # past the record's closing CRLFCRLF
@@ -261,6 +264,108 @@ def warc_record_table(blobs: DataFrame) -> DataFrame:
             )
 
     return blobs.mapInPandas(batches, WARC_RECORD_SCHEMA)
+
+
+def attach_mixed_warc_blob(df: DataFrame) -> DataFrame:
+    """(doc_id, blob): the mixed-modality archive column for the PDF
+    -route gate — one ``synth_mixed_warc_blob`` per doc, Arrow
+    -batched."""
+    import pandas as pd
+
+    def _encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": [
+                        synth_mixed_warc_blob(int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(
+        _encode, "doc_id long, blob binary"
+    )
+
+
+PDF_RECORD_SCHEMA = "doc_id long, rec int, url string, blob binary"
+
+
+def pdf_record_table(blobs: DataFrame) -> DataFrame:
+    """(doc_id, rec, url, blob): the 200/application-pdf responses of
+    a (doc_id, blob) archive frame with bodies as RAW BYTES — the
+    string body column of ``warc_record_table`` is utf-8-replace
+    decoded (right for HTML, lossy for binary payloads), so the PDF
+    route re-parses the archive keeping bytes intact.  Same
+    Arrow-batched per-blob shape as every codec stage; feed the
+    output to ``multimodal.pdf_text_features``."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                for i, r in enumerate(parse_warc(bytes(blob))):
+                    if (
+                        r["status"] == 200
+                        and r["content_type"] == "application/pdf"
+                    ):
+                        rows.append(
+                            (int(doc_id), i, r["url"], r["raw_body"])
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rec", "url", "blob"]
+            )
+
+    return blobs.mapInPandas(batches, PDF_RECORD_SCHEMA)
+
+
+def synth_mixed_warc_blob(doc_id: int) -> bytes:
+    """Genuine WARC bytes whose records MIX modalities: rec 0 a
+    200/text-html page, rec 1 a 200/application-pdf document (REAL
+    bytes from llm/pdf.py:encode_pdf — 1 + doc_id % 2 pages, two
+    lines each, line j of page q reading
+    ``[%05d:%d:%d] pdf%02d.`` % (doc_id, q, j, (doc_id*3+q+j) % 100),
+    compressed streams on even ids), and — when doc_id % 3 == 0 — a
+    404 that both routes must drop.  Member-gzip on even ids.  Every
+    extracted field is an exact arithmetic function of doc_id."""
+    from .pdf import encode_pdf
+
+    html = (
+        "<html><body><p>mixed page %d</p></body></html>" % doc_id
+    ).encode()
+    pages = [
+        [
+            "[%05d:%d:%d] pdf%02d." % (doc_id, q, j, (doc_id * 3 + q + j) % 100)
+            for j in range(2)
+        ]
+        for q in range(1 + doc_id % 2)
+    ]
+    records = [
+        (
+            f"http://h{doc_id % 7}.example.com/p/{doc_id}/0",
+            200,
+            "text/html",
+            html,
+        ),
+        (
+            f"http://h{doc_id % 7}.example.com/d/{doc_id}.pdf",
+            200,
+            "application/pdf",
+            encode_pdf(pages, compress=doc_id % 2 == 0),
+        ),
+    ]
+    if doc_id % 3 == 0:
+        records.append(
+            (
+                f"http://h{doc_id % 7}.example.com/gone/{doc_id}",
+                404,
+                "text/plain",
+                b"not found",
+            )
+        )
+    return build_warc(records, member_gzip=doc_id % 2 == 0)
 
 
 def extract_links(html):

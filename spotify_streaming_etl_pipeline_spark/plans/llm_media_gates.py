@@ -518,6 +518,54 @@ def crawl_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl_corpus(attach_warc_blob(d))
 
 
+@query(
+    "warc_pdf_text",
+    r"""
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 2 AS p FROM documents
+        WHERE doc_id < 200
+    ),
+    t AS (
+        SELECT doc_id, p,
+               array_to_string(list_transform(range(p), q ->
+                   array_to_string(list_transform(range(2), j ->
+                       printf('[%05d:%d:%d] pdf%02d.',
+                              doc_id, q, j,
+                              (doc_id * 3 + q + j) % 100)),
+                       chr(10))),
+                   chr(12)) AS text
+        FROM d
+    )
+    SELECT cast(doc_id * 4 + 1 AS BIGINT) AS doc_id,
+           cast(p AS BIGINT) AS n_pages,
+           cast(length(text) AS BIGINT) AS n_chars, text
+    FROM t
+    """,
+)
+def warc_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl's PDF route end to end (llm/warc.py:
+    pdf_record_table + llm/multimodal.py:pdf_text_features):
+    synthesize genuine mixed-modality archives — per doc an HTML
+    record, a REAL application/pdf record (compressed content
+    streams on even ids), and a 404 every third doc — then re-parse
+    with raw bytes, keep only the 200/application-pdf records, fold
+    page ids with the corpus stride, and run the full PDF text
+    extractor.  DuckDB reconstructs each document's complete
+    extracted text arithmetically; a regression in the WARC framing,
+    content-type routing, the lossless raw-byte path (the utf-8
+    -replace string body would corrupt compressed PDFs), or any
+    parser stage moves the hash — and the HTML/404 records leaking
+    into the route changes the row count."""
+    from ..llm.multimodal import pdf_text_features
+    from ..llm.warc import attach_mixed_warc_blob, pdf_record_table
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    recs = pdf_record_table(attach_mixed_warc_blob(d)).select(
+        (F.col("doc_id") * 4 + F.col("rec")).alias("doc_id"), "blob"
+    )
+    return pdf_text_features(recs)
+
+
 def _outlink_oracle_sql() -> str:
     """Oracle for web-graph edge extraction (llm/warc.py:
     extract_links + outlink_edges): page bodies are built with 1 +

@@ -153,3 +153,30 @@ def test_build_training_corpus_optional_stages(spark):
     assert LONG_B.split()[0] in rows["http://c.example.com/z"]["text"]
     # folded back to the single-space contract
     assert "\n" not in rows["http://a.example.com/x"]["text"]
+
+
+def test_build_training_corpus_pdf_route(spark):
+    """include_pdfs unions the archives' 200/application-pdf records
+    into the corpus as extracted-text pages: raw-byte parsing (lossy
+    string bodies would corrupt the compressed streams), form-feeds
+    folded to the single-space contract, and exactly one PDF page per
+    archive doc; the default leaves PDFs out."""
+    from spotify_streaming_etl_pipeline_spark.llm.warc import (
+        synth_mixed_warc_blob,
+    )
+
+    rows = [(i, bytearray(synth_mixed_warc_blob(i))) for i in range(12)]
+    blobs = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = build_training_corpus(
+        blobs, include_pdfs=True, quality_quantile=0.0
+    ).collect()
+    pdfs = {r.doc_id: r for r in out if "/d/" in r.url}
+    htmls = [r for r in out if "/p/" in r.url]
+    assert len(pdfs) == 12 and len(htmls) == 12
+    # doc 8: compressed streams, 1 page, arithmetic text, folded flat
+    r8 = pdfs[8 * 4 + 1]
+    assert r8.text == "[00008:0:0] pdf24. [00008:0:1] pdf25."
+    assert "\n" not in r8.text and "\f" not in r8.text
+    # default: no PDF pages
+    plain = build_training_corpus(blobs, quality_quantile=0.0).collect()
+    assert all("/p/" in r.url for r in plain)

@@ -51,7 +51,9 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
                      # (synth + decode + resample are per-blob codecs)
                      "image_ahash_table", "image_ahash_pairs",
                      "audio_fingerprint_table", "audio_fingerprint_pairs",
-                     "video_near_dup"}
+                     "video_near_dup",
+                     # PDF synth + text extraction are per-blob codecs
+                     "pdf_text_extract", "warc_pdf_text"}
     for name, fn in queries.items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
