@@ -1069,9 +1069,9 @@ def pdf_text_features(media: DataFrame) -> DataFrame:
     FlateDecode content streams, the text-operator walk):
     Arrow-batched mapInPandas into (doc_id, n_pages, n_chars, text)
     with pages joined by form-feed; poison blobs — non-PDF bytes,
-    encrypted documents, /ObjStm packing, non-Flate filters, corrupt
-    zlib — null out instead of killing the task (dead-letter
-    contract)."""
+    encrypted documents, non-Flate filters, corrupt zlib — null out
+    instead of killing the task (dead-letter contract).  /ObjStm
+    -packed documents (PDF 1.5) unpack for real."""
 
     def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .pdf import extract_pdf_text

@@ -25,12 +25,15 @@ a regex scrape of visible ASCII.
   adjacent shows on one line join with nothing (the writer controls
   spacing inside the shown strings, like real generators do).
 
-Honest boundaries (explicit ``NotImplementedError``): encrypted
-documents (``/Encrypt`` in the trailer), non-Flate stream filters
-(DCT/LZW/ASCII85/RunLength), and compressed object streams
-(``/ObjStm`` — PDF 1.5 packing; the classic layout this module
-writes and reads is what text-bearing generators still emit most).
-Text is returned as the raw bytes of show operators decoded latin-1:
+PDF 1.5 compressed object streams (``/Type /ObjStm``) unpack for
+real — the decoded (num, offset) header indexes the packed
+dictionaries, which register without displacing classic
+(incremental-update) definitions — so modern xref-stream documents
+whose catalog/page dicts live inside ObjStm containers extract too
+(content streams are classic objects by spec).  Honest boundaries
+(explicit ``NotImplementedError``): encrypted documents
+(``/Encrypt`` in the trailer) and non-Flate stream filters
+(DCT/LZW/ASCII85/RunLength).  Text is returned as the raw bytes of show operators decoded latin-1:
 simple-font PDFs map bytes ~identity; CID/Type0 CMap remapping is a
 codec this container does not ship, and pages whose fonts need it
 come out garbled rather than silently empty — the audit columns
@@ -162,6 +165,35 @@ def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
     )
 
 
+def _expand_objstms(objs: dict[int, bytes]) -> None:
+    """Unpack PDF 1.5 compressed object streams (``/Type /ObjStm``):
+    the decoded stream opens with ``/N`` (num, offset) integer pairs,
+    then the object bodies start at ``/First``.  Contained objects
+    (dictionaries only — the spec forbids streams inside) register
+    under their numbers WITHOUT displacing classically-defined ones
+    (a classic definition later in the file is an incremental update
+    and must win, which _find_objects' later-wins scan already
+    encodes)."""
+    for body in list(objs.values()):
+        d = _dict_region(body)
+        if b"/ObjStm" not in d:
+            continue
+        data = _stream_data(objs, body)
+        first = int(_dict_value(d, b"First"))
+        n = int(_dict_value(d, b"N"))
+        head = data[:first].split()
+        if len(head) < 2 * n:
+            raise ValueError("ObjStm header shorter than /N declares")
+        for i in range(n):
+            num = int(head[2 * i])
+            off = first + int(head[2 * i + 1])
+            end = (
+                first + int(head[2 * i + 3]) if i + 1 < n else len(data)
+            )
+            if num not in objs:
+                objs[num] = data[off:end]
+
+
 def _literal_string(data: bytes, i: int) -> tuple[str, int]:
     """Parse a ( .. ) literal at data[i] -> (text, next index) with
     PDF escapes and balanced nesting."""
@@ -268,10 +300,7 @@ def extract_pdf_text(blob: bytes) -> dict:
     objs = _find_objects(blob)
     if not objs:
         raise ValueError("PDF has no indirect objects")
-    if any(b"/ObjStm" in _dict_region(b) for b in objs.values()):
-        raise NotImplementedError(
-            "PDF 1.5 compressed object streams (/ObjStm)"
-        )
+    _expand_objstms(objs)
     # catalog: via trailer /Root when present, else scan for /Catalog
     root = None
     tr = blob.rfind(b"trailer")

@@ -76,12 +76,6 @@ def test_refusals_and_poison():
     )
     with pytest.raises(NotImplementedError, match="encrypted"):
         extract_pdf_text(enc)
-    objstm = encode_pdf([["x"]]) + (
-        b"9 0 obj\n<< /Type /ObjStm /N 1 /First 4 >>\nstream\nx\nendstream"
-        b"\nendobj\n"
-    )
-    with pytest.raises(NotImplementedError, match="ObjStm"):
-        extract_pdf_text(objstm)
     lzw = encode_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
     with pytest.raises(NotImplementedError, match="filter"):
         extract_pdf_text(lzw)
@@ -112,3 +106,54 @@ def test_pdf_text_features_dead_letters(spark):
     assert got[0].text == "[00000:0:0] word00.\n[00000:0:1] word01."
     assert got[2].n_pages == 3
     assert got[1].n_chars == len(got[1].text)
+
+
+def test_objstm_packed_document_extracts():
+    """PDF 1.5 layout: catalog/pages/page dictionaries packed inside
+    a FlateDecode /ObjStm, content stream classic, NO trailer (the
+    xref-stream style) — the object scan + ObjStm expansion + the
+    /Catalog fallback must still find and extract the page."""
+    bodies = [
+        (1, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"),
+    ]
+    offs, payload = [], b""
+    for num, b in bodies:
+        offs.append((num, len(payload)))
+        payload += b + b" "
+    head = " ".join("%d %d" % o for o in offs).encode() + b" "
+    data = zlib.compress(head + payload)
+    objstm = (
+        b"2 0 obj\n<< /Type /ObjStm /N 3 /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(head), len(data))
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td (objstm text) Tj ET"
+    classic = (
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n"
+    )
+    pdf = b"%PDF-1.5\n" + objstm + classic + b"%%EOF\n"
+    out = extract_pdf_text(pdf)
+    assert out["n_pages"] == 1
+    assert out["pages"][0] == "objstm text"
+
+
+def test_classic_definition_outranks_objstm_copy():
+    """An ObjStm copy of an object must not displace a classic
+    (incremental-update) definition of the same number."""
+    base = encode_pdf([["classic wins"]])
+    # pack a BOGUS page 4 redefinition inside an appended ObjStm
+    body = b"<< /Type /Page /Parent 2 0 R >>"
+    head = b"4 0 "
+    data = zlib.compress(head + body)
+    stm = (
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n" % (len(head), len(data))
+        + data
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(base + stm)["pages"] == ["classic wins"]
