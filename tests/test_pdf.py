@@ -157,3 +157,47 @@ def test_classic_definition_outranks_objstm_copy():
         + b"\nendstream\nendobj\n"
     )
     assert extract_pdf_text(base + stm)["pages"] == ["classic wins"]
+
+
+def test_pdf_roundtrip_property():
+    """Randomized writer/extractor round-trip: any latin-1 page/line
+    structure survives encode -> extract exactly, compressed or not
+    (hypothesis when available, a seeded battery otherwise)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover - hypothesis is baked in
+        import random
+
+        rng = random.Random(3)
+        for _ in range(8):
+            pages = [
+                [
+                    "".join(
+                        chr(rng.randrange(32, 255))
+                        for _ in range(rng.randrange(0, 40))
+                    )
+                    for _ in range(rng.randrange(0, 4))
+                ]
+                for _ in range(rng.randrange(1, 4))
+            ]
+            for comp in (False, True):
+                out = extract_pdf_text(encode_pdf(pages, compress=comp))
+                assert out["pages"] == ["\n".join(p) for p in pages]
+        return
+
+    line = st.text(
+        st.characters(min_codepoint=32, max_codepoint=254),
+        max_size=40,
+    ).filter(lambda s: s.strip() != "")
+    pages_strat = st.lists(
+        st.lists(line, max_size=4), min_size=1, max_size=3
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(pages=pages_strat, comp=st.booleans())
+    def prop(pages, comp):
+        out = extract_pdf_text(encode_pdf(pages, compress=comp))
+        assert out["n_pages"] == len(pages)
+        assert out["pages"] == ["\n".join(p) for p in pages]
+
+    prop()
