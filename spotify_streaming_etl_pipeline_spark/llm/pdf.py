@@ -15,8 +15,11 @@ a regex scrape of visible ASCII.
   tree with inheritance-free leaf pages (``/Type /Page``),
 - per page, ``/Contents`` as a direct stream, an indirect reference,
   or an ARRAY of refs (concatenated in order, as the spec requires),
-- stream decoding: raw or ``/FlateDecode`` (zlib — the overwhelmingly
-  dominant content filter); other filters raise,
+- stream decoding: raw or any chain of the classic text-stream
+  filters — ``/FlateDecode`` (zlib), ``/LZWDecode`` (TIFF-style
+  variable-width codes with EarlyChange), ``/ASCII85Decode``,
+  ``/ASCIIHexDecode``, ``/RunLengthDecode`` — applied left to right;
+  image-codec filters (DCT/JBIG2/JPX) raise,
 - a real content-stream tokenizer for the text operators: ``Tj``
   (literal and <hex> strings), ``TJ`` (array form with kerning
   numbers), ``'`` and ``"`` (next-line shows), with PDF literal
@@ -32,8 +35,8 @@ dictionaries, which register without displacing classic
 whose catalog/page dicts live inside ObjStm containers extract too
 (content streams are classic objects by spec).  Honest boundaries
 (explicit ``NotImplementedError``): encrypted documents
-(``/Encrypt`` in the trailer) and non-Flate stream filters
-(DCT/LZW/ASCII85/RunLength).  Text is returned as the raw bytes of show operators decoded latin-1:
+(``/Encrypt`` in the trailer) and image-codec stream filters
+(DCT/JBIG2/JPX).  Text is returned as the raw bytes of show operators decoded latin-1:
 simple-font PDFs map bytes ~identity; CID/Type0 CMap remapping is a
 codec this container does not ship, and pages whose fonts need it
 come out garbled rather than silently empty — the audit columns
@@ -128,7 +131,8 @@ def _resolve(objs: dict[int, bytes], val: bytes) -> bytes | None:
 
 
 def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
-    """Decoded bytes of a stream object (raw or FlateDecode)."""
+    """Decoded bytes of a stream object: raw, or any left-to-right
+    chain of the classic filters (_apply_filter)."""
     d = _dict_region(body)
     s = body.find(b"stream")
     if s < 0:
@@ -149,19 +153,116 @@ def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
     filt = _dict_value(d, b"Filter")
     if filt is None:
         return data
-    if b"FlateDecode" in filt:
-        if filt.strip() not in (b"/FlateDecode", b"[/FlateDecode]",
-                                b"[ /FlateDecode ]"):
-            raise NotImplementedError(
-                f"PDF filter chain {filt!r} (only plain FlateDecode)"
-            )
+    for name in re.findall(rb"/([A-Za-z0-9]+)", filt):
+        data = _apply_filter(name, data)
+    return data
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """PDF LZWDecode (TIFF-style, EarlyChange=1 default): variable
+    9..12-bit codes MSB-first, 256 = clear table, 257 = EOD."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # clear
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW code before any literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code past table end")
+            out += entry
+            prev = entry
+            # EarlyChange: width bumps one code EARLY
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    data = data.replace(b"z", b"!!!!!")  # z = four zero bytes
+    out = bytearray()
+    for i in range(0, len(data), 5):
+        grp = data[i : i + 5]
+        pad = 5 - len(grp)
+        grp += b"u" * pad
+        v = 0
+        for ch in grp:
+            if not 0x21 <= ch <= 0x75:
+                raise ValueError("invalid ASCII85 character")
+            v = v * 85 + (ch - 0x21)
+        if v > 0xFFFFFFFF:
+            raise ValueError("ASCII85 group overflows 32 bits")
+        out += v.to_bytes(4, "big")[: 4 - pad]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        l = data[i]
+        if l == 128:  # EOD
+            break
+        if l < 128:
+            out += data[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += data[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _apply_filter(name: bytes, data: bytes) -> bytes:
+    """One stream filter; chains apply left to right per spec."""
+    if name == b"FlateDecode":
         try:
             return zlib.decompress(data)
         except zlib.error as exc:
             raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
+    if name == b"LZWDecode":
+        return _lzw_decode(data)
+    if name == b"ASCII85Decode":
+        return _ascii85_decode(data)
+    if name == b"ASCIIHexDecode":
+        hx = re.sub(rb"[\s>]", b"", data)
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (UnicodeDecodeError, ValueError) as exc:
+            raise ValueError(f"corrupt ASCIIHex stream: {exc}") from exc
+    if name == b"RunLengthDecode":
+        return _runlength_decode(data)
     raise NotImplementedError(
-        f"PDF stream filter {filt!r} (only FlateDecode decodes; "
-        "DCT/LZW/ASCII85 need codecs this container does not ship)"
+        f"PDF stream filter /{name.decode('ascii', 'replace')} "
+        "(Flate/LZW/ASCII85/ASCIIHex/RunLength decode; DCT/JBIG2/JPX "
+        "are image codecs, not text streams)"
     )
 
 

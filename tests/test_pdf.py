@@ -76,9 +76,9 @@ def test_refusals_and_poison():
     )
     with pytest.raises(NotImplementedError, match="encrypted"):
         extract_pdf_text(enc)
-    lzw = encode_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /LZWDecode /Length")
+    dct = encode_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
     with pytest.raises(NotImplementedError, match="filter"):
-        extract_pdf_text(lzw)
+        extract_pdf_text(dct)
     # corrupt zlib body in a declared-Flate stream
     broken = encode_pdf([["x"]], compress=True)
     i = broken.find(b"stream\n", broken.find(b"FlateDecode")) + 7
@@ -201,3 +201,106 @@ def test_pdf_roundtrip_property():
         assert out["pages"] == ["\n".join(p) for p in pages]
 
     prop()
+
+
+def _reencode_stream(pdf: bytes, payload: bytes, filt: bytes) -> bytes:
+    """Swap the (single) content stream of a 1-page writer PDF for a
+    re-encoded payload under a declared filter chain."""
+    i = pdf.find(b"5 0 obj")
+    j = pdf.find(b"endobj", i)
+    new = (
+        b"5 0 obj\n<< /Filter %s /Length %d >>\nstream\n" % (filt, len(payload))
+        + payload
+        + b"\nendstream\n"
+    )
+    # offsets in the xref are now stale for objects after 5 — the
+    # extractor's object SCAN must not care
+    return pdf[:i] + new + pdf[j:]
+
+
+def test_filter_family_and_chains():
+    import base64
+
+    src = encode_pdf([["filter family text", "line two"]])
+    content = b"BT /F1 12 Tf 72 720 Td (filter family text) Tj 0 -14 Td (line two) Tj ET"
+    cases = [
+        (base64.a85encode(content) + b"~>", b"/ASCII85Decode"),
+        (content.hex().encode() + b">", b"/ASCIIHexDecode"),
+        (
+            base64.a85encode(zlib.compress(content)) + b"~>",
+            b"[/ASCII85Decode /FlateDecode]",
+        ),
+        (
+            zlib.compress(content).hex().encode() + b">",
+            b"[/ASCIIHexDecode /FlateDecode]",
+        ),
+    ]
+    for payload, filt in cases:
+        out = extract_pdf_text(_reencode_stream(src, payload, filt))
+        assert out["pages"] == ["filter family text\nline two"], filt
+
+
+def test_runlength_decode():
+    from spotify_streaming_etl_pipeline_spark.llm.pdf import (
+        _runlength_decode,
+    )
+
+    # 3 literals, a run of 4 'A's (257-253), EOD
+    data = bytes([2]) + b"xyz" + bytes([253]) + b"A" + bytes([128])
+    assert _runlength_decode(data) == b"xyzAAAA"
+
+
+def test_lzw_roundtrip_against_reference_encoder():
+    """Mirror-encoder check: a spec LZW encoder (EarlyChange=1) built
+    against the same tables round-trips through _lzw_decode for
+    random byte strings."""
+    import random
+
+    from spotify_streaming_etl_pipeline_spark.llm.pdf import _lzw_decode
+
+    def lzw_encode(data: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out = []
+        bits = []
+
+        def emit(code):
+            bits.append((code, width))
+
+        emit(256)  # clear
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = next_code
+            next_code += 1
+            # EarlyChange: widen one code early
+            if next_code + 1 > (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+        if w:
+            emit(table[w])
+        emit(257)  # EOD
+        acc = n = 0
+        buf = bytearray()
+        for code, wd in bits:
+            acc = (acc << wd) | code
+            n += wd
+            while n >= 8:
+                n -= 8
+                buf.append((acc >> n) & 0xFF)
+        if n:
+            buf.append((acc << (8 - n)) & 0xFF)
+        return bytes(buf)
+
+    rng = random.Random(5)
+    for trial in range(6):
+        n = rng.randrange(1, 2000)
+        data = bytes(rng.randrange(4) * 60 for _ in range(n))  # runs
+        assert _lzw_decode(lzw_encode(data)) == data, trial
+    text = b"abcabcabcabc the quick brown fox " * 40
+    assert _lzw_decode(lzw_encode(text)) == text
