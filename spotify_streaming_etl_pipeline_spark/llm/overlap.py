@@ -136,9 +136,10 @@ def duplicate_spans(
     ``span_len`` >= ``min_len``.
 
     Relational suffix-array stand-in: position-keeping
-    ``window_hashes`` -> posting grouped by hash (hot-hash star guard:
-    postings longer than ``max_postings`` — corpus boilerplate — are
-    dropped whole, the ``posting_buckets`` discipline) -> within-row
+    ``window_hashes`` -> hot-hash star guard (a COUNT aggregate finds
+    hashes with more than ``max_postings`` positions — corpus
+    boilerplate — and an anti-join drops them BEFORE any posting
+    array is materialized) -> posting grouped by hash -> within-row
     double explode pairs matched positions join-free -> matched
     positions sharing a DIAGONAL (ia - ib) merge into runs by the
     gaps-and-islands rewrite (ia - row_number), each island one span
@@ -166,11 +167,30 @@ def duplicate_spans(
             .distinct()
         )
         wh = wh.join(docs, "doc_id", "left_semi")
+    if max_postings is not None:
+        # Hot-hash guard BEFORE materialization: a plain count aggregate
+        # (map-side partial combine, constant per-group state) finds the
+        # boilerplate hashes, and an anti-join drops their positions
+        # before any posting array exists.  Filtering size() AFTER the
+        # collect_list would build the full posting array for every
+        # corpus-boilerplate window (license headers, whitespace runs —
+        # 1e8+ positions at 100 TB) in one aggregation buffer just to
+        # throw it away: an executor-OOM, not a slowdown.  The hot set
+        # (count > cap) is small but has no static bound a broadcast
+        # could rely on, so the anti-join is shuffle-hash hinted: no
+        # sort, per-partition build side bounded by the hot-hash count,
+        # and its h-partitioning is exactly what the posting fold needs
+        # next, so the fold reuses the exchange.
+        hot = (
+            wh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_postings)
+            .select("h")
+        )
+        wh = wh.join(hot.hint("shuffle_hash"), "h", "left_anti")
     posting = wh.groupBy("h").agg(
         F.collect_list(F.struct("doc_id", "i")).alias("ps")
     )
-    if max_postings is not None:
-        posting = posting.filter(F.size("ps") <= max_postings)
     matched = (
         posting.select(F.explode("ps").alias("a"), "ps")
         .select("a", F.explode("ps").alias("c"))

@@ -320,15 +320,26 @@ def test_line_dedup_shuffles_hashes_not_text(spark, sf_dir, queries):
     assert "partial_min" in plan or "partial_count" in plan
 
 
-def test_verbatim_spans_join_free_and_no_smj(spark, sf_dir, queries):
+def test_verbatim_spans_guard_precedes_fold(spark, sf_dir, queries):
     """The span extractor's pairing is a within-row double explode of
-    the hot-capped posting — NO join of any kind reaches the physical
-    plan (the only exchanges are the posting groupBy, the island
-    window, and the final span aggregation)."""
+    the hot-capped posting; the ONLY join in the plan is the hot-hash
+    anti-join, and the guard must be a plain COUNT aggregate applied
+    BEFORE the collect_list fold — a size() filter after the fold
+    would materialize every boilerplate posting array in one
+    aggregation buffer (executor OOM at 100 TB).  The anti-join is
+    shuffle-hash (sortless, h-partitioned so the fold reuses the
+    exchange), never sort-merge or cartesian."""
     plan = _plan(queries["verbatim_spans"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the posting explode
+    assert "LeftAnti" in plan  # the pre-fold hot-hash guard
+    assert "partial_count" in plan  # ...fed by a partial count agg
+    # and the fold's output is never cap-filtered post hoc (the
+    # optimizer's own `size(ps) > 0` explode guard is fine)
+    import re as _re
+
+    assert not _re.search(r"size\(ps[^\n]*1000", plan)
 
 
 def test_unigram_edges_broadcast(spark, sf_dir, queries):
