@@ -1089,8 +1089,11 @@ def pdf_text_features(media: DataFrame) -> DataFrame:
                             out["text"],
                         )
                     )
-                except (ValueError, NotImplementedError, IndexError,
-                        KeyError):
+                except Exception:
+                    # the FULL breadth: malformed crawled PDFs reach
+                    # TypeError (ObjStm int(None)), RecursionError,
+                    # zlib paths, … — ONE hostile blob must null out,
+                    # never kill the Spark task and the corpus build
                     rows.append((doc_id, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_pages", "n_chars", "text"]

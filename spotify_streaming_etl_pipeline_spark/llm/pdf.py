@@ -143,13 +143,27 @@ def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
     elif body[s : s + 1] in (b"\n", b"\r"):
         s += 1
     e = body.rfind(b"endstream")
-    data = body[s:e]
-    # /Length may be indirect and the scan keeps exact spans anyway —
-    # trim one trailing EOL the writer put before ``endstream``
-    if data.endswith(b"\r\n"):
-        data = data[:-2]
-    elif data.endswith((b"\n", b"\r")):
-        data = data[:-1]
+    # /Length (resolving one indirect ref) slices the payload EXACTLY
+    # when it is present and consistent — a conformant stream whose
+    # last real byte is \r must not lose it to the EOL-trim heuristic.
+    data = None
+    lv = _dict_value(d, b"Length")
+    if lv is not None:
+        rv = _resolve(objs, lv)
+        lm = re.match(rb"\s*(\d+)", rv) if rv else None
+        if lm:
+            length = int(lm.group(1))
+            tail = body[s + length : s + length + 16].lstrip(b"\r\n \t")
+            if s + length <= len(body) and tail.startswith(b"endstream"):
+                data = body[s : s + length]
+    if data is None:
+        # /Length absent or unusable: span to ``endstream`` and trim
+        # one trailing EOL the writer put before the keyword
+        data = body[s:e]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith((b"\n", b"\r")):
+            data = data[:-1]
     filt = _dict_value(d, b"Filter")
     if filt is None:
         return data
@@ -280,8 +294,12 @@ def _expand_objstms(objs: dict[int, bytes]) -> None:
         if b"/ObjStm" not in d:
             continue
         data = _stream_data(objs, body)
-        first = int(_dict_value(d, b"First"))
-        n = int(_dict_value(d, b"N"))
+        fv = _dict_value(d, b"First")
+        nv = _dict_value(d, b"N")
+        if fv is None or nv is None:
+            raise ValueError("ObjStm missing /First or /N")
+        first = int(fv)
+        n = int(nv)
         head = data[:first].split()
         if len(head) < 2 * n:
             raise ValueError("ObjStm header shorter than /N declares")
@@ -345,9 +363,46 @@ def _hex_string(data: bytes, i: int) -> tuple[str, int]:
     return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), end + 1
 
 
+def _skip_dict(data: bytes, i: int) -> int:
+    """Skip a balanced << .. >> dictionary starting at data[i],
+    returning the index just past the closing >>.  Literal ( .. )
+    strings and <hex> strings inside the dict are skipped opaquely so
+    their bytes can't unbalance the scan (a marked-content property
+    dict like ``<</Sig (a>>b)>>`` is legal)."""
+    assert data[i : i + 2] == b"<<"
+    depth = 0
+    n = len(data)
+    while i < n:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return i
+        elif data[i : i + 1] == b"(":
+            _, i = _literal_string(data, i)
+        elif data[i : i + 1] == b"<":
+            end = data.find(b">", i)
+            i = n if end < 0 else end + 1
+        else:
+            i += 1
+    return n
+
+
+_EI_RE = re.compile(rb"(?<=[\x00\t\n\f\r ])EI(?=[\x00\t\n\f\r ]|$)")
+
+
 def _page_text(content: bytes) -> str:
     """Run the text operators of one content stream: shows append to
-    the current line; Td/TD/T*/'/" start a new one."""
+    the current line; Td/TD/T*/'/" start a new one.  Non-text syntax
+    that real generators emit around the text operators is consumed
+    structurally: << .. >> dictionaries (marked-content properties
+    like ``/P <</MCID 0>> BDC``) skip balanced, and ``BI .. ID
+    <binary> EI`` inline images skip to the whitespace-delimited EI so
+    raw sample bytes never reach the tokenizer."""
     lines: list[list[str]] = [[]]
     pending: list[str] = []  # operands (strings) awaiting an operator
     i = 0
@@ -358,9 +413,12 @@ def _page_text(content: bytes) -> str:
             s, i = _literal_string(content, i)
             pending.append(s)
             continue
-        if c == b"<" and content[i : i + 2] != b"<<":
-            s, i = _hex_string(content, i)
-            pending.append(s)
+        if c == b"<":
+            if content[i : i + 2] == b"<<":
+                i = _skip_dict(content, i)
+            else:
+                s, i = _hex_string(content, i)
+                pending.append(s)
             continue
         if c == b"[":
             i += 1
@@ -381,6 +439,15 @@ def _page_text(content: bytes) -> str:
                 lines[-1].extend(pending)
             pending = []
             i += len(op)
+            continue
+        if re.match(rb"BI(?![A-Za-z0-9])", content[i:]):
+            # inline image: skip key/value pairs, then the binary
+            # sample run after ID, to the whitespace-delimited EI
+            idm = re.search(rb"(?<![A-Za-z0-9])ID[\x00\t\n\f\r ]", content[i:])
+            j = i + (idm.end() if idm else 2)
+            eim = _EI_RE.search(content, j)
+            pending = []
+            i = eim.end() if eim else n
             continue
         if re.match(rb"[A-Za-z]", c):
             # any other operator consumes pending operands
@@ -422,21 +489,32 @@ def extract_pdf_text(blob: bytes) -> dict:
     if pages_ref is None:
         raise ValueError("PDF catalog has no /Pages")
     leaves: list[bytes] = []
-
-    def walk(node: bytes | None) -> None:
+    # iterative DFS with a visited set: a hostile/corrupt /Kids cycle
+    # (or a self-referencing node) must dead-letter as "no pages", not
+    # blow the recursion limit and kill the Spark task
+    seen: set[int] = set()
+    rm = _REF_RE.match(pages_ref.strip())
+    stack: list[tuple[int | None, bytes | None]] = [
+        (int(rm.group(1)), None) if rm else (None, pages_ref)
+    ]
+    while stack:
+        num, node = stack.pop()
+        if num is not None:
+            if num in seen:
+                continue
+            seen.add(num)
+            node = objs.get(num)
         if node is None:
-            return
+            continue
         d = _dict_region(node)
         if b"/Page" in d and b"/Pages" not in d:
             leaves.append(node)
-            return
+            continue
         kids = _dict_value(d, b"Kids")
         if kids is None:
-            return
-        for km in re.finditer(rb"(\d+)\s+\d+\s+R", kids):
-            walk(objs.get(int(km.group(1))))
-
-    walk(_resolve(objs, pages_ref))
+            continue
+        for km in reversed(list(re.finditer(rb"(\d+)\s+\d+\s+R", kids))):
+            stack.append((int(km.group(1)), None))
     pages: list[str] = []
     for leaf in leaves:
         cv = _dict_value(_dict_region(leaf), b"Contents")

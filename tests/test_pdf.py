@@ -304,3 +304,93 @@ def test_lzw_roundtrip_against_reference_encoder():
         assert _lzw_decode(lzw_encode(data)) == data, trial
     text = b"abcabcabcabc the quick brown fox " * 40
     assert _lzw_decode(lzw_encode(text)) == text
+
+
+def test_marked_content_dicts_and_inline_images_skip():
+    """Real-world tagged PDFs (Word/LaTeX/browser output) wrap text in
+    marked content — '/P <</MCID 0>> BDC' — whose '<<' must skip as a
+    balanced dict, never parse as a hex string; and 'BI .. ID <binary>
+    EI' inline images must skip to the whitespace-delimited EI so raw
+    sample bytes (which can contain '(' '<' operator-lookalikes) never
+    reach the tokenizer."""
+    s = b"/P <</MCID 0>> BDC BT (tagged) Tj ET EMC"
+    assert _page_text(s) == "tagged"
+    # nested dict value + literal string inside the property dict
+    s2 = b"/Span <</ActualText (not shown >>) /L <</N 1>> >> BDC BT (real) Tj ET"
+    assert _page_text(s2) == "real"
+    img = (
+        b"BT (before) Tj ET\n"
+        b"BI /W 4 /H 2 /CS /RGB /BPC 8 ID \x00(\x3c\x28garbage\xff EI bits EI\n"
+        b"BT 0 -14 Td (after) Tj ET"
+    )
+    # first whitespace-delimited EI ends the image ('EI' glued inside
+    # the sample run does not)
+    assert _page_text(img) == "before\nafter"
+    # full-document form: splice marked content + an inline image into
+    # a writer page
+    content = (
+        b"/P <</MCID 0>> BDC BT /F1 12 Tf 72 720 Td (doc text) Tj ET EMC\n"
+        b"BI /W 1 /H 1 ID \xde\xad\xbe\xef EI"
+    )
+    out = extract_pdf_text(
+        _reencode_stream(
+            encode_pdf([["x"]]), zlib.compress(content), b"/FlateDecode"
+        )
+    )
+    assert out["pages"] == ["doc text"]
+
+
+def test_stream_length_slices_exactly_trailing_cr_payload():
+    """A conformant stream whose LAST PAYLOAD BYTE is \\r must not
+    lose it to the EOL-trim heuristic when /Length is present — a
+    Flate payload ending in \\r would fail its checksum."""
+    # tune the adler32 low byte to \r by padding the shown string with
+    # 'A's (odd byte value -> cycles every residue within 256 steps)
+    content = None
+    for j in range(512):
+        cand = b"BT /F1 12 Tf 72 720 Td (cr tail %s) Tj ET" % (b"A" * j)
+        if zlib.compress(cand).endswith(b"\r"):
+            content = cand
+            break
+    assert content is not None, "no zlib payload ending in CR found"
+    payload = zlib.compress(content)
+    pdf = _reencode_stream(encode_pdf([["x"]]), payload, b"/FlateDecode")
+    out = extract_pdf_text(pdf)
+    assert out["pages"] == [content[content.find(b"(") + 1 : content.find(b")")].decode()]
+    # and an INDIRECT /Length resolves: point it at a new object
+    ind = pdf.replace(
+        b"/Length %d >>" % len(payload), b"/Length 99 0 R >>"
+    ) + b"99 0 obj\n%d\nendobj\n" % len(payload)
+    assert extract_pdf_text(ind)["pages"] == out["pages"]
+
+
+def test_hostile_pdfs_dead_letter_not_task_kill(spark):
+    """An ObjStm missing /First (TypeError pre-fix) and a /Kids cycle
+    (RecursionError pre-fix) must raise cleanly in extract_pdf_text
+    and NULL OUT through pdf_text_features — one hostile crawled blob
+    must never kill the Spark task."""
+    # ObjStm without /First
+    objstm = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 1 /Length 4 >>\n"
+        b"stream\nxxxx\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="ObjStm"):
+        extract_pdf_text(objstm)
+    # /Kids cycle: pages tree 2 -> kid 4 -> kid 2 (cycle) plus a real
+    # leaf; must terminate and extract the leaf
+    cyc = encode_pdf([["leaf text"]]).replace(
+        b"/Kids [4 0 R]", b"/Kids [8 0 R 4 0 R]"
+    ) + (
+        b"8 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 0 >>\nendobj\n"
+    )
+    out = extract_pdf_text(cyc)
+    assert out["pages"] == ["leaf text"]
+    # both shapes (and a deep-recursion page tree) through the Spark
+    # dead-letter stage
+    media = spark.createDataFrame(
+        [(1, bytearray(objstm)), (2, bytearray(cyc))],
+        "doc_id: long, blob: binary",
+    )
+    got = {r["doc_id"]: r for r in multimodal.pdf_text_features(media).collect()}
+    assert got[1].text is None
+    assert got[2].text == "leaf text"
