@@ -250,3 +250,104 @@ def test_progressive_malformed_scans_reject():
     for cut in (len(blob) // 2, len(blob) - 3):
         with pytest.raises((ValueError, IndexError)):
             decode_jpeg(bytes(blob[:cut]))
+
+
+def _refine_scan_roundtrip(blocks, ss=1, se=63):
+    """Encode ONE AC successive-approximation refinement scan (ah=1,
+    al=0) of the given zigzag blocks and decode it against the prior
+    -scan state ((|v|>>1)<<1 with sign); returns the decoded blocks."""
+    from spotify_streaming_etl_pipeline_spark.llm.jpeg import (
+        _BitReader,
+        _DC_BITS,
+        _DC_VALS,
+        _PAC_BITS,
+        _PAC_VALS,
+        _ProgWriter,
+        _canonical_codes,
+        _enc_ac_refine,
+        _enc_table,
+        _prog_ac_refine,
+    )
+
+    zz = np.zeros((1, len(blocks), 64), dtype=np.int64)
+    for bi, blk in enumerate(blocks):
+        for k, v in blk.items():
+            zz[0, bi, k] = v
+    enc = {"real_blocks": [(1, len(blocks))], "zz": [zz]}
+    pw = _ProgWriter(
+        _enc_table(_DC_BITS, _DC_VALS), _enc_table(_PAC_BITS, _PAC_VALS)
+    )
+    _enc_ac_refine(pw, enc, 0, ss, se, 1, 0, 0)
+    data = pw.finish()
+    ac = _canonical_codes(_PAC_BITS, _PAC_VALS)
+    reader = _BitReader(data, 0)
+    dec = np.zeros((len(blocks), 64), dtype=np.int64)
+    for bi, blk in enumerate(blocks):
+        for k, v in blk.items():
+            dec[bi, k] = (1 if v > 0 else -1) * ((abs(v) >> 1) << 1)
+    eobrun = 0
+    for bi in range(len(blocks)):
+        eobrun = _prog_ac_refine(reader, ac, dec[bi], ss, se, 0, eobrun)
+    return dec
+
+
+def test_ac_refine_zrl_before_correction_bits():
+    """libjpeg ordering: once the zero-history run exceeds 15, the ZRL
+    (with its buffered correction bits) is emitted at the NEXT nonzero
+    coefficient — newly significant or not.  A >=16 zero-history run
+    preceding an already-significant coefficient desynced the old
+    encoder (ValueError or silently wrong pixels)."""
+    import random
+
+    cases = [
+        [{22: 2, 27: 1}],  # raised ValueError pre-fix
+        [{17: 2, 40: 1}],  # silently decoded wrong pre-fix
+        [{1: 3, 22: 2, 27: 1, 60: 2}],
+        [{5: -2, 30: -1}],
+        [{2: 2}],  # correction bits folded into a pure EOB run
+        [{22: 2, 27: 1}, {17: 2, 40: 1}, {}, {63: 1}],  # cross-block EOBn
+    ]
+    rng = random.Random(7)
+    for _ in range(40):  # sparse randomized battery
+        blk = {}
+        for _ in range(rng.randrange(1, 6)):
+            blk[rng.randrange(1, 64)] = rng.choice([-3, -2, -1, 1, 2, 3])
+        cases.append([blk, {}])
+    for blocks in cases:
+        dec = _refine_scan_roundtrip(blocks)
+        for bi, blk in enumerate(blocks):
+            want = np.zeros(64, dtype=np.int64)
+            for k, v in blk.items():
+                want[k] = v
+            assert dec[bi].tolist() == want.tolist(), blocks
+
+
+def test_progressive_per_component_dc_scans_decode():
+    """Custom scan scripts emit per-component (non-interleaved) DC
+    scans; spec G iterates the component's REAL block raster, not the
+    interleaved MCU grid — subsampled chroma otherwise decodes blocks
+    out of order and touches padding blocks.  dc_split=True must
+    decode identically to the interleaved default AND to baseline."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(6):
+        h = 8 * rng.choice([1, 2, 3])
+        w = 8 * rng.choice([1, 2, 3])
+        planes = [
+            [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+            for _ in range(3)
+        ]
+        sampling = rng.choice(
+            [[(2, 2), (1, 1), (1, 1)], [(2, 1), (1, 1), (1, 1)], None]
+        )
+        ri = rng.choice([0, 1, 2])
+        al = rng.choice([0, 1, 2])
+        base = decode_jpeg(encode_jpeg(planes, sampling=sampling))
+        split = decode_jpeg(
+            encode_jpeg_progressive(
+                planes, sampling=sampling, restart_interval=ri,
+                al_first=al, dc_split=True,
+            )
+        )
+        assert base["pixels"] == split["pixels"], (trial, sampling, ri, al)
