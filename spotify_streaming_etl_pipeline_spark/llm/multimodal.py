@@ -1113,7 +1113,11 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
     every extracted character is an arithmetic function of
     (i, q, j).  Even docs FlateDecode-compress their content streams,
     odd docs store them raw, so the oracle gates both stream paths
-    plus the xref/page-tree/text-operator walk."""
+    plus the xref/page-tree/text-operator walk.  Every doc with
+    i % 3 == 2 is written as a Type0/Identity-H CID document
+    (sequential non-codepoint CIDs + a /ToUnicode CMap with bfrange
+    folding) — extraction matches the oracle only if the CMap is
+    genuinely parsed and applied at show time."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .pdf import encode_pdf
@@ -1130,7 +1134,11 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
                     ]
                     for q in range(1 + i % 3)
                 ]
-                blobs.append(encode_pdf(pages, compress=i % 2 == 0))
+                blobs.append(
+                    encode_pdf(
+                        pages, compress=i % 2 == 0, type0=i % 3 == 2
+                    )
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.select("doc_id").mapInPandas(

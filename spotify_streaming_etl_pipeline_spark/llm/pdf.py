@@ -36,17 +36,23 @@ whose catalog/page dicts live inside ObjStm containers extract too
 (content streams are classic objects by spec).  Honest boundaries
 (explicit ``NotImplementedError``): encrypted documents
 (``/Encrypt`` in the trailer) and image-codec stream filters
-(DCT/JBIG2/JPX).  Text is returned as the raw bytes of show operators decoded latin-1:
-simple-font PDFs map bytes ~identity; CID/Type0 CMap remapping is a
-codec this container does not ship, and pages whose fonts need it
-come out garbled rather than silently empty — the audit columns
-(n_pages, chars) stay honest either way.
+(DCT/JBIG2/JPX).  Show-operator bytes decode through the ACTIVE FONT:
+pages resolve /Resources -> /Font (with page-tree inheritance), each
+font's /ToUnicode CMap stream parses for real (codespacerange,
+bfchar, bfrange in both incrementing and array forms) and ``Tf``
+switches the live decode table — so Type0/CID documents (the modern
+Word/LaTeX/browser shape, and virtually all CJK) extract correct
+Unicode.  Simple fonts without /ToUnicode keep latin-1 byte identity;
+CID codes missing from their CMap become U+FFFD rather than garbled
+byte soup — the audit columns (n_pages, chars) stay honest either
+way.
 
 ``encode_pdf`` is the matching writer — real xref table with correct
-byte offsets, page tree, Helvetica text objects, optional
-FlateDecode content compression — so the oracle gate synthesizes
-conformant PDFs deterministically (the synthesized-real-bytes
-discipline of every media gate in this repo).
+byte offsets, page tree, Helvetica text objects or (``type0=True``) a
+Type0/Identity-H CID font with sequential non-codepoint CIDs and a
+generated /ToUnicode CMap, optional FlateDecode content compression —
+so the oracle gate synthesizes conformant PDFs deterministically (the
+synthesized-real-bytes discipline of every media gate in this repo).
 
 Reference parity note: the reference pipeline has no document-parsing
 surface (BASELINE.md); additive LLM-curation family.
@@ -114,6 +120,8 @@ def _dict_value(d: bytes, key: bytes) -> bytes | None:
                 if depth == 0:
                     return rest[: i + 1]
         return rest
+    if rest.startswith(b"<<"):  # inline dictionary value, balanced
+        return rest[: _skip_dict(rest, 0)]
     if rest.startswith(b"/"):  # name value, e.g. /Filter /FlateDecode
         m2 = re.match(rb"/[A-Za-z0-9.+-]*", rest)
         return m2.group(0)
@@ -313,9 +321,11 @@ def _expand_objstms(objs: dict[int, bytes]) -> None:
                 objs[num] = data[off:end]
 
 
-def _literal_string(data: bytes, i: int) -> tuple[str, int]:
-    """Parse a ( .. ) literal at data[i] -> (text, next index) with
-    PDF escapes and balanced nesting."""
+def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a ( .. ) literal at data[i] -> (raw bytes, next index)
+    with PDF escapes and balanced nesting.  Raw bytes, not text: the
+    active FONT decides the decoding (Type0/CID code sequences vs
+    simple-font latin-1), applied at show time by _page_text."""
     assert data[i : i + 1] == b"("
     out = bytearray()
     depth = 1
@@ -344,7 +354,7 @@ def _literal_string(data: bytes, i: int) -> tuple[str, int]:
         elif c == 0x29:
             depth -= 1
             if depth == 0:
-                return out.decode("latin-1"), i + 1
+                return bytes(out), i + 1
             out.append(c)
             i += 1
         else:
@@ -353,14 +363,98 @@ def _literal_string(data: bytes, i: int) -> tuple[str, int]:
     raise ValueError("unterminated PDF literal string")
 
 
-def _hex_string(data: bytes, i: int) -> tuple[str, int]:
+def _hex_string(data: bytes, i: int) -> tuple[bytes, int]:
     end = data.find(b">", i)
     if end < 0:
         raise ValueError("unterminated PDF hex string")
     hx = re.sub(rb"\s", b"", data[i + 1 : end])
     if len(hx) % 2:
         hx += b"0"  # spec: odd final digit implies trailing 0
-    return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), end + 1
+    return bytes.fromhex(hx.decode("ascii")), end + 1
+
+
+def _parse_tounicode(data: bytes) -> tuple[list[int], dict]:
+    """Parse a /ToUnicode CMap stream into (code byte-lengths, {(len,
+    code) -> unicode str}).  Covers the spec surface real writers
+    emit: ``begincodespacerange`` (code widths), ``beginbfchar``
+    (<src> <dst> pairs), and ``beginbfrange`` in both the incrementing
+    <lo> <hi> <dst> form and the explicit <lo> <hi> [<d1> <d2> ..]
+    array form; destinations are UTF-16BE."""
+    lengths: set[int] = set()
+    mapping: dict[tuple[int, int], str] = {}
+
+    def _uni(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    ):
+        for tok in re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            lengths.add(len(tok) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            ln = len(src) // 2
+            lengths.add(ln)
+            mapping[(ln, int(src, 16))] = _uni(dst)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        toks = re.findall(rb"<[0-9A-Fa-f]+>|\[|\]", m.group(1))
+        i = 0
+        while i + 3 <= len(toks):
+            lo_t, hi_t = toks[i], toks[i + 1]
+            if lo_t in (b"[", b"]") or hi_t in (b"[", b"]"):
+                i += 1
+                continue
+            ln = (len(lo_t) - 2) // 2
+            lengths.add(ln)
+            lo, hi = int(lo_t[1:-1], 16), int(hi_t[1:-1], 16)
+            if toks[i + 2] == b"[":
+                j = i + 3
+                off = 0
+                while j < len(toks) and toks[j] != b"]":
+                    mapping[(ln, lo + off)] = _uni(toks[j][1:-1])
+                    off += 1
+                    j += 1
+                i = j + 1
+            else:
+                dst = toks[i + 2][1:-1]
+                base = int(dst, 16)
+                width = len(dst) // 2
+                for c in range(lo, hi + 1):
+                    mapping[(ln, c)] = (
+                        (base + c - lo)
+                        .to_bytes(width, "big")
+                        .decode("utf-16-be", "replace")
+                    )
+                i += 3
+    return sorted(lengths, reverse=True) or [1], mapping
+
+
+def _decode_shown(raw: bytes, cmap: tuple[list[int], dict] | None) -> str:
+    """Decode one shown string under the active font: no CMap ->
+    latin-1 byte identity (simple fonts); with a /ToUnicode CMap,
+    consume code units longest-first and map them — unmapped codes
+    become U+FFFD so the audit columns stay honest instead of emitting
+    garbled byte soup."""
+    if cmap is None:
+        return raw.decode("latin-1")
+    lengths, mapping = cmap
+    out: list[str] = []
+    i = 0
+    n = len(raw)
+    while i < n:
+        for ln in lengths:
+            if i + ln <= n and (ln, int.from_bytes(raw[i : i + ln], "big")) in mapping:
+                out.append(mapping[(ln, int.from_bytes(raw[i : i + ln], "big"))])
+                i += ln
+                break
+        else:
+            step = min(lengths[-1], n - i)
+            out.append("�")
+            i += max(1, step)
+    return "".join(out)
 
 
 def _skip_dict(data: bytes, i: int) -> int:
@@ -395,14 +489,21 @@ def _skip_dict(data: bytes, i: int) -> int:
 _EI_RE = re.compile(rb"(?<=[\x00\t\n\f\r ])EI(?=[\x00\t\n\f\r ]|$)")
 
 
-def _page_text(content: bytes) -> str:
+def _page_text(content: bytes, fonts: dict | None = None) -> str:
     """Run the text operators of one content stream: shows append to
-    the current line; Td/TD/T*/'/" start a new one.  Non-text syntax
+    the current line; Td/TD/T*/'/" start a new one.  ``fonts`` maps
+    resource names (b"F1") to parsed /ToUnicode CMaps (or None);
+    ``Tf`` selects the active font and shows decode through it —
+    Type0/CID text comes out as real Unicode, simple fonts stay
+    latin-1 byte identity.  Non-text syntax
     that real generators emit around the text operators is consumed
     structurally: << .. >> dictionaries (marked-content properties
     like ``/P <</MCID 0>> BDC``) skip balanced, and ``BI .. ID
     <binary> EI`` inline images skip to the whitespace-delimited EI so
     raw sample bytes never reach the tokenizer."""
+    fonts = fonts or {}
+    cmap = None  # active font's CMap (None = latin-1)
+    last_name: bytes | None = None  # most recent /Name operand
     lines: list[list[str]] = [[]]
     pending: list[str] = []  # operands (strings) awaiting an operator
     i = 0
@@ -411,14 +512,19 @@ def _page_text(content: bytes) -> str:
         c = content[i : i + 1]
         if c == b"(":
             s, i = _literal_string(content, i)
-            pending.append(s)
+            pending.append(_decode_shown(s, cmap))
             continue
         if c == b"<":
             if content[i : i + 2] == b"<<":
                 i = _skip_dict(content, i)
             else:
                 s, i = _hex_string(content, i)
-                pending.append(s)
+                pending.append(_decode_shown(s, cmap))
+            continue
+        if c == b"/":
+            m2 = re.match(rb"/([A-Za-z0-9.+_-]*)", content[i:])
+            last_name = m2.group(1)
+            i += len(m2.group(0))
             continue
         if c == b"[":
             i += 1
@@ -440,6 +546,12 @@ def _page_text(content: bytes) -> str:
             pending = []
             i += len(op)
             continue
+        if re.match(rb"Tf(?![A-Za-z0-9])", content[i:]):
+            if last_name is not None:
+                cmap = fonts.get(last_name)
+            pending = []
+            i += 2
+            continue
         if re.match(rb"BI(?![A-Za-z0-9])", content[i:]):
             # inline image: skip key/value pairs, then the binary
             # sample run after ID, to the whitespace-delimited EI
@@ -457,6 +569,41 @@ def _page_text(content: bytes) -> str:
             continue
         i += 1
     return "\n".join("".join(parts) for parts in lines if parts)
+
+
+def _page_fonts(objs: dict[int, bytes], res_val: bytes | None) -> dict:
+    """Resolve a page's /Resources /Font entries into {resource name
+    -> parsed /ToUnicode CMap | None}: the per-font decode table
+    _page_text applies at show time.  Fonts without /ToUnicode map to
+    None (latin-1 simple-font identity); a corrupt CMap stream raises
+    and dead-letters the document."""
+    fonts: dict[bytes, tuple | None] = {}
+    if res_val is None:
+        return fonts
+    res = _resolve(objs, res_val)
+    if res is None:
+        return fonts
+    fv = _dict_value(_dict_region(res), b"Font")
+    if fv is None:
+        return fonts
+    fbody = _resolve(objs, fv)
+    if fbody is None:
+        return fonts
+    for m in re.finditer(
+        rb"/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R", _dict_region(fbody)
+    ):
+        name, num = m.group(1), int(m.group(2))
+        fonts[name] = None
+        body = objs.get(num)
+        if body is None:
+            continue
+        tu = _dict_value(_dict_region(body), b"ToUnicode")
+        if tu is None:
+            continue
+        tbody = _resolve(objs, tu)
+        if tbody is not None and b"stream" in tbody:
+            fonts[name] = _parse_tounicode(_stream_data(objs, tbody))
+    return fonts
 
 
 def extract_pdf_text(blob: bytes) -> dict:
@@ -488,17 +635,19 @@ def extract_pdf_text(blob: bytes) -> dict:
     pages_ref = _dict_value(_dict_region(root), b"Pages")
     if pages_ref is None:
         raise ValueError("PDF catalog has no /Pages")
-    leaves: list[bytes] = []
+    leaves: list[tuple[bytes, bytes | None]] = []  # (page, /Resources)
     # iterative DFS with a visited set: a hostile/corrupt /Kids cycle
     # (or a self-referencing node) must dead-letter as "no pages", not
-    # blow the recursion limit and kill the Spark task
+    # blow the recursion limit and kill the Spark task.  /Resources
+    # inherits down the page tree (spec 7.7.3.4) — each stack entry
+    # carries the nearest ancestor's value.
     seen: set[int] = set()
     rm = _REF_RE.match(pages_ref.strip())
-    stack: list[tuple[int | None, bytes | None]] = [
-        (int(rm.group(1)), None) if rm else (None, pages_ref)
+    stack: list[tuple[int | None, bytes | None, bytes | None]] = [
+        (int(rm.group(1)), None, None) if rm else (None, pages_ref, None)
     ]
     while stack:
-        num, node = stack.pop()
+        num, node, res = stack.pop()
         if num is not None:
             if num in seen:
                 continue
@@ -507,16 +656,19 @@ def extract_pdf_text(blob: bytes) -> dict:
         if node is None:
             continue
         d = _dict_region(node)
+        own_res = _dict_value(d, b"Resources")
+        if own_res is not None:
+            res = own_res
         if b"/Page" in d and b"/Pages" not in d:
-            leaves.append(node)
+            leaves.append((node, res))
             continue
         kids = _dict_value(d, b"Kids")
         if kids is None:
             continue
         for km in reversed(list(re.finditer(rb"(\d+)\s+\d+\s+R", kids))):
-            stack.append((int(km.group(1)), None))
+            stack.append((int(km.group(1)), None, res))
     pages: list[str] = []
-    for leaf in leaves:
+    for leaf, res in leaves:
         cv = _dict_value(_dict_region(leaf), b"Contents")
         if cv is None:
             pages.append("")
@@ -531,7 +683,7 @@ def extract_pdf_text(blob: bytes) -> dict:
             body = _resolve(objs, cv)
             if body is not None:
                 parts.append(_stream_data(objs, body))
-        pages.append(_page_text(b"\n".join(parts)))
+        pages.append(_page_text(b"\n".join(parts), _page_fonts(objs, res)))
     return {
         "n_pages": len(pages),
         "pages": pages,
@@ -548,32 +700,118 @@ def _pdf_escape(s: str) -> bytes:
     )
 
 
-def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
+def _tounicode_cmap(codes: list[tuple[int, str]]) -> bytes:
+    """A REAL /ToUnicode CMap stream body for (code, char) pairs:
+    codespace <0000> <FFFF>, maximal consecutive (code+1, cp+1) runs
+    of BMP chars folded into ``bfrange`` entries, the rest as
+    ``bfchar`` — both grouped <=100 entries per block as the spec
+    requires."""
+    ranges: list[tuple[int, int, int]] = []  # (lo_code, hi_code, lo_cp)
+    chars: list[tuple[int, str]] = []
+    i = 0
+    codes = sorted(codes)
+    while i < len(codes):
+        code, ch = codes[i]
+        cp = ord(ch) if len(ch) == 1 else None
+        if cp is None or cp > 0xFFFF:
+            chars.append((code, ch))
+            i += 1
+            continue
+        j = i
+        while (
+            j + 1 < len(codes)
+            and len(codes[j + 1][1]) == 1
+            and codes[j + 1][0] == codes[j][0] + 1
+            and ord(codes[j + 1][1]) == ord(codes[j][1]) + 1
+            and ord(codes[j + 1][1]) <= 0xFFFF
+        ):
+            j += 1
+        if j > i:
+            ranges.append((code, codes[j][0], cp))
+        else:
+            chars.append((code, ch))
+        i = j + 1
+    out = bytearray(
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def\n/CMapName /Adobe-Identity-UCS def\n"
+        b"/CMapType 2 def\n1 begincodespacerange\n<0000> <FFFF>\n"
+        b"endcodespacerange\n"
+    )
+    for k in range(0, len(ranges), 100):
+        grp = ranges[k : k + 100]
+        out += b"%d beginbfrange\n" % len(grp)
+        for lo, hi, cp in grp:
+            out += b"<%04X> <%04X> <%04X>\n" % (lo, hi, cp)
+        out += b"endbfrange\n"
+    for k in range(0, len(chars), 100):
+        grp = chars[k : k + 100]
+        out += b"%d beginbfchar\n" % len(grp)
+        for code, ch in grp:
+            out += b"<%04X> <%s>\n" % (
+                code,
+                ch.encode("utf-16-be").hex().upper().encode("ascii"),
+            )
+        out += b"endbfchar\n"
+    out += b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    return bytes(out)
+
+
+def encode_pdf(
+    pages: list[list[str]], compress: bool = False, type0: bool = False
+) -> bytes:
     """Write a REAL classic-layout PDF: header, catalog, page tree,
-    one Helvetica content stream per page (one ``Tj`` per line with
-    ``Td`` line moves), a correct xref table with byte offsets, and a
-    trailer.  ``pages`` is a list of pages, each a list of text
-    lines; ``compress`` FlateDecodes every content stream.  Any
-    conformant reader opens the output."""
+    one content stream per page (one ``Tj`` per line with ``Td`` line
+    moves), a correct xref table with byte offsets, and a trailer.
+    ``pages`` is a list of pages, each a list of text lines;
+    ``compress`` FlateDecodes every content stream.  Any conformant
+    reader opens the output.
+
+    ``type0`` switches the font to a Type0/Identity-H CID font with a
+    generated /ToUnicode CMap — the modern-writer shape (Word, LaTeX,
+    browsers): each distinct character gets a sequential 2-byte CID
+    (deliberately NOT its codepoint, so extraction is correct only if
+    the CMap is actually applied), shows become <hex> CID strings, and
+    consecutive-codepoint runs fold into bfrange entries so both CMap
+    list forms are exercised."""
     objects: list[bytes] = []  # bodies; object number = index + 1
     n_pages = len(pages)
     # layout: 1 catalog, 2 pages tree, 3 font, then per page:
-    # page object, content object
+    # page object, content object; type0 appends descendant + CMap
     page_obj_nums = [4 + 2 * i for i in range(n_pages)]
+    desc_num = 4 + 2 * n_pages
+    cmap_num = desc_num + 1
     kids = b" ".join(b"%d 0 R" % n for n in page_obj_nums)
     objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objects.append(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    cid: dict[str, int] = {}
+    if type0:
+        for ch in sorted({c for lines in pages for ln in lines for c in ln}):
+            cid[ch] = 0x21 + len(cid)  # sequential CIDs, NOT codepoints
+        objects.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-Identity-H "
+            b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+            b"/ToUnicode %d 0 R >>" % (desc_num, cmap_num)
+        )
+    else:
+        objects.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     for i, lines in enumerate(pages):
         content = bytearray(b"BT /F1 12 Tf 72 720 Td\n")
         for j, line in enumerate(lines):
             if j:
                 content += b"0 -14 Td\n"
-            content += b"(" + _pdf_escape(line) + b") Tj\n"
+            if type0:
+                content += (
+                    b"<"
+                    + b"".join(b"%04X" % cid[c] for c in line)
+                    + b"> Tj\n"
+                )
+            else:
+                content += b"(" + _pdf_escape(line) + b") Tj\n"
         content += b"ET"
         data = bytes(content)
         filt = b""
@@ -590,6 +828,24 @@ def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             + data
             + b"\nendstream"
         )
+    if type0:
+        objects.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+        )
+        cm = _tounicode_cmap([(code, ch) for ch, code in cid.items()])
+        if compress:
+            cm = zlib.compress(cm)
+            objects.append(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(cm)
+                + cm
+                + b"\nendstream"
+            )
+        else:
+            objects.append(
+                b"<< /Length %d >>\nstream\n" % len(cm) + cm + b"\nendstream"
+            )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):

@@ -327,9 +327,11 @@ def synth_mixed_warc_blob(doc_id: int) -> bytes:
     bytes from llm/pdf.py:encode_pdf — 1 + doc_id % 2 pages, two
     lines each, line j of page q reading
     ``[%05d:%d:%d] pdf%02d.`` % (doc_id, q, j, (doc_id*3+q+j) % 100),
-    compressed streams on even ids), and — when doc_id % 3 == 0 — a
-    404 that both routes must drop.  Member-gzip on even ids.  Every
-    extracted field is an exact arithmetic function of doc_id."""
+    compressed streams on even ids, Type0/Identity-H CID fonts with a
+    /ToUnicode CMap when doc_id % 3 == 2), and — when doc_id % 3 == 0
+    — a 404 that both routes must drop.  Member-gzip on even ids.
+    Every extracted field is an exact arithmetic function of
+    doc_id."""
     from .pdf import encode_pdf
 
     html = (
@@ -353,7 +355,9 @@ def synth_mixed_warc_blob(doc_id: int) -> bytes:
             f"http://h{doc_id % 7}.example.com/d/{doc_id}.pdf",
             200,
             "application/pdf",
-            encode_pdf(pages, compress=doc_id % 2 == 0),
+            encode_pdf(
+                pages, compress=doc_id % 2 == 0, type0=doc_id % 3 == 2
+            ),
         ),
     ]
     if doc_id % 3 == 0:

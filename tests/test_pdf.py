@@ -394,3 +394,52 @@ def test_hostile_pdfs_dead_letter_not_task_kill(spark):
     got = {r["doc_id"]: r for r in multimodal.pdf_text_features(media).collect()}
     assert got[1].text is None
     assert got[2].text == "leaf text"
+
+
+def test_type0_tounicode_extraction():
+    """Type0/Identity-H documents (the modern writer shape) must
+    extract CORRECT Unicode via the /ToUnicode CMap — the CIDs are
+    sequential, deliberately NOT codepoints, so latin-1 identity would
+    come out as control-byte soup, not the text."""
+    pages = [
+        ["Hello world", "abcdef ranges fold"],
+        ["CJK: 深度学习语料", "emoji 😀 survives surrogates"],
+    ]
+    for comp in (False, True):
+        out = extract_pdf_text(encode_pdf(pages, compress=comp, type0=True))
+        assert out["n_pages"] == 2
+        assert out["pages"] == ["\n".join(p) for p in pages], comp
+
+
+def test_tounicode_bfrange_array_form_and_unmapped_cids():
+    """The bfrange ARRAY form ([<d1> <d2> ..]) maps explicitly; CIDs
+    missing from the CMap decode to U+FFFD, never silently drop."""
+    from spotify_streaming_etl_pipeline_spark.llm.pdf import (
+        _decode_shown,
+        _parse_tounicode,
+    )
+
+    cmap = _parse_tounicode(
+        b"/CIDInit begincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0005> <0007> [<0058> <0059005A> <4F60>]\n"
+        b"endbfrange\n"
+        b"1 beginbfchar\n<0010> <D83DDE00>\nendbfchar\nendcmap"
+    )
+    assert _decode_shown(b"\x00\x05\x00\x06\x00\x07", cmap) == "XYZ你"
+    assert _decode_shown(b"\x00\x10", cmap) == "😀"
+    assert _decode_shown(b"\x00\x99", cmap) == "�"  # unmapped CID
+
+
+def test_resources_inherit_from_page_tree():
+    """/Resources on the Pages NODE applies to leaf pages that lack
+    their own (spec 7.7.3.4) — the CMap must still be found."""
+    pdf = encode_pdf([["inherited fonts work"]], type0=True)
+    # move the /Resources dict from the page onto the Pages node
+    res = b"/Resources << /Font << /F1 3 0 R >> >> "
+    assert res in pdf
+    pdf = pdf.replace(res, b"", 1).replace(
+        b"/Count 1 >>", b"/Count 1 " + res + b">>", 1
+    )
+    out = extract_pdf_text(pdf)
+    assert out["pages"] == ["inherited fonts work"]
