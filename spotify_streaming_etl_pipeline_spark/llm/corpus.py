@@ -66,6 +66,7 @@ def build_training_corpus(
     robots_agent: str = "*",
     include_pdfs: bool = False,
     line_dedup_boilerplate: bool = False,
+    verbatim_min_len: int | None = None,
     benchmark: DataFrame | None = None,
     bloom_m_bits: int = 1 << 20,
     bloom_k: int = 3,
@@ -87,6 +88,13 @@ def build_training_corpus(
     corpus); ``line_dedup_boilerplate`` — corpus-wide
     first-occurrence line dedup with in-place text rebuild (C4
     §2.2 / RefinedWeb §3.4; pages reduced to nothing drop);
+    ``verbatim_min_len`` — SURGICAL substring removal after near
+    dedup (Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"): ``winnowed_overlap_pairs`` funnels the
+    candidate pairs, ``duplicate_spans`` finds maximal shared
+    substrings of at least that many chars, non-keeper pages are
+    rebuilt with the spans cut out (``removal_intervals`` +
+    ``apply_removal``), and pages emptied by the surgery drop;
     ``benchmark`` — bloom decontamination against the suite's
     n-grams at the given filter geometry."""
     pages = crawl_corpus(
@@ -161,6 +169,32 @@ def build_training_corpus(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
     pages = pages.join(non_keepers.hint("shuffle_hash"), "doc_id", "left_anti")
+    if verbatim_min_len is not None:
+        # Surgical verbatim-span removal (Lee et al. 2022): doc-level
+        # near dedup above leaves pages that SHARE long passages
+        # without being near-duplicates (a long page quoting another);
+        # cut the shared substrings out of the non-keeper instead of
+        # dropping either page.  The winnowed-fingerprint funnel keeps
+        # the position-level posting corpus-sublinear at 100 TB.
+        from .overlap import (
+            apply_removal,
+            duplicate_spans,
+            removal_intervals,
+            winnowed_overlap_pairs,
+        )
+
+        spans = duplicate_spans(
+            pages,
+            min_len=verbatim_min_len,
+            candidates=winnowed_overlap_pairs(pages),
+        )
+        cleaned = apply_removal(pages, removal_intervals(spans))
+        pages = pages.drop("text").join(
+            cleaned.select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        ).filter(F.length(F.trim("text")) > 0)
     if benchmark is not None:
         contaminated = bloom_decontam(
             pages,

@@ -180,3 +180,59 @@ def test_build_training_corpus_pdf_route(spark):
     # default: no PDF pages
     plain = build_training_corpus(blobs, quality_quantile=0.0).collect()
     assert all("/p/" in r.url for r in plain)
+
+
+def test_build_training_corpus_verbatim_span_removal(spark):
+    """verbatim_min_len wires the Lee et al. 2022 surgical stage into
+    the one-call builder: two pages that are NOT near-dups but share a
+    long verbatim passage both survive, the KEEPER (min page id) keeps
+    its full text, the other loses exactly the shared span, and a page
+    that is nothing but the shared passage is emptied and dropped."""
+    shared = (
+        "THE0SHARED1PASSAGE2REPEATS3VERBATIM4ACROSS5PAGES6AND7MUST8BE9"
+        "CUT0OUT1SURGICALLY2BY3THE4SPAN5STAGE"
+    )
+    x_text = (
+        "alpha paragraphs about riverside botany fill this page with"
+        " plenty of its own words a" + shared + "b and then botany"
+        " continues with seed catalogs and irrigation notes"
+    )
+    y_text = (
+        "nine submarine maintenance chapters begin here covering galley"
+        " inventory and ballast procedure 9" + shared + "7 followed by"
+        " torpedo room checklists and sonar calibration logs"
+    )
+    recs = {
+        0: [_page("http://x.example.com/keeper", x_text)],
+        1: [_page("http://y.example.com/charged", y_text)],
+        2: [_page("http://z.example.com/onlyspan", shared)],
+    }
+    blobs = spark.createDataFrame(
+        [
+            (i, bytearray(build_warc(r, member_gzip=False)))
+            for i, r in recs.items()
+        ],
+        "doc_id long, blob binary",
+    )
+    out = {
+        r["url"]: r
+        for r in build_training_corpus(
+            blobs,
+            jaccard_threshold=0.9,
+            quality_quantile=0.0,
+            verbatim_min_len=30,
+        ).collect()
+    }
+    assert set(out) == {
+        "http://x.example.com/keeper",
+        "http://y.example.com/charged",
+    }
+    assert shared in out["http://x.example.com/keeper"]["text"]
+    assert out["http://y.example.com/charged"]["text"] == y_text.replace(
+        shared, ""
+    )
+    # without the stage, all three pages survive intact
+    plain = build_training_corpus(
+        blobs, jaccard_threshold=0.9, quality_quantile=0.0
+    )
+    assert plain.count() == 3
