@@ -1146,6 +1146,144 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def webp_features(media: DataFrame) -> DataFrame:
+    """REAL WebP decode in the standard multimodal plumbing
+    (llm/webp.py — full VP8L: prefix codes, LZ77 + color cache, all
+    four transforms, bundled palettes): Arrow-batched mapInPandas into
+    (doc_id, width, height, fmt, has_alpha, sum_red, sum_green).
+    Lossy VP8 blobs keep their header audit (dims/format via
+    ``webp_info``) with NULL pixel sums — the honest-refusal contract;
+    poison blobs null out entirely (dead-letter contract)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .webp import decode_webp, webp_info
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    info = webp_info(bytes(blob))
+                except Exception:
+                    rows.append((doc_id, None, None, None, None, None, None))
+                    continue
+                try:
+                    out = decode_webp(bytes(blob))
+                    px = out["pixels"]
+                    rows.append(
+                        (
+                            doc_id,
+                            out["width"],
+                            out["height"],
+                            out["format"],
+                            int(out["has_alpha"]),
+                            sum((p >> 16) & 0xFF for p in px),
+                            sum((p >> 8) & 0xFF for p in px),
+                        )
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        (
+                            doc_id,
+                            info["width"],
+                            info["height"],
+                            info["format"],
+                            int(info.get("has_alpha", False)),
+                            None,
+                            None,
+                        )
+                    )
+                except Exception:
+                    rows.append((doc_id, None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "fmt", "has_alpha",
+                    "sum_red", "sum_green",
+                ],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _batch,
+        schema=(
+            "doc_id long, width long, height long, fmt string, "
+            "has_alpha long, sum_red long, sum_green long"
+        ),
+    )
+
+
+def synth_webp_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-VP8L corpus from doc ids, cycling every
+    encoder path by doc_id % 5: (0) row-constant pixels under dist-1
+    RLE backward references, (1) the same gradient under
+    SUBTRACT_GREEN, (2) a 2-color checkerboard under a bundled
+    COLOR_INDEXING palette, (3) the gradient under a uniform
+    PREDICTOR (mode 2 = top), (4) the gradient under a uniform COLOR
+    transform (g2r=16, g2b=8, r2b=4).  Every pixel is an arithmetic
+    function of (doc_id, x, y), so DuckDB predicts the channel sums
+    exactly — a decoder that mishandles any transform, the bundling,
+    or the prefix-code headers moves the sums."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .webp import encode_webp_lossless
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 3
+                c = i % 5
+                if c == 0:
+                    px = [
+                        0xFF000000
+                        | ((i % 100 + y) << 16)
+                        | ((i % 90 + 2 * y) << 8)
+                        | (i * 7 % 128)
+                        for y in range(h)
+                        for _ in range(w)
+                    ]
+                    blob = encode_webp_lossless(px, w, h, rle=True)
+                elif c == 2:
+                    c0 = (
+                        0xFF000000
+                        | ((10 + i % 50) << 16)
+                        | ((20 + i % 60) << 8)
+                        | 5
+                    )
+                    c1 = (
+                        0xFF000000
+                        | ((200 - i % 50) << 16)
+                        | ((150 - i % 60) << 8)
+                        | 99
+                    )
+                    px = [
+                        c0 if (x + y) % 2 == 0 else c1
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    blob = encode_webp_lossless(px, w, h, transform="palette")
+                else:
+                    px = [
+                        0xFF000000
+                        | ((i % 100 + x + y) << 16)
+                        | ((i % 90 + 2 * x + y) << 8)
+                        | ((i * 7 % 128 + x) & 0xFF)
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    tf = {
+                        1: "subtract_green",
+                        3: ("predictor", 2, 2),
+                        4: ("color", 16, 8, 4, 2),
+                    }[c]
+                    blob = encode_webp_lossless(px, w, h, transform=tf)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
 def flac_features(media: DataFrame) -> DataFrame:
     """Real FLAC decode in the standard multimodal plumbing (same
     output contract as ``wav_features``): Arrow-batched mapInPandas,
@@ -1904,10 +2042,14 @@ def decode_image(blob: bytes) -> object:
             from .jpeg import decode_jpeg
 
             return decode_jpeg(blob)
+        if bytes(blob[:4]) == b"RIFF" and bytes(blob[8:12]) == b"WEBP":
+            from .webp import decode_webp
+
+            return decode_webp(blob)
         raise NotImplementedError(
             "decode for this format requires an image library (e.g. Pillow); "
-            "only PNG, BMP, GIF, and baseline JPEG decode via the built-in "
-            "pure-python paths. Plug a real decoder into the mapInPandas "
+            "only PNG, BMP, GIF, WebP (VP8L), and baseline JPEG decode via "
+            "the built-in pure-python paths. Plug a real decoder into the mapInPandas "
             "batch function (extract_blob_features / png_features) — the "
             "Spark plumbing (schema, Arrow batching, partitioning) is "
             "decoder-agnostic."

@@ -335,6 +335,54 @@ def gif_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "webp_image_features",
+    """
+    WITH p AS (
+        SELECT doc_id, doc_id % 5 AS c,
+               4 + doc_id % 5 AS w, 3 + doc_id % 3 AS h,
+               doc_id % 100 AS rb, doc_id % 90 AS gb,
+               doc_id % 50 AS p50, doc_id % 60 AS p60,
+               ((4 + doc_id % 5 + 1) // 2) * ((3 + doc_id % 3 + 1) // 2)
+               + ((4 + doc_id % 5) // 2) * ((3 + doc_id % 3) // 2) AS n0
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           cast(w AS BIGINT) AS width,
+           cast(h AS BIGINT) AS height,
+           'VP8L' AS fmt,
+           cast(0 AS BIGINT) AS has_alpha,
+           cast(CASE
+             WHEN c = 0 THEN w * (h * rb + h * (h - 1) // 2)
+             WHEN c = 2 THEN n0 * (10 + p50) + (w * h - n0) * (200 - p50)
+             ELSE h * w * rb + h * (w * (w - 1) // 2)
+                  + w * (h * (h - 1) // 2)
+           END AS BIGINT) AS sum_red,
+           cast(CASE
+             WHEN c = 0 THEN w * h * gb + w * h * (h - 1)
+             WHEN c = 2 THEN n0 * (20 + p60) + (w * h - n0) * (150 - p60)
+             ELSE h * w * gb + h * w * (w - 1) + w * (h * (h - 1) // 2)
+           END AS BIGINT) AS sum_green
+    FROM p
+    """,
+)
+def webp_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL VP8L decode behind an oracle gate: synthesize genuine WebP
+    lossless bytes per doc cycling every encoder/decoder path by
+    doc_id % 5 — dist-1 LZ77 RLE, SUBTRACT_GREEN, a bundled 2-color
+    COLOR_INDEXING palette, a uniform PREDICTOR (mode 2), and a
+    uniform COLOR transform (llm/webp.py:synth_webp_corpus) — then
+    decode through ``webp_features`` (RIFF walk, canonical prefix
+    codes incl. the code-length code with 16/17/18 repeats, backward
+    references, inverse transforms in reverse read order, sub-byte
+    palette unbundling).  Pixels are arithmetic in (doc_id, x, y), so
+    DuckDB predicts the exact per-channel sums: a decoder that
+    mis-inverts any transform or misreads a prefix-code header moves
+    sum_red/sum_green."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.webp_features(multimodal.synth_webp_corpus(d))
+
+
+@query(
     "video_frame_summary",
     """
     SELECT doc_id,
