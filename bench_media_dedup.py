@@ -28,8 +28,10 @@ import time
 
 from pyspark.sql import functions as F
 
-from spotify_streaming_etl_pipeline_spark.llm import lines, multimodal
+from spotify_streaming_etl_pipeline_spark.llm import lines, multimodal, overlap
+from spotify_streaming_etl_pipeline_spark.llm.bpe import bpe_train
 from spotify_streaming_etl_pipeline_spark.llm.decontam import bloom_decontam
+from spotify_streaming_etl_pipeline_spark.llm.unigram import unigram_train
 from spotify_streaming_etl_pipeline_spark.session import get_spark
 from spotify_streaming_etl_pipeline_spark.sources.catalog import load_table
 
@@ -86,10 +88,12 @@ def main() -> None:
     text_ds = {k: _replicate_text(spark, docs, n, k) for k in scales}
     out: dict[str, dict] = {}
 
-    def leg(name, build, datasets):
+    def leg(name, build, datasets, max_scale=None):
         row: dict[str, float] = {}
         prev_key = None
         for k in scales:
+            if max_scale is not None and k > max_scale:
+                break
             t = _noop(lambda: build(datasets[k], k * n))
             row[f"x{k}_sec"] = t
             if prev_key is not None:
@@ -109,6 +113,50 @@ def main() -> None:
         "bloom_decontam",
         lambda d, _n: bloom_decontam(
             d, d.filter(F.col("doc_id") % 10 == 0), m_bits=1 << 20, k=3
+        ),
+        text_ds,
+    )
+
+    # tokenizer trainers: round count is a fixed parameter (driver
+    # loop), so the leg checks the PER-ROUND wall grows sub-linearly —
+    # after the initial corpus-sized word_freq fold, every round is
+    # vocabulary-sized.
+    leg("unigram_train_r2", lambda d, _n: unigram_train(d, rounds=2), text_ds)
+    leg("bpe_train_8_merges", lambda d, _n: bpe_train(d, n_merges=8), text_ds)
+
+    # verbatim family with a PLANTED corpus-hot boilerplate window:
+    # every doc carries the same 64-char license tail, so its window
+    # hashes post n times (n >> max_postings=1000 at every scale) and
+    # the pre-fold count guard must DROP them before any posting
+    # materializes — pre-r11 the pairwise form built an n-length
+    # posting array per boilerplate hash (the executor-OOM shape at
+    # 100 TB); the legs prove the guard, not just the speed.
+    #
+    # The PAIRWISE form (duplicate_spans) inherently emits sum(group
+    # size SQUARED) matched-position rows — measured 2.4e9 pairs from
+    # 2.2e7 postings at 10x on this corpus (docs genuinely share
+    # phrases across hundreds of pages), an 8 GB-heap OOM — so it
+    # runs at 1x only; occurrence_removal_intervals is the LINEAR
+    # 100 TB removal path and runs the full sweep.
+    boiler = (
+        " COPYRIGHT LICENSE BOILERPLATE BLOCK IDENTICAL IN EVERY SINGLE DOC."
+    )
+
+    def _boilered(d):
+        return d.withColumn(
+            "text", F.concat(F.col("text"), F.lit(boiler))
+        )
+
+    leg(
+        "verbatim_spans_hot_boilerplate",
+        lambda d, _n: overlap.duplicate_spans(_boilered(d), min_len=24),
+        text_ds,
+        max_scale=1,
+    )
+    leg(
+        "verbatim_occurrence_removal_hot",
+        lambda d, _n: overlap.occurrence_removal_intervals(
+            _boilered(d), min_len=24
         ),
         text_ds,
     )

@@ -67,6 +67,7 @@ def build_training_corpus(
     include_pdfs: bool = False,
     line_dedup_boilerplate: bool = False,
     verbatim_min_len: int | None = None,
+    verbatim_mode: str = "pairwise",
     benchmark: DataFrame | None = None,
     bloom_m_bits: int = 1 << 20,
     bloom_k: int = 3,
@@ -95,6 +96,11 @@ def build_training_corpus(
     substrings of at least that many chars, non-keeper pages are
     rebuilt with the spans cut out (``removal_intervals`` +
     ``apply_removal``), and pages emptied by the surgery drop;
+    ``verbatim_mode="occurrence"`` swaps the pairwise span
+    enumeration for ``occurrence_removal_intervals`` — linear in
+    occurrences instead of group-size-squared in pairs, the form to
+    use when passages are shared by MANY pages (boilerplate-heavy
+    crawls at 100 TB);
     ``benchmark`` — bloom decontamination against the suite's
     n-grams at the given filter geometry."""
     pages = crawl_corpus(
@@ -179,16 +185,29 @@ def build_training_corpus(
         from .overlap import (
             apply_removal,
             duplicate_spans,
+            occurrence_removal_intervals,
             removal_intervals,
             winnowed_overlap_pairs,
         )
 
-        spans = duplicate_spans(
-            pages,
-            min_len=verbatim_min_len,
-            candidates=winnowed_overlap_pairs(pages),
-        )
-        cleaned = apply_removal(pages, removal_intervals(spans))
+        if verbatim_mode == "occurrence":
+            iv = occurrence_removal_intervals(
+                pages, min_len=verbatim_min_len
+            )
+        elif verbatim_mode == "pairwise":
+            iv = removal_intervals(
+                duplicate_spans(
+                    pages,
+                    min_len=verbatim_min_len,
+                    candidates=winnowed_overlap_pairs(pages),
+                )
+            )
+        else:
+            raise ValueError(
+                f"verbatim_mode must be 'pairwise' or 'occurrence', "
+                f"got {verbatim_mode!r}"
+            )
+        cleaned = apply_removal(pages, iv)
         pages = pages.drop("text").join(
             cleaned.select(
                 "doc_id", F.col("clean_text").alias("text")

@@ -168,11 +168,62 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
 
+#: Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec 8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, i: int, w: int, h: int, channels: int):
+    """Reverse the five scanline filters over h rows of width w
+    starting at raw[i]; returns (pixel bytes, next index)."""
+    stride = w * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    for _row in range(h):
+        if i >= len(raw):
+            raise ValueError("PNG scanline data has unexpected length")
+        ft = raw[i]
+        i += 1
+        cur = bytearray(raw[i : i + stride])
+        if len(cur) != stride:
+            raise ValueError("PNG scanline data has unexpected length")
+        i += stride
+        if ft == 1:  # Sub
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 255
+        elif ft == 2:  # Up
+            for x in range(stride):
+                cur[x] = (cur[x] + prev[x]) & 255
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = cur[x - channels] if x >= channels else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 255
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 255
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out += cur
+        prev = cur
+    return bytes(out), i
+
+
 def decode_png(blob: bytes) -> dict:
     """REAL pure-stdlib PNG decode (zlib + struct): parses IHDR, joins
     IDAT, inflates, and reverses all five scanline filters (None / Sub
-    / Up / Average / Paeth). Supports 8-bit non-interlaced gray / RGB /
-    gray+alpha / RGBA — the shapes training corpora normalize to.
+    / Up / Average / Paeth). Supports 8-bit gray / RGB / gray+alpha /
+    RGBA — the shapes training corpora normalize to — in both
+    non-interlaced and Adam7-INTERLACED layouts (each of the seven
+    passes is an independently-filtered sub-image scattered back on
+    the (x0, y0, dx, dy) grid; empty passes contribute no bytes).
 
     Returns {"width", "height", "channels", "pixels"} with pixels as
     row-major packed bytes. The per-byte unfilter loop is Python-speed
@@ -203,9 +254,9 @@ def decode_png(blob: bytes) -> dict:
             break
     if w is None:
         raise ValueError("PNG has no IHDR chunk")
-    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+    if depth != 8 or interlace not in (0, 1) or color not in _PNG_CHANNELS:
         raise NotImplementedError(
-            f"decode_png supports 8-bit non-interlaced gray/RGB/LA/RGBA; "
+            f"decode_png supports 8-bit gray/RGB/LA/RGBA (plain or Adam7); "
             f"got depth={depth} color_type={color} interlace={interlace}"
         )
     channels = _PNG_CHANNELS[color]
@@ -214,46 +265,45 @@ def decode_png(blob: bytes) -> dict:
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG scanline data has unexpected length")
-    out = bytearray()
-    prev = bytearray(stride)
+    if interlace == 0:
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("PNG scanline data has unexpected length")
+        out, _ = _png_unfilter(raw, 0, w, h, channels)
+        return {"width": w, "height": h, "channels": channels, "pixels": out}
+    out = bytearray(stride * h)
     i = 0
-    for _row in range(h):
-        ft = raw[i]
-        i += 1
-        cur = bytearray(raw[i : i + stride])
-        i += stride
-        if ft == 1:  # Sub
-            for x in range(channels, stride):
-                cur[x] = (cur[x] + cur[x - channels]) & 255
-        elif ft == 2:  # Up
-            for x in range(stride):
-                cur[x] = (cur[x] + prev[x]) & 255
-        elif ft == 3:  # Average
-            for x in range(stride):
-                left = cur[x - channels] if x >= channels else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 255
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
-                b = prev[x]
-                c = prev[x - channels] if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 255
-        elif ft != 0:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out += cur
-        prev = cur
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub, i = _png_unfilter(raw, i, pw, ph, channels)
+        for py in range(ph):
+            y = y0 + py * dy
+            for px in range(pw):
+                x = x0 + px * dx
+                out[
+                    y * stride + x * channels : y * stride + (x + 1) * channels
+                ] = sub[
+                    (py * pw + px) * channels : (py * pw + px + 1) * channels
+                ]
+    if i != len(raw):
+        raise ValueError("PNG interlaced data has unexpected length")
     return {"width": w, "height": h, "channels": channels, "pixels": bytes(out)}
 
 
-def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+def encode_png(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    interlace: bool = False,
+) -> bytes:
     """REAL pure-stdlib PNG encoder (zlib + struct), the inverse of
-    ``decode_png``: 8-bit non-interlaced gray / gray+alpha / RGB /
-    RGBA, filter-0 scanlines, valid chunk CRCs. ``pixels`` is
+    ``decode_png``: 8-bit gray / gray+alpha / RGB / RGBA, filter-0
+    scanlines, valid chunk CRCs; ``interlace=True`` writes the Adam7
+    seven-pass layout (each pass its own filtered sub-image, the
+    synthesis substrate for the interlaced decode path). ``pixels`` is
     row-major packed bytes (len == width*height*channels) — the exact
     shape the decoders emit, so decode -> transform -> encode chains
     compose losslessly."""
@@ -274,12 +324,32 @@ def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
-    stride = width * channels
-    raw = b"".join(
-        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
-        for y in range(height)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color, 0, 0, 1 if interlace else 0
     )
+    stride = width * channels
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            for py in range(ph):
+                y = y0 + py * dy
+                raw += b"\x00"
+                for px in range(pw):
+                    x = x0 + px * dx
+                    raw += pixels[
+                        y * stride + x * channels : y * stride
+                        + (x + 1) * channels
+                    ]
+        raw = bytes(raw)
+    else:
+        raw = b"".join(
+            b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+            for y in range(height)
+        )
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
@@ -1117,7 +1187,11 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
     i % 3 == 2 is written as a Type0/Identity-H CID document
     (sequential non-codepoint CIDs + a /ToUnicode CMap with bfrange
     folding) — extraction matches the oracle only if the CMap is
-    genuinely parsed and applied at show time."""
+    genuinely parsed and applied at show time.  Every doc with
+    i % 4 == 3 is RC4-ENCRYPTED (standard security handler V1/R2,
+    empty user password — the legacy-crawl shape): real /O and /U
+    entries, per-object stream keys — extraction matches only if the
+    decryption path genuinely runs."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .pdf import encode_pdf
@@ -1136,7 +1210,10 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
                 ]
                 blobs.append(
                     encode_pdf(
-                        pages, compress=i % 2 == 0, type0=i % 3 == 2
+                        pages,
+                        compress=i % 2 == 0,
+                        type0=i % 3 == 2,
+                        encrypt="" if i % 4 == 3 else None,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})

@@ -33,10 +33,15 @@ real — the decoded (num, offset) header indexes the packed
 dictionaries, which register without displacing classic
 (incremental-update) definitions — so modern xref-stream documents
 whose catalog/page dicts live inside ObjStm containers extract too
-(content streams are classic objects by spec).  Honest boundaries
-(explicit ``NotImplementedError``): encrypted documents
-(``/Encrypt`` in the trailer) and image-codec stream filters
-(DCT/JBIG2/JPX).  Show-operator bytes decode through the ACTIVE FONT:
+(content streams are classic objects by spec).  RC4-ENCRYPTED
+documents (standard security handler, V1/V2 rev 2/3 — the
+legacy-crawl shape) decrypt for real: Algorithm-2 key derivation with
+the /O, /P and /ID salts, Algorithm-4/5 user-password verification
+(wrong passwords raise ValueError), and per-object RC4 keys applied
+as the outermost stream layer.  Honest boundaries (explicit
+``NotImplementedError``): AES encryption (V>=4) and image-codec
+stream filters (DCT/JBIG2/JPX).  Show-operator bytes decode through
+the ACTIVE FONT:
 pages resolve /Resources -> /Font (with page-tree inheritance), each
 font's /ToUnicode CMap stream parses for real (codespacerange,
 bfchar, bfrange in both incrementing and array forms) and ``Tf``
@@ -138,9 +143,172 @@ def _resolve(objs: dict[int, bytes], val: bytes) -> bytes | None:
     return val
 
 
-def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
+def _resolve_num(
+    objs: dict[int, bytes], val: bytes
+) -> tuple[int | None, bytes | None]:
+    """Like _resolve but keeps the object NUMBER — the per-object
+    RC4 key is derived from it."""
+    m = _REF_RE.match(val.strip())
+    if m:
+        num = int(m.group(1))
+        return num, objs.get(num)
+    return None, val
+
+
+# ------------------------------------------------------------- encryption
+
+_PDF_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+        0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+        0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PDF_PAD)[:32]
+
+
+def _std_security_key(
+    password: bytes, o: bytes, p: int, file_id: bytes, rev: int, n: int
+) -> bytes:
+    """Algorithm 2: the document encryption key of the standard
+    security handler (RC4 revisions 2 and 3)."""
+    import hashlib
+
+    h = hashlib.md5(
+        _pad_password(password)
+        + o[:32]
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + file_id
+    ).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _user_password_check(
+    key: bytes, u: bytes, file_id: bytes, rev: int
+) -> bool:
+    """Algorithms 4/5: does the derived key open the document?"""
+    import hashlib
+
+    if rev == 2:
+        return _rc4(key, _PDF_PAD) == u[:32]
+    block = _rc4(key, hashlib.md5(_PDF_PAD + file_id).digest())
+    for i in range(1, 20):
+        block = _rc4(bytes(b ^ i for b in key), block)
+    return block == u[:16]
+
+
+def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key (object number + generation
+    salted into the document key; generation 0 assumed — the object
+    scan keeps latest definitions, which real crawled PDFs store at
+    gen 0)."""
+    import hashlib
+
+    return hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
+
+
+def _crypt_setup(
+    blob: bytes, objs: dict[int, bytes], password: str
+) -> dict | None:
+    """Parse the trailer /Encrypt dictionary (standard security
+    handler, RC4 V1/V2 rev 2/3); returns {"key": bytes} or None for
+    unencrypted documents.  Wrong passwords raise ValueError; V>=4
+    (AES) refuses honestly."""
+    tr = blob.rfind(b"trailer")
+    if tr < 0:
+        return None
+    td = _dict_region(blob[tr:])
+    ev = _dict_value(td, b"Encrypt")
+    if ev is None:
+        return None
+    enc = _resolve(objs, ev)
+    if enc is None:
+        raise ValueError("PDF /Encrypt points at a missing object")
+    d = _dict_region(enc)
+    filt = _dict_value(d, b"Filter")
+    if filt != b"/Standard":
+        raise NotImplementedError(
+            f"PDF security handler {filt!r} (only /Standard RC4 supported)"
+        )
+    v = int(_dict_value(d, b"V") or b"0")
+    r = int(_dict_value(d, b"R") or b"0")
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"PDF encryption V={v} R={r} (RC4 V1/V2 rev 2/3 supported; "
+            "AES (V>=4) needs a cipher this decoder does not ship)"
+        )
+    length = int(_dict_value(d, b"Length") or b"40")
+    n = length // 8
+    o = _pdf_string_value(d, b"O")
+    u = _pdf_string_value(d, b"U")
+    pv = _dict_value(d, b"P")
+    if o is None or u is None or pv is None:
+        raise ValueError("PDF /Encrypt dictionary missing O/U/P")
+    p = int(pv)
+    file_id = b""
+    idv = _dict_value(td, b"ID")
+    if idv is not None:
+        im = re.search(rb"<([0-9A-Fa-f]+)>", idv)
+        if im:
+            file_id = bytes.fromhex(im.group(1).decode("ascii"))
+    key = _std_security_key(
+        password.encode("latin-1"), o, p, file_id, r, n
+    )
+    if not _user_password_check(key, u, file_id, r):
+        raise ValueError("PDF password incorrect")
+    return {"key": key}
+
+
+def _pdf_string_value(d: bytes, key: bytes) -> bytes | None:
+    """A PDF string value (literal or hex form) for /key — the O/U
+    encryption entries are raw 32-byte strings, not names/numbers."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])\s*", d)
+    if not m:
+        return None
+    rest = d[m.end() :]
+    if rest.startswith(b"("):
+        s, _ = _literal_string(rest, 0)
+        return s
+    if rest.startswith(b"<"):
+        s, _ = _hex_string(rest, 0)
+        return s
+    return None
+
+
+def _stream_data(
+    objs: dict[int, bytes],
+    body: bytes,
+    crypt: dict | None = None,
+    num: int | None = None,
+) -> bytes:
     """Decoded bytes of a stream object: raw, or any left-to-right
-    chain of the classic filters (_apply_filter)."""
+    chain of the classic filters (_apply_filter); encrypted documents
+    RC4-decrypt with the per-object key (outermost layer, before the
+    filters) when ``crypt``/``num`` are supplied."""
     d = _dict_region(body)
     s = body.find(b"stream")
     if s < 0:
@@ -172,6 +340,12 @@ def _stream_data(objs: dict[int, bytes], body: bytes) -> bytes:
             data = data[:-2]
         elif data.endswith((b"\n", b"\r")):
             data = data[:-1]
+    if crypt is not None:
+        if num is None:
+            raise ValueError(
+                "encrypted PDF stream reached without an object number"
+            )
+        data = _rc4(_object_key(crypt["key"], num), data)
     filt = _dict_value(d, b"Filter")
     if filt is None:
         return data
@@ -288,7 +462,7 @@ def _apply_filter(name: bytes, data: bytes) -> bytes:
     )
 
 
-def _expand_objstms(objs: dict[int, bytes]) -> None:
+def _expand_objstms(objs: dict[int, bytes], crypt: dict | None = None) -> None:
     """Unpack PDF 1.5 compressed object streams (``/Type /ObjStm``):
     the decoded stream opens with ``/N`` (num, offset) integer pairs,
     then the object bodies start at ``/First``.  Contained objects
@@ -297,11 +471,11 @@ def _expand_objstms(objs: dict[int, bytes]) -> None:
     (a classic definition later in the file is an incremental update
     and must win, which _find_objects' later-wins scan already
     encodes)."""
-    for body in list(objs.values()):
+    for onum, body in list(objs.items()):
         d = _dict_region(body)
         if b"/ObjStm" not in d:
             continue
-        data = _stream_data(objs, body)
+        data = _stream_data(objs, body, crypt, onum)
         fv = _dict_value(d, b"First")
         nv = _dict_value(d, b"N")
         if fv is None or nv is None:
@@ -571,7 +745,11 @@ def _page_text(content: bytes, fonts: dict | None = None) -> str:
     return "\n".join("".join(parts) for parts in lines if parts)
 
 
-def _page_fonts(objs: dict[int, bytes], res_val: bytes | None) -> dict:
+def _page_fonts(
+    objs: dict[int, bytes],
+    res_val: bytes | None,
+    crypt: dict | None = None,
+) -> dict:
     """Resolve a page's /Resources /Font entries into {resource name
     -> parsed /ToUnicode CMap | None}: the per-font decode table
     _page_text applies at show time.  Fonts without /ToUnicode map to
@@ -600,22 +778,28 @@ def _page_fonts(objs: dict[int, bytes], res_val: bytes | None) -> dict:
         tu = _dict_value(_dict_region(body), b"ToUnicode")
         if tu is None:
             continue
-        tbody = _resolve(objs, tu)
+        tnum, tbody = _resolve_num(objs, tu)
         if tbody is not None and b"stream" in tbody:
-            fonts[name] = _parse_tounicode(_stream_data(objs, tbody))
+            fonts[name] = _parse_tounicode(
+                _stream_data(objs, tbody, crypt, tnum)
+            )
     return fonts
 
 
-def extract_pdf_text(blob: bytes) -> dict:
+def extract_pdf_text(blob: bytes, password: str = "") -> dict:
     """Extract text from a classic-layout PDF. Returns {"n_pages",
-    "pages": [str, ...], "text": all pages joined with \\f}."""
+    "pages": [str, ...], "text": all pages joined with \\f}.
+    RC4-encrypted documents (standard security handler, V1/V2 rev 2/3
+    — the legacy-crawl shape) decrypt with ``password`` (default
+    empty, the common no-user-password case); AES refuses honestly."""
     blob = bytes(blob)
     if not blob.startswith(b"%PDF-"):
         raise ValueError("not a PDF byte string (missing %PDF header)")
     objs = _find_objects(blob)
     if not objs:
         raise ValueError("PDF has no indirect objects")
-    _expand_objstms(objs)
+    crypt = _crypt_setup(blob, objs, password)
+    _expand_objstms(objs, crypt)
     # catalog: via trailer /Root when present, else scan for /Catalog
     root = None
     tr = blob.rfind(b"trailer")
@@ -623,8 +807,6 @@ def extract_pdf_text(blob: bytes) -> dict:
         rv = _dict_value(_dict_region(blob[tr:]), b"Root")
         if rv is not None:
             root = _resolve(objs, rv)
-        if _dict_value(_dict_region(blob[tr:]), b"Encrypt") is not None:
-            raise NotImplementedError("encrypted PDF")
     if root is None:
         for b in objs.values():
             if b"/Catalog" in _dict_region(b):
@@ -676,14 +858,17 @@ def extract_pdf_text(blob: bytes) -> dict:
         parts: list[bytes] = []
         if cv.strip().startswith(b"["):
             for km in re.finditer(rb"(\d+)\s+\d+\s+R", cv):
-                body = objs.get(int(km.group(1)))
+                cnum = int(km.group(1))
+                body = objs.get(cnum)
                 if body is not None:
-                    parts.append(_stream_data(objs, body))
+                    parts.append(_stream_data(objs, body, crypt, cnum))
         else:
-            body = _resolve(objs, cv)
+            cnum, body = _resolve_num(objs, cv)
             if body is not None:
-                parts.append(_stream_data(objs, body))
-        pages.append(_page_text(b"\n".join(parts), _page_fonts(objs, res)))
+                parts.append(_stream_data(objs, body, crypt, cnum))
+        pages.append(
+            _page_text(b"\n".join(parts), _page_fonts(objs, res, crypt))
+        )
     return {
         "n_pages": len(pages),
         "pages": pages,
@@ -758,7 +943,10 @@ def _tounicode_cmap(codes: list[tuple[int, str]]) -> bytes:
 
 
 def encode_pdf(
-    pages: list[list[str]], compress: bool = False, type0: bool = False
+    pages: list[list[str]],
+    compress: bool = False,
+    type0: bool = False,
+    encrypt: str | None = None,
 ) -> bytes:
     """Write a REAL classic-layout PDF: header, catalog, page tree,
     one content stream per page (one ``Tj`` per line with ``Td`` line
@@ -773,7 +961,13 @@ def encode_pdf(
     (deliberately NOT its codepoint, so extraction is correct only if
     the CMap is actually applied), shows become <hex> CID strings, and
     consecutive-codepoint runs fold into bfrange entries so both CMap
-    list forms are exercised."""
+    list forms are exercised.
+
+    ``encrypt`` (a user password, "" for the common no-password case)
+    writes a REAL RC4-encrypted document: standard security handler
+    V1/R2 (40-bit), genuine /O and /U entries (Algorithms 3/4), a
+    deterministic /ID, and every stream RC4'd under its per-object
+    key — the synthesis substrate for the decryption path."""
     objects: list[bytes] = []  # bodies; object number = index + 1
     n_pages = len(pages)
     # layout: 1 catalog, 2 pages tree, 3 font, then per page:
@@ -846,6 +1040,45 @@ def encode_pdf(
             objects.append(
                 b"<< /Length %d >>\nstream\n" % len(cm) + cm + b"\nendstream"
             )
+    trailer_extra = b""
+    if encrypt is not None:
+        import hashlib
+
+        pw = encrypt.encode("latin-1")
+        file_id = hashlib.md5(repr(pages).encode("utf-8")).digest()
+        perm = -44  # print/copy denied, the common restricted shape
+        o_entry = _rc4(
+            hashlib.md5(_pad_password(pw)).digest()[:5], _pad_password(pw)
+        )
+        key = _std_security_key(pw, o_entry, perm, file_id, rev=2, n=5)
+        u_entry = _rc4(key, _PDF_PAD)
+        # RC4 every stream payload under its per-object key (the
+        # outermost layer; /Length is unchanged — RC4 preserves size)
+        for idx, body in enumerate(objects):
+            s = body.find(b"stream\n")
+            if s < 0:
+                continue
+            s += len(b"stream\n")
+            e = body.rfind(b"\nendstream")
+            objects[idx] = (
+                body[:s]
+                + _rc4(_object_key(key, idx + 1), body[s:e])
+                + body[e:]
+            )
+        objects.append(
+            b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P %d /O <%s> "
+            b"/U <%s> >>"
+            % (
+                perm,
+                o_entry.hex().encode("ascii"),
+                u_entry.hex().encode("ascii"),
+            )
+        )
+        trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
+            len(objects),
+            file_id.hex().encode("ascii"),
+            file_id.hex().encode("ascii"),
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -857,7 +1090,7 @@ def encode_pdf(
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objects) + 1, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, trailer_extra, xref_at)
     )
     return bytes(out)

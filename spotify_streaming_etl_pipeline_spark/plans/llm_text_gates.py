@@ -736,6 +736,84 @@ def verbatim_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_removal(corpus, iv)
 
 
+def _occ_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substrate for the occurrence-form removal gate: doc_id < 120,
+    group g = doc_id %% 20; text = doc-unique prefix (2 + doc_id %% 3
+    twelve-char units) + the GROUP's shared block (3 + g %% 4 NINE-char
+    non-periodic units) + a doc-unique suffix.  Every 16-char window
+    is unique except those fully inside the shared block (doc-unique
+    GUARD letters fence the block — format-string tails like ':002}'
+    would otherwise collide across same-group docs), so the
+    duplicated-window islands are exactly the planted blocks and
+    DuckDB predicts every (doc_id, start, length) arithmetically."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 120)
+    g = F.col("doc_id") % 20
+    gu = F.substring(
+        F.lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+        ((F.col("doc_id") % 26) + 1).cast("int"),
+        1,
+    )
+    pre = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3) + 1),
+            lambda j: F.format_string("{%06d:%03d}", F.col("doc_id"), j),
+        ),
+        "",
+    )
+    blk = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (g % 4) + 2),
+            lambda j: F.format_string("(%04d#%02d)", g, j),
+        ),
+        "",
+    )
+    post = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.format_string("[%06d:%03d]", F.col("doc_id"), j),
+        ),
+        "",
+    )
+    return d.select(
+        "doc_id", F.concat(pre, gu, blk, gu, post).alias("text")
+    )
+
+
+@query(
+    "verbatim_occurrence_removal",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id % 20 AS g,
+               12 * (2 + doc_id % 3) AS pf,
+               9 * (3 + (doc_id % 20) % 4) AS l
+        FROM documents WHERE doc_id < 120
+    ),
+    k AS (SELECT g, min(doc_id) AS keeper, count(*) AS sz
+          FROM d GROUP BY g)
+    SELECT doc_id, cast(pf + 2 AS BIGINT) AS start,
+           cast(l AS BIGINT) AS length
+    FROM d JOIN k USING (g)
+    WHERE doc_id != keeper AND sz >= 2
+    """,
+)
+def verbatim_occurrence_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-space verbatim removal (llm/overlap.py:
+    occurrence_removal_intervals) — the Lee et al. 2022 "keep one
+    occurrence of every duplicated substring" form: per window hash
+    the min-(doc_id, position) occurrence is canonical and every
+    other occurrence is a duplicated window; consecutive duplicated
+    positions merge to islands.  One row per OCCURRENCE — never per
+    occurrence pair — so a passage shared by g documents costs g
+    rows where ``duplicate_spans`` costs g² (the 100 TB removal
+    path).  DuckDB predicts the intervals by construction: every
+    non-keeper group member is charged exactly its planted block at
+    the prefix-determined offset; keepers and singleton groups are
+    uncharged."""
+    from ..llm.overlap import occurrence_removal_intervals
+
+    return occurrence_removal_intervals(_occ_corpus(spark, sf_dir), min_len=20)
+
+
 @query(
     "repetition_signals",
     """

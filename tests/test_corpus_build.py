@@ -236,3 +236,52 @@ def test_build_training_corpus_verbatim_span_removal(spark):
         blobs, jaccard_threshold=0.9, quality_quantile=0.0
     )
     assert plain.count() == 3
+
+
+def test_build_training_corpus_occurrence_mode(spark):
+    """verbatim_mode='occurrence' swaps the pairwise span enumeration
+    for the linear occurrence form — same surgical outcome on a
+    two-page shared passage, and the page that is nothing but the
+    passage still drops."""
+    shared = (
+        "THE0SHARED1PASSAGE2REPEATS3VERBATIM4ACROSS5PAGES6AND7MUST8BE9"
+        "CUT0OUT1SURGICALLY2BY3THE4SPAN5STAGE"
+    )
+    x_text = (
+        "alpha paragraphs about riverside botany fill this page with"
+        " plenty of its own words a" + shared + "b and then botany"
+        " continues with seed catalogs and irrigation notes"
+    )
+    y_text = (
+        "nine submarine maintenance chapters begin here covering galley"
+        " inventory and ballast procedure 9" + shared + "7 followed by"
+        " torpedo room checklists and sonar calibration logs"
+    )
+    recs = {
+        0: [_page("http://x.example.com/keeper", x_text)],
+        1: [_page("http://y.example.com/charged", y_text)],
+        2: [_page("http://z.example.com/onlyspan", shared)],
+    }
+    blobs = spark.createDataFrame(
+        [
+            (i, bytearray(build_warc(r, member_gzip=False)))
+            for i, r in recs.items()
+        ],
+        "doc_id long, blob binary",
+    )
+    out = {
+        r["url"]: r
+        for r in build_training_corpus(
+            blobs,
+            jaccard_threshold=0.9,
+            quality_quantile=0.0,
+            verbatim_min_len=30,
+            verbatim_mode="occurrence",
+        ).collect()
+    }
+    assert set(out) == {
+        "http://x.example.com/keeper",
+        "http://y.example.com/charged",
+    }
+    assert shared in out["http://x.example.com/keeper"]["text"]
+    assert shared not in out["http://y.example.com/charged"]["text"]

@@ -837,6 +837,51 @@ def test_decode_png_rejects_garbage():
         multimodal.decode_png(b"not a png at all")
 
 
+def test_decode_png_adam7_interlace_roundtrip():
+    """Adam7: seven independently-filtered pass sub-images scattered
+    on the (x0, y0, dx, dy) grid — including 1-wide/1-tall edge images
+    where several passes are empty and contribute no bytes."""
+    import random
+
+    rng = random.Random(17)
+    for _ in range(25):
+        w, h = rng.randrange(1, 18), rng.randrange(1, 14)
+        ch = rng.choice([1, 2, 3, 4])
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        out = multimodal.decode_png(
+            multimodal.encode_png(w, h, ch, px, interlace=True)
+        )
+        assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+        assert out["pixels"] == px
+    # interlaced and plain encodings of one image decode identically
+    px = bytes((x * 11) % 256 for x in range(9 * 7 * 3))
+    plain = multimodal.decode_png(multimodal.encode_png(9, 7, 3, px))
+    inter = multimodal.decode_png(
+        multimodal.encode_png(9, 7, 3, px, interlace=True)
+    )
+    assert plain == inter
+    # truncated interlaced data raises, never fabricates pixels
+    blob = multimodal.encode_png(9, 7, 3, px, interlace=True)
+    import struct as _struct
+    import zlib as _zlib
+
+    # shrink the inflated stream by one pass worth of bytes
+    i = blob.find(b"IDAT") - 4
+    ln = _struct.unpack(">I", blob[i : i + 4])[0]
+    raw = _zlib.decompress(blob[i + 8 : i + 8 + ln])
+    short = _zlib.compress(raw[:-10])
+    rebuilt = (
+        blob[:i]
+        + _struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + _struct.pack(">I", _zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+        + blob[i + 12 + ln :]
+    )
+    with pytest.raises(ValueError):
+        multimodal.decode_png(rebuilt)
+
+
 # --- real BMP decode (pure stdlib) ------------------------------------------
 
 

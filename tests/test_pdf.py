@@ -74,8 +74,8 @@ def test_refusals_and_poison():
     enc = encode_pdf([["x"]]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
-        extract_pdf_text(enc)
+    with pytest.raises(ValueError, match="Encrypt"):
+        extract_pdf_text(enc)  # /Encrypt pointing at a missing object
     dct = encode_pdf([["x"]]).replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
     with pytest.raises(NotImplementedError, match="filter"):
         extract_pdf_text(dct)
@@ -443,3 +443,41 @@ def test_resources_inherit_from_page_tree():
     )
     out = extract_pdf_text(pdf)
     assert out["pages"] == ["inherited fonts work"]
+
+
+def test_rc4_encrypted_documents_decrypt():
+    """The legacy-crawl encryption shape — standard security handler,
+    RC4 V1/R2, empty user password — must DECRYPT, not dead-letter:
+    real /O and /U entries (Algorithms 2/3/4), per-object keys, every
+    stream RC4'd.  Wrong passwords raise; AES (V>=4) refuses
+    honestly."""
+    pages = [["secret line one", "line two"], ["page two text"]]
+    want = ["\n".join(p) for p in pages]
+    for comp in (False, True):
+        for t0 in (False, True):
+            blob = encode_pdf(pages, compress=comp, type0=t0, encrypt="")
+            assert extract_pdf_text(blob)["pages"] == want, (comp, t0)
+    blob = encode_pdf(pages, encrypt="hunter2")
+    assert extract_pdf_text(blob, password="hunter2")["pages"] == want
+    with pytest.raises(ValueError, match="password"):
+        extract_pdf_text(blob)  # empty password is wrong here
+    aes = encode_pdf(pages, encrypt="").replace(b"/V 1 /R 2", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="V=4"):
+        extract_pdf_text(aes)
+
+
+def test_rc4_algorithm_anchors():
+    """RC4 spec anchor (the classic 'Key'/'Plaintext' test vector) and
+    the security-handler key derivation plumbing."""
+    from spotify_streaming_etl_pipeline_spark.llm.pdf import (
+        _object_key,
+        _rc4,
+    )
+
+    assert _rc4(b"Key", b"Plaintext") == bytes.fromhex("bbf316e8d940af0ad3")
+    assert _rc4(b"Key", _rc4(b"Key", b"roundtrip")) == b"roundtrip"
+    # per-object keys differ by object number and cap at 16 bytes
+    k = bytes(range(5))
+    assert _object_key(k, 1) != _object_key(k, 2)
+    assert len(_object_key(k, 1)) == 10
+    assert len(_object_key(bytes(range(16)), 1)) == 16

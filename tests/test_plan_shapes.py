@@ -354,3 +354,15 @@ def test_unigram_edges_broadcast(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_occurrence_removal_guard_and_exchange_reuse(spark, sf_dir, queries):
+    """The linear verbatim-removal form: the hot-hash guard is a
+    pre-window COUNT aggregate + shuffle-hash anti-join (never
+    sort-merge for the probe side, no cartesian), and the canonical
+    -occurrence window rides the same h-partitioning."""
+    plan = _plan(queries["verbatim_occurrence_removal"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    assert "partial_count" in plan
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

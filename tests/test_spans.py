@@ -125,3 +125,85 @@ def test_hot_posting_guard_drops_boilerplate(spark):
     df = _df(spark, rows)
     assert duplicate_spans(df, max_postings=4).count() == 0
     assert duplicate_spans(df, max_postings=None).count() == 10
+
+
+def test_occurrence_removal_linear_form(spark):
+    """occurrence_removal_intervals: Lee et al.'s 'keep ONE occurrence
+    of every duplicated substring' in linear occurrence space — the
+    min-(doc_id, position) occurrence is canonical, everything else is
+    charged; per-doc islands are exact passage intervals."""
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        apply_removal,
+        occurrence_removal_intervals,
+    )
+
+    shared = "SHARED0PASSAGE1EXACTLY2THIRTYSIX3CHAR"  # 37 chars
+    rows = [
+        (1, "aaaa bbbb cccc dddd " + shared + " tail one xx"),
+        (2, "<<totally different lead-in 22>>" + shared + "|end two|"),
+        (3, "=third document prefix 333=" + shared + "~fin~"),
+        (4, "no duplicated text here at all, just filler words ok"),
+    ]
+    iv = {
+        (r["doc_id"], r["start"], r["length"])
+        for r in occurrence_removal_intervals(
+            _df(spark, rows), min_len=20
+        ).collect()
+    }
+    # doc 1 (min id) keeps the canonical occurrence; docs 2 and 3 are
+    # charged exactly the passage; doc 4 untouched
+    assert iv == {
+        (2, 33, len(shared)),
+        (3, 28, len(shared)),
+    }
+    # composed with apply_removal the passage is cut exactly
+    out = {
+        r["doc_id"]: r
+        for r in apply_removal(
+            _df(spark, rows),
+            occurrence_removal_intervals(_df(spark, rows), min_len=20),
+        ).collect()
+    }
+    assert shared in out[1]["clean_text"]
+    assert out[2]["clean_text"] == "<<totally different lead-in 22>>|end two|"
+    assert out[3]["clean_text"] == "=third document prefix 333=~fin~"
+    assert out[4]["n_removed"] == 0
+
+
+def test_occurrence_removal_self_repetition_and_guard(spark):
+    """Within-document repetitions charge all but the FIRST occurrence
+    (the paper's self-duplicate semantics); min_len filters short
+    islands; the hot-hash count guard drops corpus-boilerplate windows
+    before any work."""
+    from spotify_streaming_etl_pipeline_spark.llm.overlap import (
+        occurrence_removal_intervals,
+    )
+
+    block = "REPEATED4BLOCK5OF6EXACT7CHARS8"  # 30 chars
+    # distinct chars right before each occurrence ("]" vs "}") keep
+    # the maximal duplicated span to exactly the block
+    rows = [(7, "lead-in text aa]" + block + "[middle pad bb}" + block)]
+    iv = occurrence_removal_intervals(_df(spark, rows), min_len=20).collect()
+    assert len(iv) == 1
+    r = iv[0]
+    assert (r["doc_id"], r["start"], r["length"]) == (
+        7, 16 + len(block) + 15 + 1, len(block)
+    )
+    # min_len drops it
+    assert (
+        occurrence_removal_intervals(
+            _df(spark, rows), min_len=40
+        ).count() == 0
+    )
+    # boilerplate shared by > max_postings docs is dropped pre-fold
+    many = [(i, "qwertyuiopasdfgh" + S45) for i in range(1, 6)]
+    assert (
+        occurrence_removal_intervals(
+            _df(spark, many), min_len=20, max_postings=4
+        ).count() == 0
+    )
+    assert (
+        occurrence_removal_intervals(
+            _df(spark, many), min_len=20, max_postings=None
+        ).count() == 4  # every non-min doc charged its whole text
+    )
