@@ -1188,10 +1188,11 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
     (sequential non-codepoint CIDs + a /ToUnicode CMap with bfrange
     folding) — extraction matches the oracle only if the CMap is
     genuinely parsed and applied at show time.  Every doc with
-    i % 4 == 3 is RC4-ENCRYPTED (standard security handler V1/R2,
-    empty user password — the legacy-crawl shape): real /O and /U
-    entries, per-object stream keys — extraction matches only if the
-    decryption path genuinely runs."""
+    i % 4 == 3 is ENCRYPTED (standard security handler, empty user
+    password): alternating RC4 V1/R2 (the legacy-crawl shape) and
+    AES-128 /AESV2 V4/R4 (i % 8 == 7) — real /O and /U entries,
+    per-object stream keys, per-stream IVs — extraction matches only
+    if the decryption paths genuinely run."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .pdf import encode_pdf
@@ -1214,6 +1215,7 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
                         compress=i % 2 == 0,
                         type0=i % 3 == 2,
                         encrypt="" if i % 4 == 3 else None,
+                        encrypt_version=4 if i % 8 == 7 else 2,
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})

@@ -33,15 +33,18 @@ real — the decoded (num, offset) header indexes the packed
 dictionaries, which register without displacing classic
 (incremental-update) definitions — so modern xref-stream documents
 whose catalog/page dicts live inside ObjStm containers extract too
-(content streams are classic objects by spec).  RC4-ENCRYPTED
-documents (standard security handler, V1/V2 rev 2/3 — the
-legacy-crawl shape) decrypt for real: Algorithm-2 key derivation with
-the /O, /P and /ID salts, Algorithm-4/5 user-password verification
-(wrong passwords raise ValueError), and per-object RC4 keys applied
-as the outermost stream layer.  Honest boundaries (explicit
-``NotImplementedError``): AES encryption (V>=4) and image-codec
-stream filters (DCT/JBIG2/JPX).  Show-operator bytes decode through
-the ACTIVE FONT:
+(content streams are classic objects by spec).  ENCRYPTED documents
+decrypt for real across every standard-security-handler generation:
+RC4 V1/V2 rev 2/3 (Algorithm-2 key derivation with the /O, /P and
+/ID salts, Algorithm-4/5 user-password verification — wrong
+passwords raise ValueError), AES-128-CBC /AESV2 V4/R4 (per-object
+'sAlT' keys, per-stream IVs), and AES-256 V5/R6 (ISO 32000-2
+Algorithm-2.B SHA-2/AES KDF, /UE-wrapped file key) — the AES core is
+llm/aes.py, pure stdlib, FIPS-197-vector-pinned.  Honest boundaries
+(explicit ``NotImplementedError``): non-Standard security handlers,
+unknown V4 crypt filters, and image-codec stream filters
+(DCT/JBIG2/JPX).  Show-operator bytes decode through the ACTIVE
+FONT:
 pages resolve /Resources -> /Font (with page-tree inheritance), each
 font's /ToUnicode CMap stream parses for real (codespacerange,
 bfchar, bfrange in both incrementing and array forms) and ``Tf``
@@ -219,16 +222,49 @@ def _user_password_check(
     return block == u[:16]
 
 
-def _object_key(key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key (object number + generation
-    salted into the document key; generation 0 assumed — the object
-    scan keeps latest definitions, which real crawled PDFs store at
-    gen 0)."""
+def _object_key(
+    key: bytes, num: int, gen: int = 0, aes: bool = False
+) -> bytes:
+    """Algorithm 1: the per-object key (object number + generation
+    salted into the document key; AESV2 additionally appends the spec
+    constant 'sAlT'; generation 0 assumed — the object scan keeps
+    latest definitions, which real crawled PDFs store at gen 0)."""
     import hashlib
 
     return hashlib.md5(
-        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()[: min(len(key) + 5, 16)]
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (revision 6): the SHA-256/384/512 +
+    AES-128-CBC iterated KDF behind AES-256 password checks and file
+    -key unwraps.  Deliberately expensive by design (~0.6 s in pure
+    Python) — cached so the writer/reader pair in one process derives
+    each (password, salt) once."""
+    import hashlib
+
+    from .aes import aes_cbc_nopad
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    e_last = 256
+    while i < 64 or e_last > i - 32:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_nopad(k[:16], k[16:32], k1, encrypt=True)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        e_last = e[-1]
+        i += 1
+    return k[:32]
 
 
 def _crypt_setup(
@@ -256,31 +292,59 @@ def _crypt_setup(
         )
     v = int(_dict_value(d, b"V") or b"0")
     r = int(_dict_value(d, b"R") or b"0")
-    if v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(
-            f"PDF encryption V={v} R={r} (RC4 V1/V2 rev 2/3 supported; "
-            "AES (V>=4) needs a cipher this decoder does not ship)"
-        )
-    length = int(_dict_value(d, b"Length") or b"40")
-    n = length // 8
     o = _pdf_string_value(d, b"O")
     u = _pdf_string_value(d, b"U")
     pv = _dict_value(d, b"P")
     if o is None or u is None or pv is None:
         raise ValueError("PDF /Encrypt dictionary missing O/U/P")
     p = int(pv)
-    file_id = b""
-    idv = _dict_value(td, b"ID")
+    if v == 5 and r == 6:
+        # PDF 2.0: AES-256, SHA-2 KDF (ISO 32000-2 Algorithms 2.A/2.B)
+        from .aes import aes_cbc_nopad
+
+        pw = password.encode("utf-8")[:127]
+        if len(u) < 48:
+            raise ValueError("PDF R6 /U entry shorter than 48 bytes")
+        if _hash_2b(pw, u[32:40], b"") != u[:32]:
+            raise ValueError("PDF password incorrect")
+        ue = _pdf_string_value(d, b"UE")
+        if ue is None or len(ue) < 32:
+            raise ValueError("PDF R6 /Encrypt missing a 32-byte /UE")
+        file_key = aes_cbc_nopad(
+            _hash_2b(pw, u[40:48], b""), b"\x00" * 16, ue[:32], False
+        )
+        return {"key": file_key, "method": "aesv3"}
+    if v in (1, 2, 4) and r in (2, 3, 4):
+        method = "rc4"
+        if v == 4:
+            if b"/AESV2" in d:
+                method = "aesv2"
+            elif b"/V2" not in d:
+                raise NotImplementedError(
+                    "PDF V4 crypt filter other than /AESV2 or /V2 (RC4)"
+                )
+        length = int(_dict_value(d, b"Length") or b"40")
+        n = 16 if v == 4 else length // 8
+        key = _std_security_key(
+            password.encode("latin-1"), o, p, file_id_of(td), r, n
+        )
+        if not _user_password_check(key, u, file_id_of(td), r):
+            raise ValueError("PDF password incorrect")
+        return {"key": key, "method": method}
+    raise NotImplementedError(
+        f"PDF encryption V={v} R={r} (RC4 V1/V2 rev 2/3, AESV2 V4 rev 4, "
+        "and AES-256 V5 rev 6 supported)"
+    )
+
+
+def file_id_of(trailer_dict: bytes) -> bytes:
+    """First /ID string of the trailer (hex form), empty when absent."""
+    idv = _dict_value(trailer_dict, b"ID")
     if idv is not None:
         im = re.search(rb"<([0-9A-Fa-f]+)>", idv)
         if im:
-            file_id = bytes.fromhex(im.group(1).decode("ascii"))
-    key = _std_security_key(
-        password.encode("latin-1"), o, p, file_id, r, n
-    )
-    if not _user_password_check(key, u, file_id, r):
-        raise ValueError("PDF password incorrect")
-    return {"key": key}
+            return bytes.fromhex(im.group(1).decode("ascii"))
+    return b""
 
 
 def _pdf_string_value(d: bytes, key: bytes) -> bytes | None:
@@ -341,11 +405,32 @@ def _stream_data(
         elif data.endswith((b"\n", b"\r")):
             data = data[:-1]
     if crypt is not None:
-        if num is None:
-            raise ValueError(
-                "encrypted PDF stream reached without an object number"
-            )
-        data = _rc4(_object_key(crypt["key"], num), data)
+        method = crypt.get("method", "rc4")
+        if method == "aesv3":
+            from .aes import aes_cbc_decrypt
+
+            if len(data) < 16:
+                raise ValueError("AES-encrypted stream shorter than its IV")
+            data = aes_cbc_decrypt(crypt["key"], data[:16], data[16:])
+        else:
+            if num is None:
+                raise ValueError(
+                    "encrypted PDF stream reached without an object number"
+                )
+            if method == "aesv2":
+                from .aes import aes_cbc_decrypt
+
+                if len(data) < 16:
+                    raise ValueError(
+                        "AES-encrypted stream shorter than its IV"
+                    )
+                data = aes_cbc_decrypt(
+                    _object_key(crypt["key"], num, aes=True),
+                    data[:16],
+                    data[16:],
+                )
+            else:
+                data = _rc4(_object_key(crypt["key"], num), data)
     filt = _dict_value(d, b"Filter")
     if filt is None:
         return data
@@ -947,6 +1032,7 @@ def encode_pdf(
     compress: bool = False,
     type0: bool = False,
     encrypt: str | None = None,
+    encrypt_version: int = 2,
 ) -> bytes:
     """Write a REAL classic-layout PDF: header, catalog, page tree,
     one content stream per page (one ``Tj`` per line with ``Td`` line
@@ -964,10 +1050,14 @@ def encode_pdf(
     list forms are exercised.
 
     ``encrypt`` (a user password, "" for the common no-password case)
-    writes a REAL RC4-encrypted document: standard security handler
-    V1/R2 (40-bit), genuine /O and /U entries (Algorithms 3/4), a
-    deterministic /ID, and every stream RC4'd under its per-object
-    key — the synthesis substrate for the decryption path."""
+    writes a REAL encrypted document — ``encrypt_version`` picks the
+    standard-security-handler generation: 2 = RC4 V1/R2 (40-bit,
+    genuine /O and /U per Algorithms 3/4), 4 = AES-128-CBC /AESV2
+    V4/R4 (rev-3 O/U chains, per-object keys with the 'sAlT' suffix,
+    per-stream IVs), 5 = AES-256 V5/R6 (ISO 32000-2: Algorithm-2.B
+    KDF, /U validation+key salts, /UE-wrapped file key, /Perms).
+    Deterministic /ID and IVs keep the substrate reproducible; every
+    stream is encrypted under the scheme's object/file key."""
     objects: list[bytes] = []  # bodies; object number = index + 1
     n_pages = len(pages)
     # layout: 1 catalog, 2 pages tree, 3 font, then per page:
@@ -1044,36 +1134,119 @@ def encode_pdf(
     if encrypt is not None:
         import hashlib
 
-        pw = encrypt.encode("latin-1")
+        from .aes import aes_cbc_encrypt, aes_cbc_nopad
+
         file_id = hashlib.md5(repr(pages).encode("utf-8")).digest()
         perm = -44  # print/copy denied, the common restricted shape
-        o_entry = _rc4(
-            hashlib.md5(_pad_password(pw)).digest()[:5], _pad_password(pw)
-        )
-        key = _std_security_key(pw, o_entry, perm, file_id, rev=2, n=5)
-        u_entry = _rc4(key, _PDF_PAD)
-        # RC4 every stream payload under its per-object key (the
-        # outermost layer; /Length is unchanged — RC4 preserves size)
+        if encrypt_version == 2:
+            pw = encrypt.encode("latin-1")
+            o_entry = _rc4(
+                hashlib.md5(_pad_password(pw)).digest()[:5],
+                _pad_password(pw),
+            )
+            key = _std_security_key(pw, o_entry, perm, file_id, rev=2, n=5)
+            u_entry = _rc4(key, _PDF_PAD)
+
+            def enc_stream(num: int, data: bytes) -> bytes:
+                return _rc4(_object_key(key, num), data)
+
+            enc_dict = (
+                b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P %d "
+                b"/O <%s> /U <%s> >>"
+                % (perm, o_entry.hex().encode(), u_entry.hex().encode())
+            )
+        elif encrypt_version == 4:
+            pw = encrypt.encode("latin-1")
+            h = hashlib.md5(_pad_password(pw)).digest()
+            for _ in range(50):
+                h = hashlib.md5(h).digest()
+            o_entry = _pad_password(pw)
+            for i in range(20):
+                o_entry = _rc4(bytes(b ^ i for b in h[:16]), o_entry)
+            key = _std_security_key(pw, o_entry, perm, file_id, rev=4, n=16)
+            x = hashlib.md5(_PDF_PAD + file_id).digest()
+            for i in range(20):
+                x = _rc4(bytes(b ^ i for b in key), x)
+            u_entry = x + b"\x00" * 16
+
+            def enc_stream(num: int, data: bytes) -> bytes:
+                iv = hashlib.md5(
+                    file_id + num.to_bytes(4, "little")
+                ).digest()
+                return iv + aes_cbc_encrypt(
+                    _object_key(key, num, aes=True), iv, data
+                )
+
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P %d /O <%s> /U <%s> >>"
+                % (perm, o_entry.hex().encode(), u_entry.hex().encode())
+            )
+        elif encrypt_version == 5:
+            pw = encrypt.encode("utf-8")[:127]
+            file_key = hashlib.sha256(
+                b"filekey" + repr(pages).encode("utf-8")
+            ).digest()
+            vs = hashlib.md5(b"vs" + file_id).digest()[:8]
+            ks = hashlib.md5(b"ks" + file_id).digest()[:8]
+            u_entry = _hash_2b(pw, vs, b"") + vs + ks
+            ue = aes_cbc_nopad(
+                _hash_2b(pw, ks, b""), b"\x00" * 16, file_key, True
+            )
+            ovs = hashlib.md5(b"ovs" + file_id).digest()[:8]
+            oks = hashlib.md5(b"oks" + file_id).digest()[:8]
+            o_entry = _hash_2b(pw, ovs, u_entry) + ovs + oks
+            oe = aes_cbc_nopad(
+                _hash_2b(pw, oks, u_entry), b"\x00" * 16, file_key, True
+            )
+            perms = aes_cbc_nopad(
+                file_key,
+                b"\x00" * 16,
+                (perm & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xffTadbxxxx",
+                True,
+            )
+
+            def enc_stream(num: int, data: bytes) -> bytes:
+                iv = hashlib.md5(
+                    file_id + num.to_bytes(4, "little")
+                ).digest()
+                return iv + aes_cbc_encrypt(file_key, iv, data)
+
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF /P %d /O <%s> /OE <%s> "
+                b"/U <%s> /UE <%s> /Perms <%s> >>"
+                % (
+                    perm,
+                    o_entry.hex().encode(),
+                    oe.hex().encode(),
+                    u_entry.hex().encode(),
+                    ue.hex().encode(),
+                    perms.hex().encode(),
+                )
+            )
+        else:
+            raise ValueError(
+                f"encrypt_version must be 2, 4, or 5, got {encrypt_version}"
+            )
+        # encrypt every stream payload (outermost layer); AES grows the
+        # payload (IV + padding), so /Length is rewritten to match
         for idx, body in enumerate(objects):
             s = body.find(b"stream\n")
             if s < 0:
                 continue
             s += len(b"stream\n")
             e = body.rfind(b"\nendstream")
-            objects[idx] = (
-                body[:s]
-                + _rc4(_object_key(key, idx + 1), body[s:e])
-                + body[e:]
+            plain = body[s:e]
+            enc_data = enc_stream(idx + 1, plain)
+            head = body[:s].replace(
+                b"/Length %d" % len(plain), b"/Length %d" % len(enc_data), 1
             )
-        objects.append(
-            b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P %d /O <%s> "
-            b"/U <%s> >>"
-            % (
-                perm,
-                o_entry.hex().encode("ascii"),
-                u_entry.hex().encode("ascii"),
-            )
-        )
+            objects[idx] = head + enc_data + body[e:]
+        objects.append(enc_dict)
         trailer_extra = b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (
             len(objects),
             file_id.hex().encode("ascii"),

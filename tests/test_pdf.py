@@ -461,9 +461,36 @@ def test_rc4_encrypted_documents_decrypt():
     assert extract_pdf_text(blob, password="hunter2")["pages"] == want
     with pytest.raises(ValueError, match="password"):
         extract_pdf_text(blob)  # empty password is wrong here
-    aes = encode_pdf(pages, encrypt="").replace(b"/V 1 /R 2", b"/V 4 /R 4")
-    with pytest.raises(NotImplementedError, match="V=4"):
-        extract_pdf_text(aes)
+    # genuinely unsupported generations refuse with the version named
+    v6 = encode_pdf(pages, encrypt="").replace(b"/V 1 /R 2", b"/V 6 /R 7")
+    with pytest.raises(NotImplementedError, match="V=6"):
+        extract_pdf_text(v6)
+
+
+def test_aes_encrypted_documents_decrypt():
+    """AES generations of the standard security handler: /AESV2
+    (V4/R4, AES-128-CBC, per-object 'sAlT' keys, per-stream IVs) and
+    AES-256 (V5/R6, Algorithm-2.B KDF, /UE-wrapped file key) both
+    decrypt for real; wrong passwords raise; an unknown V4 crypt
+    filter refuses honestly."""
+    pages = [["aes secret line", "second line"], ["page two here"]]
+    want = ["\n".join(p) for p in pages]
+    for v in (4, 5):
+        for comp in (False, True):
+            blob = encode_pdf(
+                pages, compress=comp, type0=comp, encrypt="",
+                encrypt_version=v,
+            )
+            assert extract_pdf_text(blob)["pages"] == want, (v, comp)
+        blob = encode_pdf(pages, encrypt="pw123", encrypt_version=v)
+        assert extract_pdf_text(blob, password="pw123")["pages"] == want
+        with pytest.raises(ValueError, match="password"):
+            extract_pdf_text(blob)
+    odd = encode_pdf(pages, encrypt="", encrypt_version=4).replace(
+        b"/CFM /AESV2", b"/CFM /Weird9"
+    )
+    with pytest.raises(NotImplementedError, match="crypt filter"):
+        extract_pdf_text(odd)
 
 
 def test_rc4_algorithm_anchors():

@@ -43,6 +43,7 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
                      "mp3_stream_summary", "resized_image_features",
                      "bmp_image_features", "png_image_features",
                      "gif_image_features", "jpeg_image_features",
+                     "webp_image_features",
                      "video_frame_summary", "mkv_frame_summary",
                      # WARC blob synth + parse are the per-blob codec
                      # path — Arrow-batched by design, like the codecs
