@@ -351,3 +351,64 @@ def test_progressive_per_component_dc_scans_decode():
             )
         )
         assert base["pixels"] == split["pixels"], (trial, sampling, ri, al)
+
+
+def test_12bit_precision_decodes():
+    """12-bit frames (SOF precision 12): samples 0-4095, level shift
+    2048, 16-bit DQT entries, the widened category tables — solid
+    blocks round-trip exactly, random content is quant-bounded, and
+    progressive encodes of the same coefficients decode identically
+    (baseline AND with per-component DC scans)."""
+    import random
+
+    img = _solid_image(3, 2, 0) * 0
+    for by in range(2):
+        for bx in range(3):
+            img[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                997 + 351 * (by * 3 + bx)
+            )
+    out = decode_jpeg(encode_jpeg([img.tolist()], precision=12))
+    assert out["depth"] == 12
+    assert np.array_equal(np.array(out["pixels"]).reshape(16, 24), img)
+    # 8-bit output contract unchanged
+    assert decode_jpeg(encode_jpeg([_solid_image(1, 1, 7)]))["depth"] == 8
+
+    rng = random.Random(5)
+    for trial in range(4):
+        nplanes = rng.choice([1, 3])
+        planes = [
+            [[rng.randrange(4096) for _ in range(16)] for _ in range(16)]
+            for _ in range(nplanes)
+        ]
+        sampling = (
+            [(2, 2), (1, 1), (1, 1)]
+            if nplanes == 3 and trial % 2
+            else None
+        )
+        base = decode_jpeg(
+            encode_jpeg(planes, precision=12, sampling=sampling)
+        )
+        assert base["depth"] == 12
+        assert max(base["pixels"]) > 255  # genuinely 12-bit range
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                planes, precision=12, sampling=sampling,
+                al_first=rng.choice([1, 2]), dc_split=bool(trial % 2),
+            )
+        )
+        assert base["pixels"] == prog["pixels"], trial
+    # grayscale random content is quantization-bounded, not garbage
+    img = [[rng.randrange(4096) for _ in range(8)] for _ in range(8)]
+    got = decode_jpeg(encode_jpeg([img], precision=12))["pixels"]
+    flat = [v for row in img for v in row]
+    assert max(abs(a - b) for a, b in zip(got, flat)) < 64
+
+
+def test_unsupported_precision_refuses():
+    blob = bytearray(encode_jpeg([_solid_image(1, 1, 30)]))
+    i = blob.find(b"\xff\xc0") + 4
+    blob[i] = 10  # SOF precision byte
+    with pytest.raises(NotImplementedError, match="precision 10"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="8 or 12"):
+        encode_jpeg([_solid_image(1, 1, 30)], precision=10)
