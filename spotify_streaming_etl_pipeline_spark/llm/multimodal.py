@@ -374,8 +374,36 @@ def _decode_raster(blob: bytes) -> dict:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        out = decode_webp(b)
+        px = out["pixels"]
+        if out["has_alpha"]:
+            flat = [
+                c
+                for p in px
+                for c in (
+                    (p >> 16) & 255, (p >> 8) & 255, p & 255,
+                    (p >> 24) & 255,
+                )
+            ]
+            ch = 4
+        else:
+            flat = [
+                c
+                for p in px
+                for c in ((p >> 16) & 255, (p >> 8) & 255, p & 255)
+            ]
+            ch = 3
+        return {
+            "width": out["width"],
+            "height": out["height"],
+            "channels": ch,
+            "pixels": flat,
+        }
     raise ValueError(
-        "unrecognized raster signature (PNG/BMP/GIF/JPEG decode here)"
+        "unrecognized raster signature (PNG/BMP/GIF/JPEG/WebP decode here)"
     )
 
 

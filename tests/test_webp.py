@@ -156,3 +156,21 @@ def test_webp_features_dead_letters_and_refusals(spark):
     assert got[90].sum_red is None
     # poison: full null row
     assert got[91].width is None and got[91].fmt is None
+
+
+def test_webp_rides_the_resize_route():
+    """_decode_raster dispatches RIFF/WEBP, so resize_image normalizes
+    WebP like every other raster format (RGB for opaque, RGBA when the
+    alpha channel is real)."""
+    px = [0xFF102030, 0xFF405060, 0xFF708090, 0xFFA0B0C0]
+    out = multimodal.decode_png(
+        multimodal.resize_image(encode_webp_lossless(px, 2, 2), 4, 4)
+    )
+    assert (out["width"], out["height"], out["channels"]) == (4, 4, 3)
+    assert out["pixels"][:3] == bytes([0x10, 0x20, 0x30])
+    out2 = multimodal.decode_png(
+        multimodal.resize_image(
+            encode_webp_lossless([0x80102030] * 4, 2, 2), 2, 2
+        )
+    )
+    assert out2["channels"] == 4 and out2["pixels"][3] == 0x80
