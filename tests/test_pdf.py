@@ -508,3 +508,24 @@ def test_rc4_algorithm_anchors():
     assert _object_key(k, 1) != _object_key(k, 2)
     assert len(_object_key(k, 1)) == 10
     assert len(_object_key(bytes(range(16)), 1)) == 16
+
+
+def test_mutation_fuzz_raises_cleanly():
+    """Seeded mutation fuzz over an encrypted+compressed document:
+    corrupted bytes must raise ordinary data errors (everything the
+    Spark dead-letter stage catches), never hang."""
+    import random
+
+    rng = random.Random(99)
+    base = encode_pdf(
+        [["fuzz target text", "line two"]],
+        compress=True, encrypt="", encrypt_version=4,
+    )
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            extract_pdf_text(bytes(b))
+        except Exception:
+            pass  # any exception dead-letters; the assertion is "no hang"

@@ -174,3 +174,23 @@ def test_webp_rides_the_resize_route():
         )
     )
     assert out2["channels"] == 4 and out2["pixels"][3] == 0x80
+
+
+def test_mutation_fuzz_raises_cleanly():
+    """Seeded mutation fuzz: corrupted VP8L bytes must raise ordinary
+    data errors (the dead-letter contract), never hang or crash the
+    interpreter."""
+    rng = random.Random(99)
+    base = encode_webp_lossless(
+        [0xFF000000 | rng.randrange(1 << 24) for _ in range(48)],
+        8, 6, transform="palette",
+    )
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = decode_webp(bytes(b))
+            assert len(out["pixels"]) == out["width"] * out["height"]
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
