@@ -88,7 +88,13 @@ def main() -> None:
     text_ds = {k: _replicate_text(spark, docs, n, k) for k in scales}
     out: dict[str, dict] = {}
 
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_MEDIA_LEGS", "").split(",") if s
+    }
+
     def leg(name, build, datasets, max_scale=None):
+        if only and name not in only:
+            return
         row: dict[str, float] = {}
         prev_key = None
         for k in scales:
@@ -133,11 +139,16 @@ def main() -> None:
     # 100 TB); the legs prove the guard, not just the speed.
     #
     # The PAIRWISE form (duplicate_spans) inherently emits sum(group
-    # size SQUARED) matched-position rows — measured 2.4e9 pairs from
-    # 2.2e7 postings at 10x on this corpus (docs genuinely share
-    # phrases across hundreds of pages), an 8 GB-heap OOM — so it
-    # runs at 1x only; occurrence_removal_intervals is the LINEAR
-    # 100 TB removal path and runs the full sweep.
+    # size SQUARED) matched-position rows — with the r11 default cap
+    # of 1000 the mid-frequency windows (100 < n <= 1000) alone
+    # measured 2.4e9 pairs from 2.2e7 postings at 10x on this corpus
+    # (docs genuinely share phrases across hundreds of pages), an
+    # 8 GB-heap OOM.  r12 drops the DEFAULT max_postings to 100,
+    # bounding pairs at 100 x postings (linear in corpus), so the
+    # bare-default leg now runs the 10x step too — proving the
+    # default call survives the scale that OOM'd it;
+    # occurrence_removal_intervals is the LINEAR 100 TB removal path
+    # and runs the full sweep.
     boiler = (
         " COPYRIGHT LICENSE BOILERPLATE BLOCK IDENTICAL IN EVERY SINGLE DOC."
     )
@@ -151,7 +162,7 @@ def main() -> None:
         "verbatim_spans_hot_boilerplate",
         lambda d, _n: overlap.duplicate_spans(_boilered(d), min_len=24),
         text_ds,
-        max_scale=1,
+        max_scale=10,
     )
     leg(
         "verbatim_occurrence_removal_hot",

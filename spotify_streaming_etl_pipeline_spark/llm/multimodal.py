@@ -1217,10 +1217,12 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
     folding) — extraction matches the oracle only if the CMap is
     genuinely parsed and applied at show time.  Every doc with
     i % 4 == 3 is ENCRYPTED (standard security handler, empty user
-    password): alternating RC4 V1/R2 (the legacy-crawl shape) and
-    AES-128 /AESV2 V4/R4 (i % 8 == 7) — real /O and /U entries,
-    per-object stream keys, per-stream IVs — extraction matches only
-    if the decryption paths genuinely run."""
+    password), cycling all three supported generations: RC4 V1/R2
+    (the legacy-crawl shape, i % 16 == 3), AES-256 V5/R6 (the PDF 2.0
+    shape, i % 16 == 11), and AES-128 /AESV2 V4/R4 (i % 8 == 7) —
+    real /O and /U (and R6 /UE) entries, per-object stream keys,
+    per-stream IVs — extraction matches only if every decryption
+    path genuinely runs."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .pdf import encode_pdf
@@ -1243,7 +1245,9 @@ def synth_pdf_corpus(docs: DataFrame) -> DataFrame:
                         compress=i % 2 == 0,
                         type0=i % 3 == 2,
                         encrypt="" if i % 4 == 3 else None,
-                        encrypt_version=4 if i % 8 == 7 else 2,
+                        encrypt_version=(
+                            4 if i % 8 == 7 else 5 if i % 16 == 11 else 2
+                        ),
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})

@@ -124,7 +124,7 @@ def duplicate_spans(
     min_len: int = 20,
     text_col: str = "text",
     window: int = WINDOW,
-    max_postings: int | None = 1000,
+    max_postings: int | None = 100,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact verbatim duplicate SPANS between document pairs — the
@@ -153,6 +153,23 @@ def duplicate_spans(
     semi-joins the posting down to documents already known to
     overlap before the position join.  The island window partitions
     by (doc_a, doc_b, diag) — pair-sized state, never corpus-sized.
+
+    ``max_postings`` is the ONLY bound on pair work — the matched
+    -position explode emits sum(n²) rows over per-hash posting
+    counts n, so the cap bounds output at max_postings × postings:
+    LINEAR in corpus size with constant ``max_postings``.  The
+    default of 100 is deliberately scale-safe: the repo's own 10×
+    measurement (PLANS.md round 11) showed mid-frequency windows
+    (100 < n <= 1000 — phrases genuinely shared by hundreds of
+    docs) alone emit 2.4e9 pairs from 22M postings, an executor
+    OOM, and the ``candidates`` doc-level semi-join CANNOT bound
+    that case (the exploding docs all genuinely overlap something,
+    so every one survives the funnel).  Windows above the cap are
+    treated as corpus boilerplate in this PAIR diagnostic; when the
+    g² pair rows for a widely-shared passage are genuinely wanted,
+    raise ``max_postings`` explicitly and budget sum(n²) output —
+    for REMOVAL use ``occurrence_removal_intervals``, which charges
+    each duplicated occurrence once (linear, no cap semantics).
 
     Caveat (documented, inherent to hash-position matching):
     self-PERIODIC shared text (e.g. "abab...") also matches on

@@ -274,11 +274,25 @@ def _crypt_setup(
     handler, RC4 V1/V2 rev 2/3); returns {"key": bytes} or None for
     unencrypted documents.  Wrong passwords raise ValueError; V>=4
     (AES) refuses honestly."""
+    td = b""
+    ev = None
     tr = blob.rfind(b"trailer")
-    if tr < 0:
-        return None
-    td = _dict_region(blob[tr:])
-    ev = _dict_value(td, b"Encrypt")
+    if tr >= 0:
+        td = _dict_region(blob[tr:])
+        ev = _dict_value(td, b"Encrypt")
+    if ev is None:
+        # Cross-reference-STREAM documents (PDF 1.5+) have no classic
+        # 'trailer' keyword: the trailer dictionary (with /Encrypt and
+        # /ID) lives in the /Type /XRef stream object's dict.  Without
+        # this scan an encrypted xref-stream PDF would be treated as
+        # unencrypted and its raw streams would "extract" as noise.
+        for body in objs.values():
+            d0 = _dict_region(body)
+            if re.search(rb"/Type\s*/XRef(?![A-Za-z0-9])", d0):
+                e0 = _dict_value(d0, b"Encrypt")
+                if e0 is not None:
+                    td, ev = d0, e0
+                    break
     if ev is None:
         return None
     enc = _resolve(objs, ev)

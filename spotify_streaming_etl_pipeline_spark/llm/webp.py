@@ -510,7 +510,11 @@ def webp_info(blob: bytes) -> dict:
         fourcc = blob[pos : pos + 4]
         size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
         body = blob[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
         if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X chunk")
             flags = body[0]
             info.setdefault("has_alpha", bool(flags & 0x10))
             info.setdefault(
@@ -521,6 +525,8 @@ def webp_info(blob: bytes) -> dict:
             )
             info.setdefault("format", "VP8X")
         elif fourcc == b"VP8L":
+            if len(body) < 5:
+                raise ValueError("truncated VP8L chunk")
             if body[0] != 0x2F:
                 raise ValueError("bad VP8L signature byte")
             br = _BitReader(body, 1)
@@ -531,6 +537,8 @@ def webp_info(blob: bytes) -> dict:
                 raise ValueError("unknown VP8L version")
             info["format"] = "VP8L"
         elif fourcc == b"VP8 ":
+            if len(body) < 10:
+                raise ValueError("truncated VP8 chunk")
             tag = int.from_bytes(body[0:3], "little")
             if tag & 1:
                 raise ValueError("VP8 chunk is not a keyframe")
@@ -613,6 +621,11 @@ def _write_code(bw: _BitWriter, freqs: dict[int, int], alphabet_size: int):
     for the payload writer (zero-length codes for single-symbol
     codes)."""
     syms = sorted(s for s, c in freqs.items() if c > 0) or [0]
+    if syms[-1] >= alphabet_size or syms[0] < 0:
+        raise ValueError(
+            f"prefix-code symbol {syms[-1] if syms[-1] >= alphabet_size else syms[0]} "
+            f"outside alphabet of {alphabet_size}"
+        )
     if len(syms) <= 2 and syms[-1] < 256:
         bw.write(1, 1)  # simple
         bw.write(len(syms) - 1, 1)
@@ -734,8 +747,15 @@ def _write_pixel_stream(
             while i + run < len(px) and px[i + run] == px[i + run - 1]:
                 run += 1
             if run >= 4:
-                tokens.append(("copy", run))
                 i += run
+                # VP8L backward-reference lengths top out at 4096
+                # (prefix code 23 + full extra bits): longer runs MUST
+                # split or the length symbol falls outside the 280-code
+                # green alphabet and the header would silently omit it.
+                while run > 4096:
+                    tokens.append(("copy", 4096))
+                    run -= 4096
+                tokens.append(("copy", run))
                 continue
         tokens.append(("lit", px[i]))
         i += 1
@@ -801,6 +821,10 @@ def encode_webp_lossless(
     the distinct colors, bundled when <= 16)."""
     if len(px) != width * height:
         raise ValueError("pixel count does not match dimensions")
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        # the VP8L header stores dim-1 in 14 bits; larger values would
+        # silently truncate into a well-formed file with wrong dims
+        raise ValueError("VP8L dimensions must be within 1..16384")
     bw = _BitWriter()
     bw.write(width - 1, 14)
     bw.write(height - 1, 14)

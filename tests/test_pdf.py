@@ -529,3 +529,37 @@ def test_mutation_fuzz_raises_cleanly():
             extract_pdf_text(bytes(b))
         except Exception:
             pass  # any exception dead-letters; the assertion is "no hang"
+
+
+def test_xref_stream_encrypted_document_decrypts():
+    """PDF 1.5+ cross-reference-stream documents carry the trailer
+    dictionary (with /Encrypt and /ID) inside a /Type /XRef stream
+    object and have NO classic 'trailer' keyword — _crypt_setup must
+    find /Encrypt there or the document silently 'extracts' as noise
+    (r11 ADVICE)."""
+    import re as _re
+
+    pages = [["xref stream secret"], ["page two"]]
+    want = ["xref stream secret", "page two"]
+    blob = encode_pdf(pages, encrypt="")
+    tr = blob[blob.rfind(b"trailer") :]
+    menc = _re.search(rb"/Encrypt (\d+) 0 R", tr)
+    mid = _re.search(rb"/ID \[<([0-9A-Fa-f]+)> <([0-9A-Fa-f]+)>\]", tr)
+    assert menc and mid
+    head = blob[: blob.rfind(b"xref\n0 ")]
+    nums = [int(n) for n in _re.findall(rb"(\d+) 0 obj", head)]
+    xref_obj = (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 2 1] /Root 1 0 R"
+        b" /Encrypt %s 0 R /ID [<%s> <%s>] /Length 0 >>\n"
+        b"stream\n\nendstream\nendobj\n"
+        % (
+            max(nums) + 1,
+            max(nums) + 2,
+            menc.group(1),
+            mid.group(1),
+            mid.group(2),
+        )
+    )
+    doc = head + xref_obj + b"startxref\n%d\n%%%%EOF\n" % len(head)
+    assert b"trailer" not in doc
+    assert extract_pdf_text(doc)["pages"] == want

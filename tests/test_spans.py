@@ -207,3 +207,19 @@ def test_occurrence_removal_self_repetition_and_guard(spark):
             _df(spark, many), min_len=20, max_postings=None
         ).count() == 4  # every non-min doc charged its whole text
     )
+
+
+def test_default_cap_bounds_mid_frequency_pair_work(spark):
+    """r12: the DEFAULT max_postings is 100 — sum(n^2) matched-pair
+    output is bounded at 100 x postings (linear in corpus).  A passage
+    shared by 120 docs (the mid-frequency shape that measured 2.4e9
+    pairs / an 8 GB OOM at 10x under the old default of 1000) is
+    treated as boilerplate by the bare call; raising the cap
+    explicitly opts back into the g^2 pair rows."""
+    rows = [
+        (i, "%016d" % i + S45 + "%016d" % (i * 7 + 1))
+        for i in range(1, 121)
+    ]
+    df = _df(spark, rows)
+    assert duplicate_spans(df).count() == 0
+    assert duplicate_spans(df, max_postings=200).count() == 120 * 119 // 2

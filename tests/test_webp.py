@@ -194,3 +194,57 @@ def test_mutation_fuzz_raises_cleanly():
             assert len(out["pixels"]) == out["width"] * out["height"]
         except (ValueError, NotImplementedError, IndexError, KeyError):
             pass
+
+
+def test_long_rle_run_splits_at_4096():
+    # a constant run longer than the VP8L max backward-reference
+    # length (4096) must split into multiple copy tokens — the length
+    # prefix code would otherwise fall outside the green alphabet and
+    # the header writer would silently omit it (r11 ADVICE)
+    w, h = 128, 40  # 5120 pixels: one literal + a 5119-long run
+    px = [0xFF336699] * (w * h)
+    out = decode_webp(encode_webp_lossless(px, w, h, rle=True))
+    assert out["pixels"] == px
+
+
+def test_write_code_rejects_out_of_alphabet_symbols():
+    from spotify_streaming_etl_pipeline_spark.llm.webp import (
+        _BitWriter,
+        _write_code,
+    )
+
+    with pytest.raises(ValueError, match="alphabet"):
+        _write_code(_BitWriter(), {300: 4, 1: 2}, 280)
+
+
+def test_dimension_limits_rejected():
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless([0xFF000000] * 16385, 16385, 1)
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless([], 0, 0)
+
+
+def test_truncated_chunks_raise_value_error():
+    # declared size exceeding the blob, and per-chunk minimum sizes:
+    # struct.error / IndexError escaped the (ValueError, ...) fuzz
+    # contract before the explicit length validation (r11 ADVICE)
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def riff(payload):
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    # VP8X declaring 10 bytes but carrying 2
+    bad = riff(b"VP8X" + struct.pack("<I", 10) + b"\x10\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        webp_info(bad)
+    # VP8X with a correctly-declared but sub-minimum body
+    with pytest.raises(ValueError, match="truncated"):
+        webp_info(riff(chunk(b"VP8X", b"\x10\x00")))
+    # VP8 lossy chunk too short for the frame header
+    with pytest.raises(ValueError, match="truncated"):
+        webp_info(riff(chunk(b"VP8 ", b"\x00\x01\x02\x9d\x01\x2a\x07")))
+    # VP8L too short for the 5-byte signature+dims header
+    with pytest.raises(ValueError, match="truncated"):
+        webp_info(riff(chunk(b"VP8L", b"\x2f\x00\x00")))
