@@ -914,7 +914,8 @@ def decode_wav(blob: bytes) -> dict:
     "samples"} with samples as a flat channel-interleaved list of
     centered ints and n_samples = frames per channel. Remaining
     compressed WAVs (mp3-in-RIFF, ...) raise NotImplementedError —
-    they need a real codec."""
+    they need a real codec (bare MPEG-1 Layer III streams decode via
+    llm/mp3.py through ``decode_audio``)."""
     import struct
 
     if bytes(blob[:4]) != b"RIFF" or bytes(blob[8:12]) != b"WAVE":
@@ -1136,11 +1137,14 @@ def decode_audio(blob: bytes) -> dict:
     """Audio decode dispatch by container magic — the audio sibling of
     ``decode_image`` / ``sample_frames``: RIFF/WAVE routes to
     ``decode_wav`` (integer PCM, G.711, mono IMA ADPCM), fLaC to
-    ``llm.flac.decode_flac`` (all subframe types incl. LPC). Both return
-    the same {"sample_rate", "channels", "bits", "n_samples",
-    "samples"} dict. mp3 bytes are rejected toward ``mp3_stream_info``
-    (header-walk QA exists; PCM decode honestly does not); anything
-    else raises NotImplementedError."""
+    ``llm.flac.decode_flac`` (all subframe types incl. LPC), MPEG
+    audio sync / ID3v2 to ``llm.mp3.decode_mp3`` (MPEG-1 Layer III:
+    side info, bit reservoir, the embedded huffman registry,
+    requantization, IMDCT hybrid filterbank, polyphase synthesis —
+    unsupported generations/tables refuse by name inside, which
+    dead-letters in the batch features). All return the same
+    {"sample_rate", "channels", "bits", "n_samples", "samples"}
+    dict; anything else raises NotImplementedError."""
     head = bytes(blob[:4])
     if head == b"RIFF":
         return decode_wav(blob)
@@ -1150,10 +1154,9 @@ def decode_audio(blob: bytes) -> dict:
         return decode_flac(blob)
     if head[:3] == b"ID3" or (len(blob) >= 2 and blob[0] == 0xFF
                               and (blob[1] & 0xE0) == 0xE0):
-        raise NotImplementedError(
-            "mp3 PCM decode needs a real codec; mp3_stream_info gives "
-            "the header-walk duration/bitrate audit without one"
-        )
+        from .mp3 import decode_mp3
+
+        return decode_mp3(blob)
     raise NotImplementedError(
         "decode_audio handles RIFF/WAVE and FLAC; plug a codec into the "
         "mapInPandas batch function for other containers — the Spark "
@@ -1946,9 +1949,10 @@ def mp3_stream_info(blob: bytes) -> dict:
     144*bitrate/rate + pad bytes; MPEG-2 and MPEG-2.5 carry 576 and
     step 72*bitrate/rate + pad. Returns {"n_frames", "sample_rate",
     "bitrate_kbps" (mean, rounded — VBR streams vary per frame),
-    "duration_ms", "vbr"}. PCM decode of the payloads is the honest
-    codec boundary (huffman + IMDCT + synthesis filterbank); nothing
-    here fabricates audio."""
+    "duration_ms", "vbr"}. MPEG-1 Layer III payloads PCM-decode via
+    llm/mp3.py (``decode_audio``); this walk stays the cheap
+    header-only audit that also covers MPEG-2/2.5 and the huffman
+    tables outside mp3.py's embedded registry."""
     blob = bytes(blob)
     pos = 0
     if blob[:3] == b"ID3":  # ID3v2 container prefix: 4-byte synchsafe size
@@ -2078,6 +2082,126 @@ def synth_mp3_corpus(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id").mapInPandas(
         _encode, schema="doc_id long, blob binary"
+    )
+
+
+def synth_mp3_l3_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MPEG-1 Layer III corpus from doc ids
+    (llm/mp3.py:encode_mp3 — genuine side info, scalefactor bits,
+    huffman big-value/count1 payloads from the embedded registry).
+    Per doc i: sample rate cycles 44.1/48/32 kHz (i %% 3), 2 + i %% 3
+    frames, stereo on i %% 5 == 0 (MS-matrixed joint stereo on
+    i %% 10 == 5), SHORT blocks (window switching, subblock gains) on
+    i %% 6 == 3, ID3v2 prefix on odd docs, and i %% 4 == 0 is digital
+    SILENCE (zero spectrum — the one case where float PCM is exactly
+    predictable).  Non-silent granules plant 2 + i %% 3 big-value
+    pairs of (±1, ±1) and 1 + i %% 2 count1 quads of (1,0,0,1), with
+    global_gain 100 + i %% 97 and maxed scalefactors under
+    scalefac_compress = i %% 16 — every integer diagnostic the
+    decoder reports is an arithmetic function of i."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import encode_mp3
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                rate = _MP3_RATES[i % 3]
+                stereo = i % 5 == 0
+                nch = 2 if stereo else 1
+                short = i % 6 == 3
+                silent = i % 4 == 0
+
+                def gran(ch):
+                    g = {
+                        "global_gain": 100 + i % 97,
+                        "scalefac_compress": i % 16,
+                        "scalefac_scale": i % 2,
+                        "block_type": 2 if short else 0,
+                        "subblock_gain": (i % 3, 0, 1),
+                        "big_pairs": [],
+                        "quads": [],
+                    }
+                    if not silent:
+                        n_pairs = 2 + i % 3
+                        g["big_pairs"] = [
+                            (1 if (k + ch) % 2 else -1,
+                             -1 if k % 2 else 1)
+                            for k in range(n_pairs)
+                        ]
+                        g["quads"] = [(1, 0, 0, 1)] * (1 + i % 2)
+                    return g
+
+                frames = [
+                    [[gran(ch) for ch in range(nch)] for _gr in range(2)]
+                    for _f in range(2 + i % 3)
+                ]
+                mode = 3 if not stereo else (1 if i % 10 == 5 else 0)
+                blob = encode_mp3(
+                    frames,
+                    sample_rate=rate,
+                    bitrate_idx=8,
+                    mode=mode,
+                    mode_ext=2 if mode == 1 else 0,
+                )
+                if i % 2 == 1:
+                    tag = b"TAGDATA!" * (1 + i % 3)
+                    sz = len(tag)
+                    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                                (sz >> 7) & 0x7F, sz & 0x7F])
+                    blob = b"ID3\x03\x00\x00" + ss + tag + blob
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def mp3_audio_features(media: DataFrame) -> DataFrame:
+    """REAL Layer III PCM decode in the standard multimodal plumbing
+    (llm/mp3.py:decode_mp3 — side info, bit reservoir, huffman
+    registry, requantization, reorder/alias/IMDCT hybrid filterbank,
+    polyphase synthesis): Arrow-batched mapInPandas into (doc_id,
+    n_frames, sample_rate, channels, n_samples, nz_lines, sf_sum,
+    gg_sum, silent).  The integer diagnostics pin the whole entropy
+    path; ``silent`` pins that a zero spectrum reaches EXACTLY zero
+    float PCM through the full filterbank.  Poison blobs and
+    unsupported shapes (Layers I/II, LSF, intensity stereo, tables
+    outside the registry) null out (dead-letter contract)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import decode_mp3
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    m = decode_mp3(bytes(blob))
+                    rows.append(
+                        (doc_id, m["n_frames"], m["sample_rate"],
+                         m["channels"], m["n_samples"], m["nz_lines"],
+                         m["sf_sum"], m["gg_sum"], m["max_abs"] == 0.0)
+                    )
+                except (ValueError, NotImplementedError, IndexError,
+                        KeyError):
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None,
+                         None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "sample_rate", "channels",
+                         "n_samples", "nz_lines", "sf_sum", "gg_sum",
+                         "silent"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _batch,
+        schema="doc_id long, n_frames long, sample_rate long, "
+               "channels long, n_samples long, nz_lines long, "
+               "sf_sum long, gg_sum long, silent boolean",
     )
 
 
@@ -2998,8 +3122,9 @@ def audio_fingerprint(
     to the time axis: loudness-profile-preserving transforms (level
     shifts move every frame AND the mean together) keep the
     fingerprint stable, reorderings break it.  Arrow-batched; poison
-    blobs and unsupported codecs (mp3) yield NULL bands (dead-letter
-    discipline)."""
+    blobs and unsupported codecs yield NULL bands (dead-letter
+    discipline); MPEG-1 Layer III streams decode via llm/mp3.py, so
+    the same recording as WAV/FLAC/mp3 fingerprints comparably."""
     if band_w > 8:
         raise ValueError("band_w > 8 would overflow the per-band byte")
     if n_frames % band_w:

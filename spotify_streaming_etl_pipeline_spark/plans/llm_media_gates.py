@@ -223,6 +223,64 @@ def flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mp3_audio_features",
+    """
+    WITH p AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS rate,
+               2 + doc_id % 3 AS nf,
+               CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS ch,
+               doc_id % 4 = 0 AS silent,
+               doc_id % 6 = 3 AS short,
+               list_value(0,0,0,0,3,1,1,1,2,2,2,3,3,3,4,4)
+                   [doc_id % 16 + 1] AS s1,
+               list_value(0,1,2,3,0,1,2,3,1,2,3,1,2,3,2,3)
+                   [doc_id % 16 + 1] AS s2
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           cast(nf AS BIGINT) AS n_frames,
+           cast(rate AS BIGINT) AS sample_rate,
+           cast(ch AS BIGINT) AS channels,
+           cast(nf * 1152 AS BIGINT) AS n_samples,
+           cast(CASE WHEN silent THEN 0
+                ELSE nf * 2 * ch * (2 * (2 + doc_id % 3)
+                                    + 2 * (1 + doc_id % 2))
+                END AS BIGINT) AS nz_lines,
+           cast(nf * 2 * ch * (CASE WHEN short
+                THEN 18 * ((1 << s1) - 1) + 18 * ((1 << s2) - 1)
+                ELSE 11 * ((1 << s1) - 1) + 10 * ((1 << s2) - 1)
+                END) AS BIGINT) AS sf_sum,
+           cast(nf * 2 * ch * (100 + doc_id % 97) AS BIGINT) AS gg_sum,
+           silent
+    FROM p
+    """,
+)
+def mp3_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III decode behind an oracle gate
+    (llm/mp3.py via multimodal.synth_mp3_l3_corpus): genuine frames —
+    side info, scalefactor bits (maxed values under a cycling
+    scalefac_compress), huffman big-value pairs (table 1) and count1
+    quads (table B), long AND short blocks, mono/stereo/MS, ID3v2
+    prefixes, three sample rates — decoded through the full pipeline
+    (bit reservoir assembly, scalefactor + huffman entropy decode,
+    requantization, reorder/alias/IMDCT, polyphase synthesis), with
+    DuckDB predicting frame/sample counts, nonzero-line counts,
+    scalefactor sums, global-gain sums, and the exact-silence flag
+    arithmetically.  A regression in the side-info layout, slen
+    table, huffman registry, or count1 walk moves the sums; a
+    filterbank regression that fabricates or loses energy flips
+    ``silent`` on the zero-spectrum quarter of the corpus.  The
+    synthesis window is the DERIVED near-PR prototype — llm/mp3.py's
+    module docstring records the honest conformance boundary."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.mp3_audio_features(
+        multimodal.synth_mp3_l3_corpus(d)
+    )
+
+
+@query(
     "g711_audio_features",
     """
     WITH v AS (

@@ -77,9 +77,9 @@ def test_truncated_stream_raises_cleanly():
 
 
 def test_decode_audio_dispatch():
-    """decode_audio routes by container magic: FLAC and WAV decode to
-    the same dict shape; mp3 bytes point at the header-walk QA;
-    unknown containers refuse toward the pluggable stage."""
+    """decode_audio routes by container magic: FLAC, WAV, and (since
+    r12) MPEG-1 Layer III decode to the same dict shape; unknown
+    containers refuse toward the pluggable stage."""
     flac_blob = encode_flac([[250] * 40], sample_rate=32000)
     out = multimodal.decode_audio(flac_blob)
     assert out["samples"] == [250] * 40 and out["sample_rate"] == 32000
@@ -90,8 +90,16 @@ def test_decode_audio_dispatch():
            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
            + b"data" + struct.pack("<I", 3) + bytes([128, 138, 118]))
     assert multimodal.decode_audio(wav)["samples"] == [0, 10, -10]
-    with pytest.raises(NotImplementedError, match="mp3_stream_info"):
+    # mp3 bytes now route to llm/mp3.py; a tag with no frames is a
+    # clean ValueError (dead-letter), not a task kill
+    with pytest.raises(ValueError, match="no frame sync"):
         multimodal.decode_audio(b"ID3\x03\x00\x00\x00\x00\x00\x00")
+    from spotify_streaming_etl_pipeline_spark.llm.mp3 import encode_mp3
+
+    g = {"global_gain": 210, "scalefac_compress": 0, "big_pairs": [],
+         "quads": [], "block_type": 0}
+    mp3 = multimodal.decode_audio(encode_mp3([[[g], [g]]]))
+    assert mp3["n_samples"] == 1152 and mp3["sample_rate"] == 44100
     with pytest.raises(NotImplementedError, match="container-agnostic"):
         multimodal.decode_audio(b"OggS vorbis-ish")
 
