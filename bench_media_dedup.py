@@ -192,6 +192,17 @@ def main() -> None:
         multimodal.image_ahash,
         4,
     )
+    # the image SCALE form: 128-bit aHash (hash_h=16) widens the t=4
+    # band keys from ~12 to ~25 bits — with the r12 substrate spread
+    # the distinct-fingerprint count finally grows with the corpus
+    # (~56k at 100x), which saturates the 64-bit form's 4-8k-key
+    # bands exactly as the docstring predicts
+    fp_leg(
+        "image_ahash16_pairs",
+        multimodal.synth_pattern_png_corpus,
+        lambda media: multimodal.image_ahash(media, hash_h=16),
+        4,
+    )
     fp_leg(
         "audio_fingerprint_pairs",
         multimodal.synth_tone_wav_corpus,

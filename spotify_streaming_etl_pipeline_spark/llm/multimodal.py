@@ -1822,8 +1822,16 @@ def synth_video_corpus(
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
                 b = i if shared_patterns is None else i % shared_patterns
+                # the frame byte enters mod 256, so b alone wraps at
+                # 256 distinct videos; the (b // 256) j-multiplier
+                # spread keeps distinct videos growing with the
+                # pattern count (~65k) — ZERO effect for b < 256, so
+                # the oracle substrates are bit-identical (r12
+                # scale-leg fix)
                 frames = [
-                    bytes([(b + j) % 256]) * (10 + j) for j in range(3 + i % 6)
+                    bytes([(b + j * (1 + 3 * (b // 256))) % 256])
+                    * (10 + j)
+                    for j in range(3 + i % 6)
                 ]
                 blobs.append(_avi(frames) if i % 2 == 0 else _mp4(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
@@ -2658,7 +2666,16 @@ def synth_pattern_png_corpus(docs: DataFrame, n_patterns: int = 13) -> DataFrame
     images (exact dups), same-pattern/other-variant docs are aHash
     NEAR dups (hamming 3-9 measured), and cross-pattern pairs spread
     wide — the three populations an image near-dup gate must
-    separate."""
+    separate.
+
+    The x-coefficient enters the pixel mod 200, so b alone stops
+    producing NEW images past 200 patterns — the r11 scale legs were
+    silently benchmarking quadratic dup-group growth instead of
+    corpus growth (measured: distinct images pinned at 400 while
+    exact-dup pairs grew 100x per 10x step).  The (b // 200) y-ramp
+    term spreads distinct images to ~40k patterns; it is ZERO for
+    b < 200, so every oracle substrate (n_patterns=13) is
+    bit-identical."""
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2668,7 +2685,8 @@ def synth_pattern_png_corpus(docs: DataFrame, n_patterns: int = 13) -> DataFrame
                 b = i % n_patterns
                 p = (i // n_patterns) % 2
                 px = bytes(
-                    (b * (x + 1) + (y + 1) * (y + 1)) % 200
+                    (b * (x + 1) + (b // 200) * 11 * (y + 1)
+                     + (y + 1) * (y + 1)) % 200
                     + (40 if p == 1 and x < 4 else 0)
                     for y in range(12)
                     for x in range(16)
@@ -3014,8 +3032,17 @@ def _tone_samples(i: int, n_patterns: int) -> list[int]:
     b = i % n_patterns
     p = (i // n_patterns) % 2
     samples: list[int] = []
+    # both coefficients enter mod 80, so b alone wraps at 160
+    # distinct recordings; the (b // 80) quadratic and (b // 6400)
+    # cubic spreads keep distinct recordings growing with n_patterns
+    # (~512k) — ZERO for b < 80, so the oracle substrates
+    # (n_patterns=13) are bit-identical (r12 scale-leg fix)
     for f in range(64):
-        a = (b * (f + 1) + (f + 1) * (f + 1)) % 80 + 10
+        a = (
+            b * (f + 1)
+            + (1 + b // 80) * (f + 1) * (f + 1)
+            + (b // 6400) * (f + 1) * (f + 1) * (f + 1)
+        ) % 80 + 10
         if p == 1 and f < 8:
             a += 30
         samples.extend(a if s % 2 == 0 else -a for s in range(25))

@@ -58,3 +58,24 @@ def test_median_of_n_runs_reported(monkeypatch, capsys, spark):
     result = _run_bench(monkeypatch, capsys, {"ok": _ok})
     assert result["runs"] == 3
     assert "ok" in result["queries"]
+
+
+def test_standalone_mode_fresh_process(monkeypatch, capsys):
+    """SPARK_GRAFT_STANDALONE=1 runs each query in its own subprocess
+    (fresh JVM/SparkSession) — the suite-context-free column the
+    round-11 drift A/Bs called for."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_STANDALONE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_WARM2_SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RUNS", "1")
+    monkeypatch.setenv("SPARK_GRAFT_QUERIES", "top_parts")
+    bench.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["metric"] == "standalone_total_wall_clock"
+    assert summary["mode"] == "standalone"
+    assert summary["n_queries"] == 1 and summary["n_errors"] == 0
+    assert "top_parts" in summary["queries"]
