@@ -76,6 +76,31 @@ def test_truncated_stream_raises_cleanly():
         decode_flac(blob[: len(blob) - 30])
 
 
+def test_mutation_fuzz_raises_cleanly():
+    """Seeded mutation fuzz: corrupted FLAC bytes must raise ordinary
+    data errors (the dead-letter contract), never hang or crash the
+    interpreter — the same hygiene battery JPEG/PDF (r11) and
+    WebP/mp3 (r12) carry."""
+    import random
+
+    rng = random.Random(4242)
+    left = [int(900 * math.sin(i / 5)) + rng.randrange(40)
+            for i in range(192)]
+    right = [int(700 * math.cos(i / 9)) - rng.randrange(40)
+             for i in range(192)]
+    base = encode_flac([left, right], stereo_mode="mid_side",
+                       lpc=([3, -1], 1, 5))
+    for _ in range(200):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            out = decode_flac(bytes(b))
+            assert len(out["samples"]) == out["n_samples"] * out["channels"]
+        except (ValueError, NotImplementedError, IndexError, KeyError):
+            pass
+
+
 def test_decode_audio_dispatch():
     """decode_audio routes by container magic: FLAC, WAV, and (since
     r12) MPEG-1 Layer III decode to the same dict shape; unknown
