@@ -216,7 +216,7 @@ def _png_unfilter(raw: bytes, i: int, w: int, h: int, channels: int):
     return bytes(out), i
 
 
-def decode_png(blob: bytes) -> dict:
+def decode_png(blob: bytes, max_pixels: int = 1 << 24) -> dict:
     """REAL pure-stdlib PNG decode (zlib + struct): parses IHDR, joins
     IDAT, inflates, and reverses all five scanline filters (None / Sub
     / Up / Average / Paeth). Supports 8-bit gray / RGB / gray+alpha /
@@ -229,7 +229,16 @@ def decode_png(blob: bytes) -> dict:
     row-major packed bytes. The per-byte unfilter loop is Python-speed
     — appropriate for the thumbnail/tile sizes that ride an Arrow
     batch; swap in an optimized decoder for production rasters without
-    touching the mapInPandas plumbing around it."""
+    touching the mapInPandas plumbing around it.
+
+    Poison-blob memory contract (r12): header-declared dimensions are
+    NEVER trusted for allocation.  ``max_pixels`` (default 16.7M — a
+    64 MB RGBA raster, the Arrow-batch budget) bounds w*h before any
+    buffer exists; the IDAT inflate runs through a decompressobj
+    capped at the dimension-implied byte count, so a corrupt or
+    adversarial blob (huge IHDR dims, zlib bomb) raises ValueError in
+    O(1) memory instead of OOM-killing an executor — at corpus scale
+    a poison blob must dead-letter, not take down the task."""
     import struct
     import zlib
 
@@ -260,14 +269,34 @@ def decode_png(blob: bytes) -> dict:
             f"got depth={depth} color_type={color} interlace={interlace}"
         )
     channels = _PNG_CHANNELS[color]
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error as exc:
-        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
+    if w == 0 or h == 0:
+        raise ValueError("PNG has degenerate dimensions")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the {max_pixels}-pixel "
+            f"decode budget (raise max_pixels for larger rasters)"
+        )
     stride = w * channels
     if interlace == 0:
-        if len(raw) != (stride + 1) * h:
-            raise ValueError("PNG scanline data has unexpected length")
+        expected = (stride + 1) * h
+    else:
+        expected = sum(
+            ((w - x0 + dx - 1) // dx * channels + 1)
+            * ((h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+            if w > x0 and h > y0
+        )
+    try:
+        # bounded inflate: a stream inflating past the dimension
+        # -implied size is corrupt by definition — stop there instead
+        # of buffering a zlib bomb
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from None
+    if len(raw) != expected or dec.unconsumed_tail:
+        raise ValueError("PNG scanline data has unexpected length")
+    if interlace == 0:
         out, _ = _png_unfilter(raw, 0, w, h, channels)
         return {"width": w, "height": h, "channels": channels, "pixels": out}
     out = bytearray(stride * h)
@@ -1152,6 +1181,16 @@ def decode_audio(blob: bytes) -> dict:
         from .flac import decode_flac
 
         return decode_flac(blob)
+    if len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xF6) == 0xF0:
+        # ADTS AAC: 12-bit sync with layer bits 00 — disjoint from the
+        # MPEG-1/2 Layer III sync (layer bits 01) the branch below
+        # takes.  Spectral decode shares mp3's printed-codebook wall;
+        # aac_stream_info gives the header audit.
+        raise NotImplementedError(
+            "ADTS AAC PCM decode needs the spectral huffman codebooks; "
+            "aac_stream_info gives the duration/rate/profile audit "
+            "without one"
+        )
     if head[:3] == b"ID3" or (len(blob) >= 2 and blob[0] == 0xFF
                               and (blob[1] & 0xE0) == 0xE0):
         from .mp3 import decode_mp3
@@ -2085,6 +2124,189 @@ def synth_mp3_corpus(docs: DataFrame) -> DataFrame:
                     h |= br_idx << 12 | rate_idx << 10
                     flen = 144 * br * 1000 // rate
                     out += h.to_bytes(4, "big") + b"\x00" * (flen - 4)
+                blobs.append(bytes(out))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+# ADTS sampling-frequency table (public spec constant, ISO 14496-3):
+# 4-bit index; 13/14 reserved, 15 = explicit-frequency escape.
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+
+
+def aac_stream_info(blob: bytes) -> dict:
+    """REAL pure-stdlib ADTS AAC header walk — ``mp3_stream_info``'s
+    sibling for the OTHER dominant crawled-audio format: frame-by
+    -frame sync parse (12-bit sync, MPEG-2/4 ID bit, layer bits,
+    CRC flag, 2-bit profile, the 13-entry sampling-frequency table,
+    3-bit channel configuration, 13-bit frame length,
+    raw-data-block count).  Each frame carries 1024 samples per raw
+    data block.  Returns {"n_frames", "sample_rate", "channels",
+    "profile", "duration_ms", "crc_frames"}.  AAC PCM decode is an
+    honest codec boundary (the spectral huffman codebooks are printed
+    spec tables, the same wall as mp3's big-value tables — recorded
+    in llm/mp3.py); LOAS/LATM muxing, the explicit-frequency escape,
+    and reserved frequency indices refuse by name."""
+    blob = bytes(blob)
+    pos = 0
+    if blob[:3] == b"ID3":  # same ID3v2 prefix convention as mp3
+        if len(blob) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = 0
+        for b in blob[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    if blob[pos : pos + 2] in (b"\x56\xe0", b"\x56\xe1") or bytes(
+        blob[pos : pos + 4]
+    ) == b"ADIF":
+        raise NotImplementedError(
+            "LOAS/LATM and ADIF AAC muxings are not ADTS; only the "
+            "ADTS framing walks here"
+        )
+    n_frames = 0
+    crc_frames = 0
+    total_blocks = 0
+    rate = channels = profile = None
+    while pos + 7 <= len(blob):
+        if n_frames and blob[pos : pos + 3] == b"TAG":
+            break
+        if n_frames and blob[pos : pos + 8] == b"APETAGEX":
+            break
+        b0, b1, b2, b3, b4, b5, b6 = blob[pos : pos + 7]
+        if b0 != 0xFF or (b1 & 0xF0) != 0xF0:
+            if n_frames == 0:
+                raise ValueError("not an ADTS AAC stream (no frame sync)")
+            raise ValueError("lost ADTS frame sync mid-stream")
+        if (b1 >> 1) & 3 != 0:
+            raise ValueError("ADTS layer bits must be 00")
+        protection_absent = b1 & 1
+        prof = b2 >> 6
+        sfi = (b2 >> 2) & 0xF
+        if sfi >= 15:
+            raise NotImplementedError(
+                "ADTS explicit-frequency escape (index 15) needs the "
+                "AudioSpecificConfig; indices 0-12 parse here"
+            )
+        if sfi >= 13:
+            raise ValueError(f"reserved ADTS frequency index {sfi}")
+        sr = _ADTS_RATES[sfi]
+        ch = ((b2 & 1) << 2) | (b3 >> 6)
+        if ch == 0:
+            raise NotImplementedError(
+                "channel_configuration 0 (PCE-defined layout) needs "
+                "the in-band program config element"
+            )
+        frame_length = ((b3 & 3) << 11) | (b4 << 3) | (b5 >> 5)
+        rdb = b6 & 3
+        header_len = 7 if protection_absent else 9
+        if frame_length < header_len:
+            raise ValueError("ADTS frame length smaller than its header")
+        if pos + frame_length > len(blob):
+            raise ValueError("truncated ADTS frame")
+        if rate is None:
+            rate, channels, profile = sr, ch, prof
+        elif sr != rate or ch != channels:
+            raise ValueError("sample rate/channels change mid-stream")
+        n_frames += 1
+        crc_frames += 0 if protection_absent else 1
+        total_blocks += rdb + 1
+        pos += frame_length
+    if n_frames == 0:
+        raise ValueError("not an ADTS AAC stream (no frame sync)")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "profile": profile,
+        "duration_ms": total_blocks * 1024 * 1000 // rate,
+        "crc_frames": crc_frames,
+    }
+
+
+def aac_features(media: DataFrame) -> DataFrame:
+    """ADTS header-walk features in the standard multimodal plumbing:
+    (n_frames, sample_rate, channels, profile, duration_ms,
+    crc_frames) per blob; poison blobs null out (dead-letter
+    contract)."""
+
+    def _aac_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    m = aac_stream_info(blob)
+                    rows.append(
+                        (doc_id, m["n_frames"], m["sample_rate"],
+                         m["channels"], m["profile"], m["duration_ms"],
+                         m["crc_frames"])
+                    )
+                except (ValueError, NotImplementedError, IndexError):
+                    rows.append(
+                        (doc_id, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "sample_rate", "channels",
+                         "profile", "duration_ms", "crc_frames"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _aac_batch,
+        schema="doc_id long, n_frames long, sample_rate long, "
+               "channels long, profile long, duration_ms long, "
+               "crc_frames long",
+    )
+
+
+def synth_aac_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic ADTS corpus from doc ids: REAL 7/9-byte ADTS
+    headers (sync, profile, frequency index, channel config spanning
+    the byte boundary, 13-bit frame length, raw-data-block count)
+    with zero payload bytes — the header WALK is what's real and what
+    the oracle predicts; nothing pretends to decode spectra.  Per doc
+    i: profile i %% 4, rate cycling 48k/44.1k/16k/8k, channels
+    1 + i %% 3, 2 + i %% 4 frames, CRC headers on i %% 3 == 0 (9-byte
+    form, dummy CRC), raw_data_blocks = i %% 2 (so duration doubles),
+    ID3v2 prefix on i %% 5 == 1."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sfis = [3, 4, 8, 11]
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                prof = i % 4
+                sfi = sfis[i % 4]
+                ch = 1 + i % 3
+                crc = i % 3 == 0
+                rdb = i % 2
+                out = bytearray()
+                if i % 5 == 1:
+                    tag = b"AACTAG!!" * (1 + i % 2)
+                    sz = len(tag)
+                    out += (b"ID3\x03\x00\x00"
+                            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                                     (sz >> 7) & 0x7F, sz & 0x7F]) + tag)
+                for j in range(2 + i % 4):
+                    header_len = 9 if crc else 7
+                    payload = 5 + (i + j) % 7
+                    flen = header_len + payload
+                    out += bytes([
+                        0xFF,
+                        0xF0 | (0 << 3) | (0 << 1) | (0 if crc else 1),
+                        (prof << 6) | (sfi << 2) | (ch >> 2),
+                        ((ch & 3) << 6) | (flen >> 11),
+                        (flen >> 3) & 0xFF,
+                        ((flen & 7) << 5) | 0x1F,  # buffer fullness hi
+                        (0x3F << 2) | rdb,         # fullness lo + rdb
+                    ])
+                    if crc:
+                        out += b"\x00\x00"
+                    out += b"\x00" * payload
                 blobs.append(bytes(out))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 

@@ -453,6 +453,15 @@ def _stream_data(
     return data
 
 
+# Per-stream inflate budget (FlateDecode / LZWDecode): PDF streams
+# carry page-content scale here (the image XObject sizes ride their
+# own dicts), and both codecs amplify — deflate up to ~1032x, LZW up
+# to ~4096x per dictionary cycle — so a KB-scale poison stream can
+# legally expand to GBs.  Decoding stops at the budget with a
+# ValueError (dead-letter), never an executor OOM.
+_MAX_STREAM_INFLATE = 1 << 26  # 64 MB
+
+
 def _lzw_decode(data: bytes) -> bytes:
     """PDF LZWDecode (TIFF-style, EarlyChange=1 default): variable
     9..12-bit codes MSB-first, 256 = clear table, 257 = EOD."""
@@ -487,6 +496,10 @@ def _lzw_decode(data: bytes) -> bytes:
                 raise ValueError("LZW code past table end")
             out += entry
             prev = entry
+            if len(out) > _MAX_STREAM_INFLATE:
+                raise ValueError(
+                    "LZWDecode stream exceeds the 64 MB inflate budget"
+                )
             # EarlyChange: width bumps one code EARLY
             if len(table) + 1 >= (1 << width) and width < 12:
                 width += 1
@@ -537,9 +550,15 @@ def _apply_filter(name: bytes, data: bytes) -> bytes:
     """One stream filter; chains apply left to right per spec."""
     if name == b"FlateDecode":
         try:
-            return zlib.decompress(data)
+            d = zlib.decompressobj()
+            out = d.decompress(data, _MAX_STREAM_INFLATE + 1)
         except zlib.error as exc:
             raise ValueError(f"corrupt FlateDecode stream: {exc}") from exc
+        if len(out) > _MAX_STREAM_INFLATE:
+            raise ValueError(
+                "FlateDecode stream exceeds the 64 MB inflate budget"
+            )
+        return out
     if name == b"LZWDecode":
         return _lzw_decode(data)
     if name == b"ASCII85Decode":

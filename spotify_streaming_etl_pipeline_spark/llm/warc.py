@@ -68,7 +68,13 @@ def _ungzip_members(blob: bytes) -> bytes:
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(31)
         try:
-            chunk = d.decompress(rest)
+            # per-member inflate budget: Common Crawl members are
+            # single records (KB-MB scale); a member inflating past
+            # 256 MB is a gzip bomb, treated like a corrupt member —
+            # keep prior members, drop the rest (dead-letter, not OOM)
+            chunk = d.decompress(rest, (1 << 28) + 1)
+            if len(chunk) > (1 << 28):
+                break
         except zlib.error:
             # Corrupt member (bad CRC / garbled deflate stream): keep
             # the members already inflated, drop the rest — poison

@@ -554,10 +554,18 @@ def webp_info(blob: bytes) -> dict:
     return info
 
 
-def decode_webp(blob: bytes) -> dict:
+def decode_webp(blob: bytes, max_pixels: int = 1 << 24) -> dict:
     """Full decode: {"width", "height", "has_alpha", "format",
     "pixels": [ARGB ints, row-major]}.  Lossy VP8 refuses honestly
-    (header info via ``webp_info``); VP8L decodes for real."""
+    (header info via ``webp_info``); VP8L decodes for real.
+
+    Poison-blob memory contract (r12, same as ``decode_png``):
+    ``max_pixels`` (default 16.7M) bounds the header-declared raster
+    BEFORE the pixel list exists — VP8L's 14-bit dims admit 268M
+    pixels, and backrefs/color-cache hits mean a few-hundred-KB blob
+    can legally expand to a multi-GB pixel list, so the format cap
+    alone is no executor-OOM defence.  Raise max_pixels explicitly
+    for larger rasters."""
     blob = bytes(blob)
     info = webp_info(blob)
     if info["format"] != "VP8L":
@@ -574,6 +582,11 @@ def decode_webp(blob: bytes) -> dict:
             br = _BitReader(body, 1)
             w = br.read(14) + 1
             h = br.read(14) + 1
+            if w * h > max_pixels:
+                raise ValueError(
+                    f"VP8L dimensions {w}x{h} exceed the {max_pixels}"
+                    f"-pixel decode budget (raise max_pixels)"
+                )
             br.read(4)  # alpha hint + version (validated in webp_info)
             px, _ = _decode_stream(br, w, h, True)
             return {

@@ -197,6 +197,47 @@ def mp3_stream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "aac_stream_summary",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               2 + doc_id % 4 AS nf,
+               list_value(48000, 44100, 16000, 8000)
+                   [doc_id % 4 + 1] AS rate,
+               1 + doc_id % 3 AS ch,
+               doc_id % 4 AS prof,
+               1 + doc_id % 2 AS blocks
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           cast(nf AS BIGINT) AS n_frames,
+           cast(rate AS BIGINT) AS sample_rate,
+           cast(ch AS BIGINT) AS channels,
+           cast(prof AS BIGINT) AS profile,
+           cast(nf * blocks * 1024 * 1000 // rate AS BIGINT)
+               AS duration_ms,
+           cast(CASE WHEN doc_id % 3 = 0 THEN nf ELSE 0 END AS BIGINT)
+               AS crc_frames
+    FROM base
+    """,
+)
+def aac_stream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ADTS AAC header walk behind an oracle gate
+    (llm/multimodal.py:aac_stream_info via synth_aac_corpus): genuine
+    7/9-byte ADTS headers — 12-bit sync, 2-bit profile, the 13-entry
+    frequency table, the channel config spanning a byte boundary, the
+    13-bit frame length spanning three, CRC and multi-raw-data-block
+    forms, ID3v2 prefixes — walked frame by frame, with DuckDB
+    predicting frame count, rate, channels, profile, duration (1024
+    samples per raw data block), and CRC-frame count arithmetically.
+    A bit-offset regression anywhere in the header layout moves a
+    column on every row.  Spectral DECODE is the honest boundary
+    (printed huffman codebooks — the mp3 wall, llm/mp3.py)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.aac_features(multimodal.synth_aac_corpus(d))
+
+
+@query(
     "flac_audio_features",
     """
     SELECT doc_id,
