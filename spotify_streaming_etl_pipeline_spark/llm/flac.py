@@ -180,11 +180,19 @@ def _subframe(r: _Bits, n: int, bps: int) -> list[int]:
     return samples
 
 
-def decode_flac(blob: bytes) -> dict:
+def decode_flac(blob: bytes, max_samples: int = 1 << 24) -> dict:
     """Decode a FLAC stream. Returns {"sample_rate",
     "channels", "bits", "n_samples", "samples"} with samples flat
     channel-interleaved — the same contract as multimodal.decode_wav,
-    so audio feature stages treat both containers identically."""
+    so audio feature stages treat both containers identically.
+
+    ``max_samples`` (default 16.7M — ~3 min of 44.1 kHz stereo)
+    bounds total decoded samples across channels: a CONSTANT subframe
+    encodes a 65535-sample block in ~6 bytes (~10000x amplification),
+    so a KB-scale poison blob can legally expand to a multi-GB sample
+    list — the decode-budget contract shared with decode_png /
+    decode_webp / decode_jpeg (r12).  Raise it explicitly for longer
+    recordings."""
     blob = bytes(blob)
     if blob[:4] != b"fLaC":
         raise ValueError("not a FLAC byte string (bad stream marker)")
@@ -240,6 +248,11 @@ def decode_flac(blob: bytes) -> dict:
             n = r.read(16) + 1
         else:
             n = _BLOCKSIZES[bs_code]
+        if (got + n) * info["channels"] > max_samples:
+            raise ValueError(
+                f"FLAC decode exceeds the {max_samples}-sample budget "
+                f"(raise max_samples for longer recordings)"
+            )
         if sr_code == 12:
             r.read(8)
         elif sr_code in (13, 14):

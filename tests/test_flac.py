@@ -76,6 +76,16 @@ def test_truncated_stream_raises_cleanly():
         decode_flac(blob[: len(blob) - 30])
 
 
+def test_sample_budget_stops_amplification_bomb():
+    """A CONSTANT subframe encodes 65535 samples in ~6 bytes; the
+    max_samples budget (decode-budget contract, r12) stops a poison
+    stream before the sample list reaches GB scale."""
+    blob = encode_flac([[7] * 4096] * 1, sample_rate=8000)
+    assert decode_flac(blob)["n_samples"] == 4096
+    with pytest.raises(ValueError, match="sample budget"):
+        decode_flac(blob, max_samples=1000)
+
+
 def test_mutation_fuzz_raises_cleanly():
     """Seeded mutation fuzz: corrupted FLAC bytes must raise ordinary
     data errors (the dead-letter contract), never hang or crash the
