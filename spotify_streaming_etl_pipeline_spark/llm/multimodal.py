@@ -2730,6 +2730,8 @@ def _ebml_vint(blob: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     """Parse one EBML variable-length integer at ``pos`` -> (value,
     next_pos). Element IDs keep their length-marker bit (Matroska ids
     are conventionally quoted with it); data sizes strip it."""
+    if pos >= len(blob):
+        raise ValueError("EBML varint overruns the buffer")
     first = blob[pos]
     if first == 0:
         raise ValueError("invalid EBML varint (no length marker in 8 bits)")
@@ -2784,6 +2786,10 @@ def mkv_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
         mode = flags & 0x06
         if mode == 0x00:
             return [body_end - p], p
+        if p >= body_end:
+            raise ValueError(
+                "Matroska block truncated before its lace count"
+            )
         n = blob[p] + 1  # lace-count byte stores count - 1
         p += 1
         sizes: list[int] = []
@@ -2799,6 +2805,10 @@ def mkv_frames(blob: bytes, every: int = 1, max_frames: int = 8) -> list[bytes]:
             for _ in range(n - 1):
                 s = 0
                 while True:
+                    if p >= body_end:
+                        raise ValueError(
+                            "Xiph lace sizes overrun the Matroska block"
+                        )
                     b = blob[p]
                     p += 1
                     s += b

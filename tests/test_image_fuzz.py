@@ -178,6 +178,36 @@ def test_pdf_inflate_budgets():
         _lzw_decode(bytes(out))
 
 
+def test_video_container_mutation_fuzz(spark):
+    """The container walkers (RIFF/AVI chunk walk, ISO-BMFF sample
+    tables, EBML/Matroska clusters incl. all three lacings) under the
+    same seeded corruption battery — their feature stage catches
+    (ValueError, NotImplementedError, struct.error), so IndexError /
+    KeyError escaping a walker WOULD kill a Spark task: the fuzz pins
+    the walkers to that narrower tuple."""
+    from spotify_streaming_etl_pipeline_spark.llm.multimodal import (
+        sample_frames,
+        synth_mkv_corpus,
+        synth_video_corpus,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id: long")
+    blobs = [bytes(r["blob"])
+             for r in synth_video_corpus(docs).collect()]
+    blobs += [bytes(r["blob"]) for r in synth_mkv_corpus(docs).collect()]
+    rng = random.Random(6)
+    for k, base in enumerate(blobs):
+        for _ in range(60):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                frames = sample_frames(bytes(b))
+                assert isinstance(frames, list)
+            except (ValueError, NotImplementedError, struct.error):
+                pass
+
+
 def test_wav_mutation_fuzz():
     fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
     pcm = struct.pack("<24h", *range(-12, 12))
