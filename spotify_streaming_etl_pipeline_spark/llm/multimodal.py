@@ -1181,6 +1181,12 @@ def decode_audio(blob: bytes) -> dict:
         from .flac import decode_flac
 
         return decode_flac(blob)
+    if head == b"OggS":
+        raise NotImplementedError(
+            "Ogg Opus/Vorbis PCM decode needs the codecs' MDCT "
+            "codebooks; ogg_stream_info gives the codec/duration/"
+            "channel audit without one"
+        )
     if len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xF6) == 0xF0:
         # ADTS AAC: 12-bit sync with layer bits 00 — disjoint from the
         # MPEG-1/2 Layer III sync (layer bits 01) the branch below
@@ -2125,6 +2131,212 @@ def synth_mp3_corpus(docs: DataFrame) -> DataFrame:
                     flen = 144 * br * 1000 // rate
                     out += h.to_bytes(4, "big") + b"\x00" * (flen - 4)
                 blobs.append(bytes(out))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    return docs.select("doc_id").mapInPandas(
+        _encode, schema="doc_id long, blob binary"
+    )
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (RFC 3533): polynomial 0x04C11DB7, MSB-first,
+    init 0, no reflection, no final xor — formula-derived at call
+    time, nothing transcribed."""
+    crc = 0
+    for b in data:
+        crc ^= b << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                   else crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def ogg_stream_info(blob: bytes) -> dict:
+    """REAL pure-stdlib Ogg container walk (RFC 3533 page layout) —
+    the third leg of the audio-audit family next to
+    ``mp3_stream_info`` and ``aac_stream_info``: page-by-page parse
+    ("OggS" capture, version 0, header-type flags, 64-bit granule
+    position, serial, sequence, segment lacing table), codec
+    identification from the BOS packet ("OpusHead" per RFC 7845 —
+    channel count, pre-skip, 48 kHz granule clock; "\\x01vorbis" ID
+    header — channels + rate), and duration from the LAST page's
+    granule position (minus pre-skip for Opus).  Returns {"codec",
+    "n_pages", "channels", "sample_rate", "duration_ms", "serial"}.
+    Page CRCs are consumed, not verified (the FLAC/mp3 convention —
+    the walk audits structure, corruption surfaces as a parse error
+    or a feature-stage dead-letter).  PCM decode is the honest
+    boundary (both codecs' MDCT codebooks are printed spec data —
+    the mp3 wall, llm/mp3.py); chained/multiplexed streams, other
+    codecs, and non-zero stream-structure versions refuse by name."""
+    blob = bytes(blob)
+    pos = 0
+    n_pages = 0
+    serial = None
+    codec = channels = rate = None
+    pre_skip = 0
+    last_granule = 0
+    saw_eos = False
+    while pos + 27 <= len(blob):
+        if blob[pos : pos + 4] != b"OggS":
+            if n_pages == 0:
+                raise ValueError("not an Ogg byte string (bad capture)")
+            raise ValueError("lost Ogg page capture mid-stream")
+        if blob[pos + 4] != 0:
+            raise NotImplementedError(
+                f"Ogg stream-structure version {blob[pos + 4]} "
+                f"(only version 0 exists today)"
+            )
+        htype = blob[pos + 5]
+        granule = int.from_bytes(blob[pos + 6 : pos + 14], "little",
+                                 signed=True)
+        ser = int.from_bytes(blob[pos + 14 : pos + 18], "little")
+        nseg = blob[pos + 26]
+        seg_table = blob[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            raise ValueError("truncated Ogg segment table")
+        body_len = sum(seg_table)
+        body = blob[pos + 27 + nseg : pos + 27 + nseg + body_len]
+        if len(body) < body_len:
+            raise ValueError("truncated Ogg page body")
+        if serial is None:
+            serial = ser
+        elif ser != serial:
+            raise NotImplementedError(
+                "multiplexed/chained Ogg (second bitstream serial) "
+                "needs per-stream demux; single streams walk here"
+            )
+        if htype & 0x02:  # BOS
+            if n_pages:
+                raise NotImplementedError(
+                    "chained Ogg (BOS after the first page) needs "
+                    "stream re-initialization"
+                )
+            if body[:8] == b"OpusHead":
+                if len(body) < 19:
+                    raise ValueError("truncated OpusHead packet")
+                codec = "opus"
+                channels = body[9]
+                pre_skip = int.from_bytes(body[10:12], "little")
+                rate = 48000  # Opus granules ALWAYS run at 48 kHz
+            elif body[:7] == b"\x01vorbis":
+                if len(body) < 30:
+                    raise ValueError("truncated Vorbis ID header")
+                codec = "vorbis"
+                channels = body[11]
+                rate = int.from_bytes(body[12:16], "little")
+                if rate == 0:
+                    raise ValueError("Vorbis ID header declares rate 0")
+            else:
+                raise NotImplementedError(
+                    "only Opus and Vorbis BOS packets identify here; "
+                    "other Ogg codecs (theora, flac-in-ogg, speex) "
+                    "need their own ID parsers"
+                )
+        if granule >= 0:  # -1 marks a page with no finished packet
+            last_granule = granule
+        if htype & 0x04:
+            saw_eos = True
+        n_pages += 1
+        pos += 27 + nseg + body_len
+        if saw_eos:
+            break
+    if n_pages == 0:
+        raise ValueError("not an Ogg byte string (no page capture)")
+    if codec is None:
+        raise ValueError("Ogg stream has no BOS identification page")
+    samples = max(0, last_granule - (pre_skip if codec == "opus" else 0))
+    return {
+        "codec": codec,
+        "n_pages": n_pages,
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": samples * 1000 // rate,
+        "serial": serial,
+    }
+
+
+def ogg_features(media: DataFrame) -> DataFrame:
+    """Ogg walk features in the standard multimodal plumbing:
+    (codec, n_pages, channels, sample_rate, duration_ms) per blob;
+    poison blobs null out (dead-letter contract)."""
+
+    def _ogg_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    m = ogg_stream_info(blob)
+                    rows.append(
+                        (doc_id, m["codec"], m["n_pages"], m["channels"],
+                         m["sample_rate"], m["duration_ms"])
+                    )
+                except (ValueError, NotImplementedError, IndexError):
+                    rows.append((doc_id, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "n_pages", "channels",
+                         "sample_rate", "duration_ms"],
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(
+        _ogg_batch,
+        schema="doc_id long, codec string, n_pages long, channels long, "
+               "sample_rate long, duration_ms long",
+    )
+
+
+def synth_ogg_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministic Ogg corpus from doc ids: REAL RFC 3533 pages
+    (correct lacing tables, BOS/EOS flags, running granule positions,
+    spec CRC-32 over the zero-CRC page image) carrying an OpusHead
+    (even ids; pre-skip = 312 + i %% 7) or a Vorbis ID header (odd
+    ids; rate cycling 48/44.1/32 kHz), then 1 + i %% 4 audio pages of
+    opaque payload whose granule positions advance 960 * (2 + i %% 3)
+    samples per page — duration is an arithmetic function of i that
+    the walk must reproduce through the page chain."""
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def page(serial, seq, granule, body, htype):
+            head = (b"OggS" + bytes([0, htype])
+                    + granule.to_bytes(8, "little", signed=True)
+                    + serial.to_bytes(4, "little")
+                    + seq.to_bytes(4, "little")
+                    + b"\x00\x00\x00\x00"
+                    + bytes([len(body) // 255 + 1])
+                    + b"\xff" * (len(body) // 255)
+                    + bytes([len(body) % 255]))
+            img = head + body
+            crc = _ogg_crc(img)
+            return (img[:22] + crc.to_bytes(4, "little") + img[26:])
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                serial = 0x1000 + i
+                opus = i % 2 == 0
+                pre_skip = 312 + i % 7
+                if opus:
+                    bos = (b"OpusHead" + bytes([1, 1 + i % 2])
+                           + pre_skip.to_bytes(2, "little")
+                           + (48000).to_bytes(4, "little")
+                           + b"\x00\x00" + b"\x00")
+                else:
+                    rate = [48000, 44100, 32000][i % 3]
+                    bos = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                           + bytes([1 + i % 3])
+                           + rate.to_bytes(4, "little")
+                           + b"\x00" * 12 + b"\xb8" + b"\x01")
+                out = page(serial, 0, 0, bos, 0x02)
+                n_audio = 1 + i % 4
+                step = 960 * (2 + i % 3)
+                granule = pre_skip if opus else 0
+                for j in range(n_audio):
+                    granule += step
+                    payload = bytes([(i + j) % 256]) * (20 + 251 * (j % 2))
+                    out += page(serial, 1 + j, granule,
+                                payload, 0x04 if j == n_audio - 1 else 0)
+                blobs.append(out)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return docs.select("doc_id").mapInPandas(

@@ -238,6 +238,46 @@ def aac_stream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ogg_stream_summary",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               doc_id % 2 = 0 AS opus,
+               1 + doc_id % 4 AS n_audio,
+               960 * (2 + doc_id % 3) AS step,
+               list_value(48000, 44100, 32000)[doc_id % 3 + 1] AS vrate
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+           cast(1 + n_audio AS BIGINT) AS n_pages,
+           cast(CASE WHEN opus THEN 1 + doc_id % 2
+                ELSE 1 + doc_id % 3 END AS BIGINT) AS channels,
+           cast(CASE WHEN opus THEN 48000 ELSE vrate END AS BIGINT)
+               AS sample_rate,
+           cast(n_audio * step * 1000
+                // (CASE WHEN opus THEN 48000 ELSE vrate END)
+                AS BIGINT) AS duration_ms
+    FROM base
+    """,
+)
+def ogg_stream_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg container walk behind an oracle gate
+    (llm/multimodal.py:ogg_stream_info via synth_ogg_corpus): genuine
+    RFC 3533 pages — capture, BOS/EOS flags, 64-bit granule chain,
+    255-spanning lacing tables, spec CRC-32 written by the substrate
+    — with an OpusHead (even docs: pre-skip subtraction against the
+    48 kHz granule clock) or Vorbis ID header (odd docs: declared
+    rate), and DuckDB predicting codec, page count, channels, rate,
+    and duration arithmetically.  A granule, lacing, or pre-skip
+    regression moves duration on every row; a BOS-parse regression
+    nulls the codec column.  PCM decode is the honest boundary (MDCT
+    codebooks — the mp3 wall)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return multimodal.ogg_features(multimodal.synth_ogg_corpus(d))
+
+
+@query(
     "flac_audio_features",
     """
     SELECT doc_id,

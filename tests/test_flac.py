@@ -135,8 +135,10 @@ def test_decode_audio_dispatch():
          "quads": [], "block_type": 0}
     mp3 = multimodal.decode_audio(encode_mp3([[[g], [g]]]))
     assert mp3["n_samples"] == 1152 and mp3["sample_rate"] == 44100
-    with pytest.raises(NotImplementedError, match="container-agnostic"):
+    with pytest.raises(NotImplementedError, match="ogg_stream_info"):
         multimodal.decode_audio(b"OggS vorbis-ish")
+    with pytest.raises(NotImplementedError, match="container-agnostic"):
+        multimodal.decode_audio(b"caff unknown-container")
 
 
 def test_flac_features_dead_letters_poison(spark):

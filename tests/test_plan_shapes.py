@@ -41,7 +41,7 @@ def test_no_row_python_udfs_anywhere(spark, sf_dir, queries):
     media_queries = {"multimodal_features", "wav_audio_features",
                      "g711_audio_features", "flac_audio_features",
                      "mp3_stream_summary", "mp3_audio_features",
-                     "aac_stream_summary",
+                     "aac_stream_summary", "ogg_stream_summary",
                      "resized_image_features",
                      "bmp_image_features", "png_image_features",
                      "gif_image_features", "jpeg_image_features",
