@@ -1,14 +1,30 @@
-"""Pure-stdlib AES (FIPS-197) — the cipher the PDF standard security
+"""Stdlib-only AES (FIPS-197) — the cipher the PDF standard security
 handler needs for /AESV2 (AES-128-CBC, PDF 1.6+) and /AESV3
 (AES-256-CBC, PDF 2.0) document decryption (llm/pdf.py).
 
-Everything is DERIVED from the spec's algebra rather than pasted
-tables: the S-box is the GF(2^8) multiplicative inverse (modulo the
-AES polynomial x^8+x^4+x^3+x+1) followed by the affine transform
-b ^ rot1(b) ^ rot2(b) ^ rot3(b) ^ rot4(b) ^ 0x63, computed at import;
-MixColumns uses xtime chains.  Python-speed — right for the
-PDF-decryption scale (a few KB per object inside an Arrow batch),
-not a bulk cipher.
+Two engines behind one API:
+
+- **OpenSSL EVP via ctypes** (the r12 optimization-round fast path):
+  ``hashlib`` already rides the same libcrypto, and ctypes is stdlib,
+  so this adds no dependency.  The PDF 2.0 revision-6 KDF (ISO
+  32000-2 Algorithm 2.B) pushes ~8k CBC blocks per derivation through
+  this module; pure-Python T-tables ran it at ~7 µs/block, which made
+  the 12 AES-256 documents of the pdf oracle substrate cost ~4.6 s of
+  a 7.5 s query (measured, OPTIMIZATION_r12.md).  The EVP path is
+  verified against the pure implementation on a FIPS-197 vector at
+  load and falls back silently if libcrypto is unavailable;
+  ``SPARK_GRAFT_PURE_AES=1`` forces the pure path (used by the parity
+  test).
+- **Pure-Python fallback**, everything DERIVED from the spec's
+  algebra rather than pasted tables: the S-box is the GF(2^8)
+  multiplicative inverse (modulo the AES polynomial x^8+x^4+x^3+x+1)
+  followed by the affine transform
+  b ^ rot1(b) ^ rot2(b) ^ rot3(b) ^ rot4(b) ^ 0x63, computed at
+  import; MixColumns uses xtime chains.
+
+Padding (PKCS#7) stays in Python on BOTH engines, so the
+dead-letter contract (ValueError on corrupt padding) is engine
+-independent.
 
 Used by: llm/pdf.py (_crypt_setup AESV2/AESV3 paths, the encrypting
 writer substrate).  Reference parity note: the reference pipeline has
@@ -17,6 +33,8 @@ support code.
 """
 
 from __future__ import annotations
+
+import os
 
 __all__ = ["aes_cbc_decrypt", "aes_cbc_encrypt", "aes_cbc_nopad"]
 
@@ -235,18 +253,133 @@ def _xor(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b))
 
 
-def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """CBC encrypt with PKCS#7 padding; returns ciphertext (iv NOT
-    prepended — the PDF layer owns that layout)."""
+def _pure_cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """Unpadded CBC over block-aligned data, pure-Python engine."""
     rks = _expand_key(key)
-    pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
-        prev = _encrypt_block(_xor(data[i : i + 16], prev), rks)
-        out += prev
+        blk = data[i : i + 16]
+        if encrypt:
+            prev = _encrypt_block(_xor(blk, prev), rks)
+            out += prev
+        else:
+            out += _xor(_decrypt_block(blk, rks), prev)
+            prev = blk
     return bytes(out)
+
+
+def _load_evp():
+    """ctypes handle to OpenSSL's EVP CBC primitives, or None.
+
+    Verified against the pure engine on the FIPS-197 C.1 vector
+    before being trusted; any load/symbol/self-test failure degrades
+    to the pure path silently (same results, Python speed)."""
+    if os.environ.get("SPARK_GRAFT_PURE_AES"):
+        return None
+    try:
+        import ctypes
+        import ctypes.util
+
+        name = ctypes.util.find_library("crypto")
+        lib = None
+        for cand in ([name] if name else []) + [
+            "libcrypto.so.3",
+            "libcrypto.so.1.1",
+            "libcrypto.so",
+        ]:
+            try:
+                lib = ctypes.CDLL(cand)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            return None
+        lib.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        lib.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        for f in ("EVP_aes_128_cbc", "EVP_aes_192_cbc", "EVP_aes_256_cbc"):
+            getattr(lib, f).restype = ctypes.c_void_p
+        lib.EVP_CipherInit_ex.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.EVP_CipherInit_ex.restype = ctypes.c_int
+        lib.EVP_CIPHER_CTX_set_padding.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        lib.EVP_CipherUpdate.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_char_p,
+            ctypes.c_int,
+        ]
+        lib.EVP_CipherUpdate.restype = ctypes.c_int
+
+        def run(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+            cipher = {
+                16: lib.EVP_aes_128_cbc,
+                24: lib.EVP_aes_192_cbc,
+                32: lib.EVP_aes_256_cbc,
+            }[len(key)]()
+            ctx = lib.EVP_CIPHER_CTX_new()
+            if not ctx:
+                raise MemoryError("EVP_CIPHER_CTX_new failed")
+            try:
+                if (
+                    lib.EVP_CipherInit_ex(
+                        ctx, cipher, None, key, iv, 1 if encrypt else 0
+                    )
+                    != 1
+                ):
+                    raise ValueError("EVP_CipherInit_ex failed")
+                lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+                out = ctypes.create_string_buffer(len(data) + 16)
+                n = ctypes.c_int(0)
+                if (
+                    lib.EVP_CipherUpdate(
+                        ctx, out, ctypes.byref(n), data, len(data)
+                    )
+                    != 1
+                ):
+                    raise ValueError("EVP_CipherUpdate failed")
+                return out.raw[: n.value]
+            finally:
+                lib.EVP_CIPHER_CTX_free(ctx)
+
+        # FIPS-197 Appendix C.1 single-block vector, CBC with a zero
+        # IV degenerates to raw AES — cross-check EVP vs pure engine.
+        key = bytes(range(16))
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        want = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+        if run(key, b"\x00" * 16, pt, True) != want:
+            return None
+        if _pure_cbc(key, b"\x00" * 16, pt, True) != want:
+            return None
+        return run
+    except Exception:  # noqa: BLE001 — optional fast path, never fatal
+        return None
+
+
+_EVP_CBC = _load_evp()
+
+
+def _cbc(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    if _EVP_CBC is not None:
+        return _EVP_CBC(key, iv, data, encrypt)
+    return _pure_cbc(key, iv, data, encrypt)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt with PKCS#7 padding; returns ciphertext (iv NOT
+    prepended — the PDF layer owns that layout)."""
+    pad = 16 - len(data) % 16
+    return _cbc(key, iv, data + bytes([pad]) * pad, True)
 
 
 def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -255,13 +388,7 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     the dead-letter, not return garbage silently)."""
     if len(data) % 16 or not data:
         raise ValueError("AES-CBC ciphertext is not block-aligned")
-    rks = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = data[i : i + 16]
-        out += _xor(_decrypt_block(blk, rks), prev)
-        prev = blk
+    out = _cbc(key, iv, data, False)
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("AES-CBC padding check failed (wrong key?)")
@@ -275,15 +402,4 @@ def aes_cbc_nopad(
     KDF (ISO 32000-2 Algorithm 2.B) and file-key unwrap use this."""
     if len(data) % 16:
         raise ValueError("unpadded AES-CBC needs block-aligned data")
-    rks = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(data), 16):
-        blk = data[i : i + 16]
-        if encrypt:
-            prev = _encrypt_block(_xor(blk, prev), rks)
-            out += prev
-        else:
-            out += _xor(_decrypt_block(blk, rks), prev)
-            prev = blk
-    return bytes(out)
+    return _cbc(key, iv, data, encrypt)

@@ -62,3 +62,54 @@ def test_nopad_cbc_and_key_sizes():
     assert aes_cbc_nopad(key, bytes(16), ct, encrypt=False) == data
     with pytest.raises(ValueError, match="key"):
         _expand_key(b"short")
+
+
+def test_evp_and_pure_engines_agree():
+    """r12 optimization: the OpenSSL-EVP fast path must be
+    byte-identical to the pure-Python FIPS-197 engine on every key
+    size, data length, and direction (padding logic is shared, so
+    cross-checking the unpadded core covers both public forms)."""
+    import random
+
+    from spotify_streaming_etl_pipeline_spark.llm import aes
+
+    rnd = random.Random(1234)
+    for klen in (16, 24, 32):
+        for nblocks in (1, 2, 7, 65):
+            key = bytes(rnd.randrange(256) for _ in range(klen))
+            iv = bytes(rnd.randrange(256) for _ in range(16))
+            data = bytes(rnd.randrange(256) for _ in range(16 * nblocks))
+            ct_pure = aes._pure_cbc(key, iv, data, True)
+            assert aes.aes_cbc_nopad(key, iv, data, True) == ct_pure
+            assert aes._pure_cbc(key, iv, ct_pure, False) == data
+            assert aes.aes_cbc_nopad(key, iv, ct_pure, False) == data
+
+
+def test_pure_fallback_forced_by_env(tmp_path):
+    """SPARK_GRAFT_PURE_AES=1 must disable the EVP engine and leave
+    results unchanged (the degraded-environment posture)."""
+    import subprocess
+    import sys
+
+    code = (
+        "from spotify_streaming_etl_pipeline_spark.llm import aes\n"
+        "assert aes._EVP_CBC is None\n"
+        "ct = aes.aes_cbc_encrypt(b'k'*16, b'i'*16, b'payload')\n"
+        "assert aes.aes_cbc_decrypt(b'k'*16, b'i'*16, ct) == b'payload'\n"
+        "print(ct.hex())\n"
+    )
+    env = {"SPARK_GRAFT_PURE_AES": "1", "PATH": "/usr/bin:/bin"}
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    from spotify_streaming_etl_pipeline_spark.llm import aes
+
+    assert (
+        aes.aes_cbc_encrypt(b"k" * 16, b"i" * 16, b"payload").hex()
+        == out.stdout.strip()
+    )
