@@ -84,27 +84,46 @@ def _posting(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
     combinations). Downstream joins/aggs shuffle 16-byte rows, never
     shingle strings.
 
-    Shingles are assembled relationally — posexplode tokens, then
-    ``lead`` over (doc_id, pos) — instead of an array-transform
-    lambda: window + concat + md5 all stay in whole-stage codegen,
-    where the HOF lambda form is interpreted per element (~4x slower
-    measured at sf0.1). The window shuffle partitions by doc_id, so it
+    Shingles are assembled relationally as an n-way ZIP of shifted
+    array slices — explode(arrays_zip(slice(toks, 1, L), ...,
+    slice(toks, n, L))) with L = size - (n-1) — so concat + md5 run
+    post-explode in whole-stage codegen (an array-transform lambda
+    would be interpreted per element, ~4x slower measured at sf0.1).
+    Every slice has exactly L elements, so the zip never null-pads
+    and each emitted row is a complete n-gram — byte-identical to
+    the earlier posexplode + ``lead``-window form, minus that form's
+    word-level shuffle and per-partition sort (r12: 0.94s -> 0.66s
+    for the posting build at sf0.1, interleaved medians).  The
+    explicit ``repartition(doc_id)`` preserves the window form's
+    output partitioning contract: dedup aggregates and every
+    doc_id-keyed downstream consumer (signatures, sizes) stay
+    exchange-free on top of it, and it shuffles doc-count rows, so it
     scales with docs, not corpus size."""
-    from pyspark.sql import Window
-
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    words = df.select("doc_id", F.posexplode(toks).alias("pos", "word"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("word")] + [F.lead("word", j).over(w) for j in range(1, n)]
-    grams = words.select(
+    length = F.greatest(F.lit(0), F.size("t") - (n - 1))
+    zipped = df.select("doc_id", toks.alias("t")).select(
         "doc_id",
-        F.when(leads[-1].isNotNull(), F.md5(F.concat_ws("|", *leads))).alias("_md5"),
-    ).filter(F.col("_md5").isNotNull())
-    return grams.select(
+        F.explode(
+            F.arrays_zip(
+                *[F.slice(F.col("t"), j + 1, length) for j in range(n)]
+            )
+        ).alias("g"),
+    )
+    grams = zipped.select(
         "doc_id",
-        F.conv(F.substring("_md5", 1, 12), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("_md5", 13, 12), 16, 10).cast("long").alias("h2"),
-    ).dropDuplicates(["doc_id", "h1", "h2"])
+        F.md5(
+            F.concat_ws("|", *[F.col("g")[str(j)] for j in range(n)])
+        ).alias("_md5"),
+    )
+    return (
+        grams.select(
+            "doc_id",
+            F.conv(F.substring("_md5", 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("_md5", 13, 12), 16, 10).cast("long").alias("h2"),
+        )
+        .repartition("doc_id")
+        .dropDuplicates(["doc_id", "h1", "h2"])
+    )
 
 
 def cap_doc_freq(posting: DataFrame, max_doc_freq: int) -> DataFrame:
@@ -900,7 +919,11 @@ def dup_clusters(
     if distributed is None:
         # The count materializes the persisted sym, so the driver-path
         # collect below reads cache — the expensive pair detection runs
-        # exactly once either way.
+        # exactly once either way.  (r12 A/Bs measured and REJECTED two
+        # single-action variants: take(bound+1) pays CollectLimit's
+        # 3-5-job incremental scale-up ladder, and dropping the persist
+        # makes the collect re-execute the verify joins above the last
+        # exchange — both slower than this count-then-collect form.)
         distributed = sym.count() > 2 * collect_max_edges
     if not distributed:
         parent: dict[int, int] = {}

@@ -67,6 +67,10 @@ def write_dedup_index(
     tokenize/shingle work happens exactly once per batch, here."""
     posting = dedup._posting(docs, text_col).persist()
     bands = dedup.minhash_band_table(docs, text_col=text_col, _posting_df=posting)
+    # Sequential commits (an r12 A/B measured the concurrent
+    # fill-then-two-threaded-writes form 0.45s SLOWER at sf0.1: the
+    # explicit cache-fill job costs more than the write overlap buys
+    # at these table sizes; the posting write below IS the fill).
     _write(posting.withColumn("batch_id", F.lit(batch_id)), f"{path}/posting")
     _write(bands.withColumn("batch_id", F.lit(batch_id)), f"{path}/bands")
     posting.unpersist()

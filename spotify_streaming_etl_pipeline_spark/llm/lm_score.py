@@ -5,8 +5,8 @@ use to rank text before mixing (additive family, SURVEY §2.11).
 Low-scoring documents read as "unnatural" relative to the corpus:
 boilerplate, mangled encodings, word salad.
 
-Plan shape: the bigram stream is one posexplode + per-doc lead window
-(the bigram_pmi substrate — partitioned by doc, never a corpus-wide
+Plan shape: the bigram stream is a shuffle-free zip of shifted
+token-array slices (the bigram_pmi substrate — never a corpus-wide
 sort). Model tables are map-side-combined groupBys (bigram counts,
 unigram counts, one scalar vocab size). Scoring joins the stream to
 the model on the bigram key and aggregates per doc — shuffle volume is
@@ -16,7 +16,7 @@ DataFrames (write them once, score any batch against them).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens
@@ -24,15 +24,29 @@ from .text import tokens
 
 def bigram_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, w1, w2) adjacent pairs, in-document order irrelevant
-    downstream (scores aggregate), built with one window per doc."""
-    words = df.select(
-        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    downstream (scores aggregate).  Built as a 2-way zip of shifted
+    token-array slices exploded in place (the r12 ``dedup._posting``
+    rewrite): both slices have exactly size-1 elements, so the zip
+    never null-pads and the pair multiset is byte-identical to the
+    earlier per-doc lead-window form — minus that form's word-level
+    shuffle and per-partition sort."""
+    length = F.greatest(F.lit(0), F.size("t") - 1)
     return (
-        words.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "w1", "w2")
+        df.select("doc_id", tokens(F.col(text_col)).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, length),
+                    F.slice(F.col("t"), 2, length),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g")["0"].alias("w1"),
+            F.col("g")["1"].alias("w2"),
+        )
     )
 
 

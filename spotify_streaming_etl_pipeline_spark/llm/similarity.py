@@ -561,11 +561,22 @@ def kmeans_twolevel(
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
         ).persist()
     )
-    n = _n if _n is not None else dims.select("vec_id").distinct().count()
+    if _n is None:
+        # ONE pass over the cached dims for both scalars (r12: the
+        # separate distinct().count() + count() pair cost two jobs
+        # over the same cached table for two numbers).
+        n, n_rows = (
+            dims.agg(
+                F.countDistinct("vec_id").alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+            ).collect()[0]
+        )
+    else:
+        n, n_rows = _n, dims.count()
     k_total = max(1, -(-n // target_cluster_size))
     k1 = max(1, int(k_total**0.5 + 0.9999))
     k2 = max(1, -(-k_total // k1))
-    ndim = max(1, dims.count() // max(1, n))
+    ndim = max(1, n_rows // max(1, n))
     fine_broadcast = k1 * k2 * ndim <= _FINE_BROADCAST_MAX_ROWS
     coarse = kmeans_lloyd(emb, k1, n_iter, vec_col, _dims_df=dims)
     dc = (
@@ -669,7 +680,13 @@ def kmeans_multilevel(
         "vec_id",
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
     ).persist()
-    n = dims.select("vec_id").distinct().count()
+    # One pass over cached dims for both scalars (see kmeans_twolevel).
+    n, n_rows = (
+        dims.agg(
+            F.countDistinct("vec_id").alias("n"),
+            F.count(F.lit(1)).alias("rows"),
+        ).collect()[0]
+    )
     if ks is None:
         rem = max(1, -(-n // target_cluster_size))
         ks = []
@@ -677,7 +694,7 @@ def kmeans_multilevel(
             k_i = max(1, int(rem ** (1.0 / (levels - i)) + 0.9999))
             ks.append(k_i)
             rem = max(1, -(-rem // k_i))
-    ndim = max(1, dims.count() // max(1, n))
+    ndim = max(1, n_rows // max(1, n))
     grp = kmeans_lloyd(emb, ks[0], n_iter, vec_col, _dims_df=dims).select(
         "vec_id", F.col("cell").cast("long").alias("grp")
     )

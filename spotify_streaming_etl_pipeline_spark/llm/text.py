@@ -453,19 +453,34 @@ def bigram_pmi_table(
     and phrase mining. pmi = ln( p(w1,w2) / (p(w1) p(w2)) ) with
     bigram and unigram probabilities over their own totals.
 
-    Plan: one posexplode + per-doc lead window builds the bigram
-    stream (same shape as the shingle posting: partitioned by doc, no
-    corpus-wide sort); counts are map-side-combined groupBys keyed on
-    words; the two scalar totals ride in as a broadcast single row.
-    Shuffle volume is vocabulary-sized, never corpus-sized."""
-    from pyspark.sql import Window
-
+    Plan: the bigram stream is a 2-way zip of shifted token-array
+    slices exploded in place (the r12 ``dedup._posting`` rewrite: no
+    per-doc window, no shuffle, no sort — each slice has exactly
+    size-1 elements so the zip never null-pads and the emitted pairs
+    are byte-identical to the earlier posexplode + lead form); counts
+    are map-side-combined groupBys keyed on words; the two scalar
+    totals ride in as a broadcast single row.  Shuffle volume is
+    vocabulary-sized, never corpus-sized."""
     words = df.select(
-        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "w1")
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("w1")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = words.withColumn("w2", F.lead("w1").over(w)).filter(
-        F.col("w2").isNotNull()
+    length = F.greatest(F.lit(0), F.size("t") - 1)
+    bigrams = (
+        df.select("doc_id", tokens(F.col(text_col)).alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, length),
+                    F.slice(F.col("t"), 2, length),
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.col("g")["0"].alias("w1"),
+            F.col("g")["1"].alias("w2"),
+        )
     )
     # No persist here on purpose: the repeated consumers (ua/ub, the
     # totals row) are IDENTICAL aggregate subtrees modulo aliases, so

@@ -1384,12 +1384,12 @@ def pagerank_integer(ed: DataFrame, iters: int) -> DataFrame:
     ranks = deg.crossJoin(F.broadcast(nn)).selectExpr(
         "u", f"cast({_PR_SCALE} div n as long) as rk"
     ).localCheckpoint(eager=True)
+    # Out-degree rides the edge table (r12): attaching d once before
+    # the loop replaces the per-iteration ranks+deg double join with a
+    # single join — (iters-1) fewer joins, same integer arithmetic.
+    edd = ed.join(deg, "u").localCheckpoint(eager=True)
     for _ in range(iters):
-        contrib = (
-            ed.join(ranks, "u")
-            .join(deg, "u")
-            .selectExpr("v", "rk div d as c")
-        )
+        contrib = edd.join(ranks, "u").selectExpr("v", "rk div d as c")
         ranks = (
             contrib.groupBy(F.col("v").alias("u"))
             .agg(F.sum("c").alias("s"))
