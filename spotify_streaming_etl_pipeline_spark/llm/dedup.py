@@ -85,44 +85,37 @@ def _posting(df: DataFrame, text_col: str, n: int = NGRAM_N) -> DataFrame:
     shingle strings.
 
     Shingles are assembled relationally as an n-way ZIP of shifted
-    array slices — explode(arrays_zip(slice(toks, 1, L), ...,
-    slice(toks, n, L))) with L = size - (n-1) — so concat + md5 run
-    post-explode in whole-stage codegen (an array-transform lambda
-    would be interpreted per element, ~4x slower measured at sf0.1).
-    Every slice has exactly L elements, so the zip never null-pads
-    and each emitted row is a complete n-gram — byte-identical to
-    the earlier posexplode + ``lead``-window form, minus that form's
-    word-level shuffle and per-partition sort (r12: 0.94s -> 0.66s
-    for the posting build at sf0.1, interleaved medians).  The
-    explicit ``repartition(doc_id)`` preserves the window form's
-    output partitioning contract: dedup aggregates and every
-    doc_id-keyed downstream consumer (signatures, sizes) stay
-    exchange-free on top of it, and it shuffles doc-count rows, so it
-    scales with docs, not corpus size."""
+    array slices — arrays_zip(slice(toks, 1, L), ..., slice(toks, n,
+    L)) with L = size - (n-1).  Every slice has exactly L elements, so
+    the zip never null-pads and each element is a complete n-gram.
+    Per-doc dedup happens NARROWLY, in the array domain: the gram
+    strings are array_distinct'ed BEFORE the explode (all of a doc's
+    shingles live in one row, so "distinct per doc" needs no shuffle —
+    the DuckDB oracle's ``list_distinct`` has the same semantics), and
+    md5 runs once per DISTINCT gram, post-explode, in whole-stage
+    codegen.  This replaces the earlier repartition(doc_id) +
+    dropDuplicates form: that shuffled the full posting (corpus-scale
+    bytes) to dedup rows the producing row already contained.  r12
+    interleaved medians at sf0.1: posting build 0.67s -> 0.29s;
+    bucket fold -0.28s; signatures/near-dup ties; exceptAll parity 0
+    diff rows.  Consumers that aggregate by doc_id now pay a
+    partial-agg exchange on 16-byte rows — map-side combine over
+    already per-doc-distinct hashes, the correct 100 TB trade."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     length = F.greatest(F.lit(0), F.size("t") - (n - 1))
-    zipped = df.select("doc_id", toks.alias("t")).select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                *[F.slice(F.col("t"), j + 1, length) for j in range(n)]
-            )
-        ).alias("g"),
-    )
-    grams = zipped.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws("|", *[F.col("g")[str(j)] for j in range(n)])
-        ).alias("_md5"),
+    arr = F.arrays_zip(*[F.slice(F.col("t"), j + 1, length) for j in range(n)])
+    gstr = F.transform(
+        arr, lambda s: F.concat_ws("|", *[s[str(j)] for j in range(n)])
     )
     return (
-        grams.select(
+        df.select("doc_id", toks.alias("t"))
+        .select("doc_id", F.explode(F.array_distinct(gstr)).alias("_g"))
+        .select("doc_id", F.md5("_g").alias("_md5"))
+        .select(
             "doc_id",
             F.conv(F.substring("_md5", 1, 12), 16, 10).cast("long").alias("h1"),
             F.conv(F.substring("_md5", 13, 12), 16, 10).cast("long").alias("h2"),
         )
-        .repartition("doc_id")
-        .dropDuplicates(["doc_id", "h1", "h2"])
     )
 
 
