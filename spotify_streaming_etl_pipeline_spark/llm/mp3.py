@@ -504,6 +504,35 @@ _NMAT = [
     for i in range(64)
 ]
 
+# numpy copies of the filterbank tables, built on first decode: the
+# IMDCT + polyphase synthesis is >80% of decode wall as interpreted
+# per-line loops (profiled: 8M generator steps for 40 docs); as numpy
+# matmuls over whole granules it is two (32x18)@(18x36) / (64x32)@
+# (32x18) products per granule-channel.  Lazy so the module imports
+# without numpy (the entropy walk and encoder stay stdlib-pure).
+_NPT: dict | None = None
+
+
+def _np_tables() -> dict:
+    global _NPT
+    if _NPT is None:
+        import numpy as np
+
+        dwin = np.asarray(_DWIN).reshape(8, 64)
+        _NPT = {
+            "np": np,
+            "NMAT": np.asarray(_NMAT),            # (64, 32)
+            "IM36T": np.asarray(_IMDCT36).T,      # (18, 36)
+            "IM12T": np.asarray(_IMDCT12).T,      # (6, 12)
+            "WIN": {bt: np.asarray(w) for bt, w in _WIN.items()},
+            "WS": np.asarray(_WIN_SHORT),         # (12,)
+            "DWA": dwin[:, :32],                  # (8, 32)
+            "DWB": dwin[:, 32:],                  # (8, 32)
+            "CS": np.asarray(_CS[:8]),            # alias butterflies
+            "CA": np.asarray(_CA[:8]),
+        }
+    return _NPT
+
 
 def _design_synth_window() -> list[float]:
     """Formula-derived 512-tap near-PR prototype (module docstring):
@@ -643,6 +672,8 @@ def decode_mp3(blob: bytes) -> dict:
     "nz_lines", "ix_abs_sum", "gg_sum", "sf_sum", "max_abs"} — the
     last five are integer/float diagnostics the oracle gate pins by
     construction."""
+    npt = _np_tables()
+    np = npt["np"]
     frames = _walk_frames(blob)
     rate = frames[0]["rate"]
     nch = frames[0]["nch"]
@@ -650,8 +681,8 @@ def decode_mp3(blob: bytes) -> dict:
     pool = b""
     samples: list[int] = []
     max_abs = 0.0
-    prev_block = [[[0.0] * 18 for _ in range(32)] for _ in range(nch)]
-    synth = [_Synth() for _ in range(nch)]
+    prev_block = [np.zeros((32, 18)) for _ in range(nch)]
+    synth_v = [np.zeros(1024) for _ in range(nch)]
     prev_sf: list[dict] = [{"l": [0] * 21} for _ in range(nch)]
     for fr in frames:
         if fr["rate"] != rate or fr["nch"] != nch:
@@ -697,38 +728,65 @@ def decode_mp3(blob: bytes) -> dict:
                 bt = g["block_type"]
                 if bt == 2:
                     xr = _reorder_short(xr, rate)
+                # whole-granule IMDCT as one matmul (32 subbands x 18
+                # lines), then vectorized overlap-add + frequency
+                # inversion — the interpreted per-subband form was the
+                # decode hot spot (guide §4.2: vectorize inside the
+                # Arrow zone).
+                x32 = np.asarray(xr).reshape(32, 18)
+                if bt != 2:
+                    # alias reduction: each butterfly touches the tail
+                    # of subband sb-1 and the head of sb exactly once,
+                    # so all 31 x 8 butterflies run as two slice
+                    # products (same arithmetic as _alias_reduce).
+                    a8 = x32[:-1, 17:9:-1].copy()
+                    b8 = x32[1:, :8].copy()
+                    x32[:-1, 17:9:-1] = a8 * npt["CS"] - b8 * npt["CA"]
+                    x32[1:, :8] = b8 * npt["CS"] + a8 * npt["CA"]
+                if bt == 2:
+                    z = np.zeros((32, 36))
+                    x3 = x32.reshape(32, 6, 3)
+                    for win in range(3):
+                        v12 = x3[:, :, win] @ npt["IM12T"]
+                        z[:, 6 + 6 * win : 18 + 6 * win] += v12 * npt["WS"]
                 else:
-                    _alias_reduce(xr)
-                # per-subband IMDCT + overlap-add + frequency inversion
-                band_out = []
-                for sb in range(32):
-                    z = _imdct_block(xr[18 * sb : 18 * sb + 18], bt)
-                    prev = prev_block[ch][sb]
-                    cur = [z[i] + prev[i] for i in range(18)]
-                    prev_block[ch][sb] = z[18:]
-                    if sb & 1:
-                        for i in range(1, 18, 2):
-                            cur[i] = -cur[i]
-                    band_out.append(cur)
-                xr_ch[ch] = (band_out, g)
-            # polyphase: 18 time steps of 32 subband samples
+                    z = (x32 @ npt["IM36T"]) * npt["WIN"][bt]
+                cur = z[:, :18] + prev_block[ch]
+                prev_block[ch] = z[:, 18:].copy()
+                cur[1::2, 1::2] *= -1.0
+                xr_ch[ch] = (cur, g)
+            # polyphase: 18 time steps of 32 subband samples; the
+            # 64x32 modulation runs once per granule as a single
+            # matmul, the V-FIFO windowing as (8,32) slice products.
             step_out = []
             for ch in range(nch):
-                band_out, _g = xr_ch[ch]
-                ch_samples = []
-                for t in range(18):
-                    s32 = [band_out[sb][t] for sb in range(32)]
-                    ch_samples.extend(synth[ch].step(s32))
-                step_out.append(ch_samples)
-            for k in range(576):
-                for ch in range(nch):
-                    x = step_out[ch][k]
-                    ax = abs(x)
-                    if ax > max_abs:
-                        max_abs = ax
-                    samples.append(
-                        max(-32768, min(32767, round(x * 32767.0)))
-                    )
+                cur, _g = xr_ch[ch]
+                cols = npt["NMAT"] @ cur  # (64, 18): column t = step t
+                # All 18 FIFO states are windows of one extended
+                # buffer: newest-first modulation outputs followed by
+                # the previous V, so step t reads ext[(17-t)*64:][:1024]
+                # — the whole granule's windowing is two einsum-shaped
+                # products instead of 18 shift+sum rounds.
+                ext = np.concatenate(
+                    (cols[:, ::-1].T.ravel(), synth_v[ch])
+                )
+                idx = (17 - np.arange(18)) * 64
+                vmat = np.lib.stride_tricks.sliding_window_view(
+                    ext, 1024
+                )[idx].reshape(18, 8, 128)
+                out_ch = (vmat[:, :, :32] * npt["DWA"]).sum(1) + (
+                    vmat[:, :, 96:128] * npt["DWB"]
+                ).sum(1)
+                synth_v[ch] = ext[:1024].copy()
+                step_out.append(out_ch.ravel())
+            pcm = np.stack(step_out, axis=1).ravel()
+            gm = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+            if gm > max_abs:
+                max_abs = gm
+            ints = np.clip(
+                np.rint(pcm * 32767.0), -32768, 32767
+            ).astype(np.int64)
+            samples.extend(ints.tolist())
         pool = (pool + fr["main"])[-511:]
     return {
         "sample_rate": rate,

@@ -259,3 +259,68 @@ def test_mutation_fuzz_raises_cleanly():
             assert len(out["samples"]) == out["n_samples"] * out["channels"]
         except (ValueError, NotImplementedError, IndexError, KeyError):
             pass
+
+
+def test_vectorized_filterbank_matches_scalar_reference():
+    """The numpy whole-granule filterbank (r12 optimization) must
+    reproduce the retained scalar reference (_imdct_block, _Synth,
+    _alias_reduce) on randomized spectra: same IMDCT/window/overlap
+    arithmetic, same alias butterflies, same polyphase FIFO — the
+    reassociation tolerance is float-epsilon only."""
+    np = pytest.importorskip("numpy")
+    from spotify_streaming_etl_pipeline_spark.llm.mp3 import (
+        _CA,
+        _CS,
+        _Synth,
+        _alias_reduce,
+        _imdct_block,
+        _np_tables,
+    )
+
+    npt = _np_tables()
+    rng = random.Random(12)
+    for bt in (0, 1, 3, 2):
+        xr = [rng.uniform(-1, 1) for _ in range(576)]
+        # scalar path
+        ref = [x for x in xr]
+        if bt != 2:
+            _alias_reduce(ref)
+        ref_z = [_imdct_block(ref[18 * sb : 18 * sb + 18], bt)
+                 for sb in range(32)]
+        # vectorized path (same slices decode_mp3 executes)
+        x32 = np.asarray(xr).reshape(32, 18)
+        if bt != 2:
+            a8 = x32[:-1, 17:9:-1].copy()
+            b8 = x32[1:, :8].copy()
+            x32[:-1, 17:9:-1] = a8 * npt["CS"] - b8 * npt["CA"]
+            x32[1:, :8] = b8 * npt["CS"] + a8 * npt["CA"]
+        if bt == 2:
+            z = np.zeros((32, 36))
+            x3 = x32.reshape(32, 6, 3)
+            for win in range(3):
+                v12 = x3[:, :, win] @ npt["IM12T"]
+                z[:, 6 + 6 * win : 18 + 6 * win] += v12 * npt["WS"]
+        else:
+            z = (x32 @ npt["IM36T"]) * npt["WIN"][bt]
+        assert np.allclose(z, np.asarray(ref_z), atol=1e-12), bt
+
+    # polyphase FIFO: 18 batched steps vs 18 scalar _Synth.step calls
+    synth = _Synth()
+    v0 = [rng.uniform(-1, 1) for _ in range(1024)]
+    synth.v = list(v0)
+    cur = np.asarray([[rng.uniform(-1, 1) for _ in range(18)]
+                      for _ in range(32)])
+    ref_out = []
+    for t in range(18):
+        s32 = [cur[sb, t] for sb in range(32)]
+        ref_out.append(synth.step(s32))
+    cols = npt["NMAT"] @ cur
+    ext = np.concatenate((cols[:, ::-1].T.ravel(), np.asarray(v0)))
+    idx = (17 - np.arange(18)) * 64
+    vmat = np.lib.stride_tricks.sliding_window_view(ext, 1024)[idx]
+    vmat = vmat.reshape(18, 8, 128)
+    out = (vmat[:, :, :32] * npt["DWA"]).sum(1) + (
+        vmat[:, :, 96:128] * npt["DWB"]
+    ).sum(1)
+    assert np.allclose(out, np.asarray(ref_out), atol=1e-12)
+    assert np.allclose(ext[:1024], np.asarray(synth.v), atol=1e-12)
