@@ -491,6 +491,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     _posting_df: DataFrame | None = None,
+    _bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
 
@@ -527,8 +528,12 @@ def minhash_lsh_candidates(
     filter. The window shuffles by (band, key) — the exact
     partitioning the self-join needs — so the guard's marginal cost
     is a per-partition sort, constant relative to scale."""
-    bands = minhash_band_table(
-        df, k, rows_per_band, n, text_col, _posting_df=_posting_df
+    bands = (
+        _bands_df
+        if _bands_df is not None
+        else minhash_band_table(
+            df, k, rows_per_band, n, text_col, _posting_df=_posting_df
+        )
     )
     if max_bucket_size is None:
         # Both join sides derive from the same band table; without
@@ -568,6 +573,7 @@ def minhash_near_dup(
     text_col: str = "text",
     max_bucket_size: int | None = None,
     _posting_df: DataFrame | None = None,
+    _bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
     the production near-dup query. Pairwise verification touches ONLY
@@ -592,6 +598,7 @@ def minhash_near_dup(
         text_col=text_col,
         max_bucket_size=max_bucket_size,
         _posting_df=posting,
+        _bands_df=_bands_df,
     )
     return pair_jaccard(posting, cands).filter(
         F.col("jaccard") >= threshold
@@ -606,6 +613,7 @@ def minhash_incremental(
     max_bucket_size: int | None = None,
     _corpus_posting_df: DataFrame | None = None,
     _new_posting_df: DataFrame | None = None,
+    _new_bands_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents duplicate the existing
     corpus — the admission check a growing training set runs per batch.
@@ -655,8 +663,12 @@ def minhash_incremental(
     corpus_bands = minhash_band_table(
         corpus, text_col=text_col, _posting_df=corpus_posting
     )
-    new_bands = minhash_band_table(
-        new_docs, text_col=text_col, _posting_df=new_posting
+    new_bands = (
+        _new_bands_df
+        if _new_bands_df is not None
+        else minhash_band_table(
+            new_docs, text_col=text_col, _posting_df=new_posting
+        )
     )
     cands = incremental_band_candidates(
         corpus_bands, new_bands, max_bucket_size=max_bucket_size
@@ -886,17 +898,52 @@ def dup_clusters(
     multi-executor cluster prefer ``df.checkpoint()`` (reliable,
     HDFS-backed) over the executor-local variant.
     """
+    # The undirected pair table is what the size switch counts and the
+    # driver path collects — half the rows of the symmetric form, and
+    # the expensive pair detection still runs exactly once (the count
+    # materializes the persist, the collect reads cache).  (r12 A/Bs
+    # measured and REJECTED two single-action variants: take(bound+1)
+    # pays CollectLimit's 3-5-job incremental scale-up ladder, and
+    # dropping the persist makes the collect re-execute the verify
+    # joins above the last exchange — both slower than
+    # count-then-collect.)  Union-find is direction-agnostic, so the
+    # driver path never needs the symmetric expansion at all.
     und = pairs.select(
         F.col("doc_a").cast("long").alias("u"), F.col("doc_b").cast("long").alias("v")
-    )
+    ).persist()
+    if distributed is None:
+        distributed = und.count() > collect_max_edges
+    if not distributed:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in und.collect():
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # Union by min id so every root IS the component min.
+                lo, hi = min(ru, rv), max(ru, rv)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        und.unpersist()
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id: long, cluster_id: long"
+        )
     # Symmetric expansion via explode(array(...)), NOT a self-union:
     # a union's two branches each carry the whole upstream
     # pair-detection plan, and only the exchanges below them get
     # deduplicated (ReuseExchange) — the join/filter/agg chain above
     # the last shuffle still executes twice per materialization. The
-    # explode form scans the pair pipeline exactly once and emits both
-    # edge directions per row. Persisted because nodes and edges both
-    # consume it.
+    # explode form scans the (cached) pair table exactly once and
+    # emits both edge directions per row. Persisted because nodes and
+    # edges both consume it.
     sym = (
         und.select(
             F.explode(
@@ -909,38 +956,6 @@ def dup_clusters(
         .select("e.u", "e.v")
         .persist()
     )
-    if distributed is None:
-        # The count materializes the persisted sym, so the driver-path
-        # collect below reads cache — the expensive pair detection runs
-        # exactly once either way.  (r12 A/Bs measured and REJECTED two
-        # single-action variants: take(bound+1) pays CollectLimit's
-        # 3-5-job incremental scale-up ladder, and dropping the persist
-        # makes the collect re-execute the verify joins above the last
-        # exchange — both slower than this count-then-collect form.)
-        distributed = sym.count() > 2 * collect_max_edges
-    if not distributed:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for r in sym.collect():
-            u, v = r["u"], r["v"]
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # Union by min id so every root IS the component min.
-                lo, hi = min(ru, rv), max(ru, rv)
-                parent[hi] = lo
-        rows = [(n, find(n)) for n in parent]
-        sym.unpersist()
-        return pairs.sparkSession.createDataFrame(
-            rows, "doc_id: long, cluster_id: long"
-        )
     nodes = sym.select("u").distinct()
     edges = (
         sym.unionByName(nodes.select("u", F.col("u").alias("v")))
@@ -968,6 +983,7 @@ def dup_clusters(
     # invalidate it (the returned plan reads the checkpointed rows).
     edges.unpersist()
     sym.unpersist()
+    und.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

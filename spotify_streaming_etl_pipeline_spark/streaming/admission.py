@@ -86,7 +86,15 @@ def _decide(
     else:
         fresh = batch
     batch_posting = dedup._posting(fresh, text_col).persist()
-    cleanup = [batch_posting]
+    # The batch band table is per-doc deterministic, so it is computed
+    # ONCE here and reused by both detectors: the corpus check joins
+    # it whole, and the intra-batch check gets the survivor slice via
+    # a semi-join — the signature aggregation (16 min-folds over the
+    # posting) used to run a second time for the survivor side.
+    batch_bands = dedup.minhash_band_table(
+        fresh, text_col=text_col, _posting_df=batch_posting
+    ).persist()
+    cleanup = [batch_posting, batch_bands]
     if corpus is not None:
         if corpus_posting is None:
             corpus_posting = dedup._posting(corpus, text_col)
@@ -103,6 +111,7 @@ def _decide(
                 max_bucket_size=dedup.LSH_MAX_BUCKET,
                 _corpus_posting_df=corpus_posting,
                 _new_posting_df=batch_posting,
+                _new_bands_df=batch_bands,
             )
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
@@ -118,9 +127,14 @@ def _decide(
     else:
         corpus_dup = None
         surv = fresh
-    # survivors-only posting: a superset posting would cluster rejected
-    # docs too and could steal keeper slots from admitted ones.
+    # survivors-only posting/bands: a superset posting would cluster
+    # rejected docs too and could steal keeper slots from admitted
+    # ones; the survivor band slice is row-identical to re-deriving
+    # bands from the survivor posting (bands are per-doc).
     surv_posting = batch_posting.join(
+        surv.select("doc_id"), "doc_id", "left_semi"
+    )
+    surv_bands = batch_bands.join(
         surv.select("doc_id"), "doc_id", "left_semi"
     )
     pairs = dedup.minhash_near_dup(
@@ -129,6 +143,7 @@ def _decide(
         text_col=text_col,
         max_bucket_size=dedup.LSH_MAX_BUCKET,
         _posting_df=surv_posting,
+        _bands_df=surv_bands,
     )
     clusters = dedup.dup_clusters(pairs)
     non_keepers = clusters.filter(
