@@ -445,7 +445,9 @@ def kmeans_lloyd(
         else emb.select(
             "vec_id",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-        ).persist()
+        )
+        .repartition("vec_id")
+        .persist()
     )
     if n_clusters is None:
         n = dims.select("vec_id").distinct().count()
@@ -559,7 +561,9 @@ def kmeans_twolevel(
         else emb.select(
             "vec_id",
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-        ).persist()
+        )
+        .repartition("vec_id")
+        .persist()
     )
     if _n is None:
         # ONE pass over the cached dims for both scalars (r12: the
@@ -676,10 +680,14 @@ def kmeans_multilevel(
     auto-k (k_i ~ kt^(1/(levels-i)) of the remainder, product >= kt).
     Composite ids fold left: cell = ((l1 * k2) + l2) * k3 + l3 ...
     — ``kmeans_twolevel`` is exactly ``ks=[k1, k2]`` (unit-pinned)."""
-    dims = emb.select(
-        "vec_id",
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    ).persist()
+    dims = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+        )
+        .repartition("vec_id")
+        .persist()
+    )
     # One pass over cached dims for both scalars (see kmeans_twolevel).
     n, n_rows = (
         dims.agg(
