@@ -1380,9 +1380,16 @@ def pagerank_integer(ed: DataFrame, iters: int) -> DataFrame:
     any engine.  Returns (u, rk).  Callers must ensure every node has
     out-degree >= 1 (symmetric edge sets do)."""
     deg = ed.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
-    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranks = deg.crossJoin(F.broadcast(nn)).selectExpr(
-        "u", f"cast({_PR_SCALE} div n as long) as rk"
+    # n is a SCALAR (node count): collect it once and inline it as a
+    # literal.  The crossJoin(broadcast(nn)) form re-derived it inside
+    # every iteration's job — one extra scan of the edge table, a
+    # two-exchange count subtree, and a BroadcastNestedLoopJoin per
+    # round, all to recompute the same constant (verified in the r12
+    # iteration plan).  Same integer arithmetic, iters+1 fewer
+    # aggregate subtrees.
+    n = deg.count()
+    ranks = deg.selectExpr(
+        "u", f"cast({_PR_SCALE} div {n} as long) as rk"
     ).localCheckpoint(eager=True)
     # Out-degree rides the edge table (r12): attaching d once before
     # the loop replaces the per-iteration ranks+deg double join with a
@@ -1393,10 +1400,9 @@ def pagerank_integer(ed: DataFrame, iters: int) -> DataFrame:
         ranks = (
             contrib.groupBy(F.col("v").alias("u"))
             .agg(F.sum("c").alias("s"))
-            .crossJoin(F.broadcast(nn))
             .selectExpr(
                 "u",
-                f"cast((15 * {_PR_SCALE}) div (100 * n)"
+                f"cast((15 * {_PR_SCALE}) div (100 * {n})"
                 " + (85 * s) div 100 as long) as rk",
             )
             .localCheckpoint(eager=True)
