@@ -35,8 +35,33 @@ SMALL_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 # buys — so they are NOT rebalanced here.
 REBALANCE_TABLES = frozenset({"documents", "embeddings"})
 
+# Lazy-PLAN memo for the most recent session: constructing a parquet
+# scan costs ~136 ms of driver-side metadata work per call (file
+# listing + footer schema read + the rebalance partition probe,
+# measured r12) and a many-query session re-reads the same immutable
+# tables hundreds of times.  The memo stores the unresolved lazy plan
+# only — every action still computes from the parquet files, so this
+# is the file-listing cache of guide §6, not result caching.  Keyed
+# to one session at a time (plans are session-bound; holding plans of
+# dead sessions would leak them), so tests that rotate sessions just
+# rebuild on first touch.
+_PLAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+_MEMO_SESSION: list = [None]
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if _MEMO_SESSION[0] is not spark:
+        _PLAN_MEMO.clear()
+        _MEMO_SESSION[0] = spark
+    key = (sf_dir, name)
+    df = _PLAN_MEMO.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        _PLAN_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
         # default (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable on
