@@ -45,8 +45,15 @@ __all__ = [
 
 
 def _write(df: DataFrame, path: str) -> None:
+    # REBALANCE by the partition column before the partitioned write
+    # (guide §6): without it every upstream task writes its own sliver
+    # into every batch_id dir (measured: 64 files / 3.6s for a 2-batch
+    # toy vs 2 files / 1.2s rebalanced).  AQE sizes the post-shuffle
+    # partitions, so a big batch still fans out to many
+    # advisory-sized files — scale-adaptive, not a coalesce(1).
     (
-        df.write.mode("overwrite")
+        df.hint("rebalance", "batch_id")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)

@@ -94,7 +94,11 @@ def publish_snapshot(df: DataFrame, state_dir: str, batch_id: int) -> None:
     tmp = os.path.join(state_dir, f"_tmp.v={batch_id}")
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    df.write.mode("overwrite").parquet(tmp)
+    # AQE-sized output files (guide §6): a snapshot inherits whatever
+    # partitioning its plan ends with — often dozens of sliver files
+    # for a dim-sized state table; the keyless REBALANCE lets AQE
+    # coalesce (or split) to advisory-sized files.
+    df.hint("rebalance").write.mode("overwrite").parquet(tmp)
     if os.path.isdir(final):
         shutil.rmtree(final)
     os.rename(tmp, final)
