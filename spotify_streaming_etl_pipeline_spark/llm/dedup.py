@@ -179,7 +179,11 @@ def bucket_shared_counts(buckets: DataFrame) -> DataFrame:
 
 
 def pair_jaccard(
-    posting: DataFrame, pairs: DataFrame, posting_b: DataFrame | None = None
+    posting: DataFrame,
+    pairs: DataFrame,
+    posting_b: DataFrame | None = None,
+    _sizes_df: DataFrame | None = None,
+    _sizes_b_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for an explicit (doc_a, doc_b) pair set,
     computed as posting-table joins restricted to those pairs — rows of
@@ -203,7 +207,18 @@ def pair_jaccard(
     HashedRelation (measured: OOM at sf10/500k docs inside a warm
     bench session even with a 16 GiB driver). Shuffle-hash keeps the
     build per-partition, and the sizes agg's hash(doc_id) partitioning
-    already matches the join key, so only the (small) pair side moves."""
+    already matches the join key, so only the (small) pair side moves.
+
+    ``_sizes_df`` / ``_sizes_b_df`` supply precomputed per-doc gram
+    counts (doc_id, n_grams) for the ``posting`` / ``posting_b`` side —
+    callers composing several detectors over the same posting (the
+    admission path builds the batch sizes once and threads them into
+    BOTH verifies) pass them so the aggregation isn't repeated per
+    detector.  A sizes table may cover MORE docs than the pair set
+    touches (the joins are inner on the pair's ids), so a whole-batch
+    table serves a survivor-sliced verify unchanged.  One-sided calls
+    derive both sides from ONE subtree, so the planner's exchange
+    reuse collapses the duplicate aggregation the two-alias form paid."""
     posting_b = posting if posting_b is None else posting_b
     pa = posting.select(F.col("doc_id").alias("doc_a"), "h1")
     pb = posting_b.select(F.col("doc_id").alias("doc_b"), "h1")
@@ -213,8 +228,19 @@ def pair_jaccard(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes_a = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    sizes_b = posting_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    sizes_a = (
+        _sizes_df
+        if _sizes_df is not None
+        else posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    if _sizes_b_df is not None:
+        sizes_b = _sizes_b_df
+    elif posting_b is posting:
+        sizes_b = sizes_a
+    else:
+        sizes_b = posting_b.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_grams")
+        )
     sa = sizes_a.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes_b.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
     return (
@@ -574,6 +600,7 @@ def minhash_near_dup(
     max_bucket_size: int | None = None,
     _posting_df: DataFrame | None = None,
     _bands_df: DataFrame | None = None,
+    _sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact n-gram Jaccard:
     the production near-dup query. Pairwise verification touches ONLY
@@ -600,7 +627,7 @@ def minhash_near_dup(
         _posting_df=posting,
         _bands_df=_bands_df,
     )
-    return pair_jaccard(posting, cands).filter(
+    return pair_jaccard(posting, cands, _sizes_df=_sizes_df).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -614,6 +641,7 @@ def minhash_incremental(
     _corpus_posting_df: DataFrame | None = None,
     _new_posting_df: DataFrame | None = None,
     _new_bands_df: DataFrame | None = None,
+    _new_sizes_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: which NEW documents duplicate the existing
     corpus — the admission check a growing training set runs per batch.
@@ -673,9 +701,9 @@ def minhash_incremental(
     cands = incremental_band_candidates(
         corpus_bands, new_bands, max_bucket_size=max_bucket_size
     )
-    return pair_jaccard(corpus_posting, cands, posting_b=new_posting).filter(
-        F.col("jaccard") >= threshold
-    )
+    return pair_jaccard(
+        corpus_posting, cands, posting_b=new_posting, _sizes_b_df=_new_sizes_df
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def incremental_band_candidates(

@@ -94,7 +94,17 @@ def _decide(
     batch_bands = dedup.minhash_band_table(
         fresh, text_col=text_col, _posting_df=batch_posting
     ).persist()
-    cleanup = [batch_posting, batch_bands]
+    # Per-doc gram counts, likewise per-doc deterministic: ONE
+    # aggregation threaded into every verify that sizes a batch-side
+    # doc (the corpus check's doc_b side and BOTH sides of the
+    # intra-batch check — pair_jaccard's joins are inner on the pair
+    # ids, so the whole-batch table serves the survivor slice
+    # unchanged).  Without this each pair_jaccard call re-aggregated
+    # the posting per side.
+    batch_sizes = batch_posting.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    ).persist()
+    cleanup = [batch_posting, batch_bands, batch_sizes]
     if corpus is not None:
         if corpus_posting is None:
             corpus_posting = dedup._posting(corpus, text_col)
@@ -112,6 +122,7 @@ def _decide(
                 _corpus_posting_df=corpus_posting,
                 _new_posting_df=batch_posting,
                 _new_bands_df=batch_bands,
+                _new_sizes_df=batch_sizes,
             )
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
@@ -144,6 +155,7 @@ def _decide(
         max_bucket_size=dedup.LSH_MAX_BUCKET,
         _posting_df=surv_posting,
         _bands_df=surv_bands,
+        _sizes_df=batch_sizes,
     )
     clusters = dedup.dup_clusters(pairs)
     non_keepers = clusters.filter(
