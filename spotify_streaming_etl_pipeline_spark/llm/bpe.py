@@ -113,9 +113,13 @@ def bpe_train(
                 break
             l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
             merges.append((rank, l, r, l + r, n))
+            # LAZY checkpoint: the next round's argmax collect
+            # materializes it (lineage truncates there all the same),
+            # and the LAST round's — whose vocab nothing consumes —
+            # never runs at all; eager paid one extra job per merge.
             vocab = vocab.withColumn(
                 "syms", apply_merge(F.col("syms"), l, r)
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
     finally:
         pass  # checkpointed RDDs are GC-reclaimed with the DataFrames
     return spark.createDataFrame(merges, MERGES_SCHEMA)

@@ -469,15 +469,22 @@ def kmeans_lloyd(
         .groupBy("cell", "dim")
         .agg(F.round(F.avg("x"), 4).alias("c"))
     )
+    # LAZY per-round checkpoints: lineage still truncates at the first
+    # materialization (each round's centroid rows persist and later
+    # rounds read them, not the replayed plan), but the whole loop now
+    # runs inside the consumer's ONE job instead of one eager job per
+    # round — at sf0.1 the per-action floor dominated these tiny
+    # (k x dim)-row checkpoints (r13 A/B: kmeans_twolevel 4.7 -> 3.0 s
+    # standalone).  Values are unchanged: checkpointing only pins rows.
     for _ in range(n_iter):
-        cents = cents.localCheckpoint(eager=True)
+        cents = cents.localCheckpoint(eager=False)
         assigned = _nearest_cell(dims, cents)
         cents = (
             dims.join(assigned, "vec_id")
             .groupBy("cell", "dim")
             .agg(F.round(F.avg("x"), 4).alias("c"))
         )
-    cents = cents.localCheckpoint(eager=True)
+    cents = cents.localCheckpoint(eager=False)
     out = _nearest_cell(dims, cents)
     if owns_dims:
         out = out.localCheckpoint(eager=True)
@@ -643,15 +650,20 @@ def _grouped_lloyd(
             .select("vec_id", "grp", F.col("best.sub").alias("sub"))
         )
 
+    # Lazy per-round checkpoints — same rationale as the flat loop in
+    # ``kmeans_lloyd``: lineage truncation without one eager job per
+    # round.  Callers that unpersist ``dc`` materialize the returned
+    # assignment (eager localCheckpoint) first, so the lazy chain can
+    # never replay over a dropped cache.
     for _ in range(n_iter):
-        cents = cents.localCheckpoint(eager=True)
+        cents = cents.localCheckpoint(eager=False)
         assigned = assign(cents)
         cents = (
             dc.join(assigned, ["vec_id", "grp"])
             .groupBy("grp", "sub", "dim")
             .agg(F.round(F.avg("x"), 4).alias("c"))
         )
-    cents = cents.localCheckpoint(eager=True)
+    cents = cents.localCheckpoint(eager=False)
     return assign(cents)
 
 

@@ -267,8 +267,11 @@ def unigram_train(
     vocab = seed_vocab(docs, max_piece_len, min_count, text_col)
     for _ in range(rounds):
         costs = piece_costs(vocab, scale)
+        # Lazy: the consumer's first action (or the next round's cost
+        # derivation) materializes it — lineage truncates there all
+        # the same, without one eager job per round.
         vocab = hard_em_round(wf, costs, max_piece_len).localCheckpoint(
-            eager=True
+            eager=False
         )
     return vocab
 

@@ -426,22 +426,30 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot-basket guard (``cap_basket_size`` via ``copurchase_edges``)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = copurchase_edges(li, _TRI_MIN_SUPPORT).persist()
-    nodes = (
+    # The three census scalars are collected sequentially and inlined
+    # as literals (the ``pagerank_integer`` node-count discipline):
+    # the former nodes.crossJoin(n_edges).crossJoin(tri) one-row-
+    # aggregate attach put two BroadcastNestedLoopJoins in the plan
+    # and raced the three subtrees against the unfilled edge cache in
+    # one action.  Sequential actions fill the cache on the first
+    # count and read it twice after; each collect moves ONE scalar.
+    n_edges = e.count()
+    n_nodes = (
         e.select(F.col("pa").alias("v"))
         .union(e.select(F.col("pb").alias("v")))
         .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .count()
     )
-    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     e1 = e.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
     e2 = e.select(F.col("pa").alias("y"), F.col("pb").alias("z"))
     e3 = e.select(F.col("pa").alias("x"), F.col("pb").alias("z"))
-    tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    e.unpersist()
+    return spark.range(1).select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.lit(tri).cast("long").alias("n_triangles"),
     )
-    return nodes.crossJoin(n_edges).crossJoin(tri)
 
 
 # ---------------------------------------------------------------------------
@@ -1198,9 +1206,22 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # building canonically and mirroring halves the groupBy volume —
     # and routes through the shared hot-basket guard.
     ce = copurchase_edges(li, 2)
+    # Symmetric expansion via explode(array(...)), NOT a self-union:
+    # the union's two branches each carried the full edge-build plan
+    # (two lineitem scans + two basket/pair aggregation chains in the
+    # cached plan — only the exchanges below them deduplicate).  The
+    # explode form computes the canonical edge list once and emits
+    # both directions per row (the ``dup_clusters`` symmetrization).
     edges = (
-        ce.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(ce.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        ce.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                    F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     edges.createOrReplaceTempView("_reach_edges")
@@ -1388,13 +1409,19 @@ def pagerank_integer(ed: DataFrame, iters: int) -> DataFrame:
     # iteration plan).  Same integer arithmetic, iters+1 fewer
     # aggregate subtrees.
     n = deg.count()
+    # LAZY checkpoints throughout the loop (the kmeans_lloyd r13
+    # discipline): lineage still truncates when each round's rank
+    # table first materializes — later rounds read pinned rows, the
+    # plan stays iteration-sized — but the whole power iteration now
+    # runs inside the caller's ONE job instead of one eager job per
+    # round + one for the init + one for the degree attach.
     ranks = deg.selectExpr(
         "u", f"cast({_PR_SCALE} div {n} as long) as rk"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Out-degree rides the edge table (r12): attaching d once before
     # the loop replaces the per-iteration ranks+deg double join with a
     # single join — (iters-1) fewer joins, same integer arithmetic.
-    edd = ed.join(deg, "u").localCheckpoint(eager=True)
+    edd = ed.join(deg, "u").localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = edd.join(ranks, "u").selectExpr("v", "rk div d as c")
         ranks = (
@@ -1405,6 +1432,6 @@ def pagerank_integer(ed: DataFrame, iters: int) -> DataFrame:
                 f"cast((15 * {_PR_SCALE}) div (100 * {n})"
                 " + (85 * s) div 100 as long) as rk",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
