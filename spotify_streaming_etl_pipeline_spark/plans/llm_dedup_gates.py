@@ -591,10 +591,16 @@ def cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
     clusters = dedup.dup_clusters(pairs)
-    scored = d.select(
-        "doc_id", quality_metrics(F.col("text"))["quality_score"].alias("q")
+    # Join FIRST, score after: clustered docs are a small fraction of
+    # the corpus, and the quality projection (several regexes over the
+    # full text) sat below the join, scoring every document to rank
+    # the few that clustered.  The inner join keeps the same rows, and
+    # quality is per-doc deterministic, so the ranking is unchanged.
+    joined = clusters.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        quality_metrics(F.col("text"))["quality_score"].alias("q"),
     )
-    joined = clusters.join(scored, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
     return (
         joined.withColumn("rn", F.row_number().over(w))

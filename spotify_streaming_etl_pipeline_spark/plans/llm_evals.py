@@ -198,7 +198,7 @@ def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cluster keeper = cluster_id (the min-label convention
     ``dup_clusters`` guarantees), so no extra argmax pass is needed."""
     d = _docs(spark, sf_dir)
-    groups = dedup.exact_dedup_groups(d)
+    groups = dedup.exact_dedup_groups(d).persist()
     clusters = dedup.dup_clusters(
         dedup.ngram_jaccard_pairs(d, threshold=0.8)
     ).persist()
@@ -206,25 +206,31 @@ def dedup_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id")
-    n_docs = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    n_keep = keep.agg(
-        F.count(F.lit(1)).cast("long").alias("n_unique_content")
-    )
-    n_clustered = clusters.agg(
-        F.count(F.lit(1)).cast("long").alias("n_clustered_docs"),
-        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
-    )
-    n_removed = removed.agg(
-        F.count(F.lit(1)).cast("long").alias("n_near_removed")
-    )
-    n_final = keep.join(removed, "doc_id", "left_anti").agg(
-        F.count(F.lit(1)).cast("long").alias("n_final")
-    )
-    return (
-        n_docs.crossJoin(n_keep)
-        .crossJoin(n_clustered)
-        .crossJoin(n_removed)
-        .crossJoin(n_final)
+    # The six funnel scalars are collected sequentially and inlined as
+    # one literal row (the ``pagerank_integer`` / ``copurchase_
+    # triangles`` discipline): the five-way crossJoin of one-row
+    # aggregates put four BroadcastNestedLoopJoins in the plan, ran the
+    # un-persisted exact-dedup aggregation twice (n_unique_content AND
+    # the final anti-join), and raced every subtree against unfilled
+    # caches in one action.  Each collect moves one scalar; groups and
+    # clusters fill their caches on first use and are read after.
+    n_docs = d.count()
+    n_keep = groups.count()
+    row = clusters.agg(
+        F.count(F.lit(1)).alias("n_clustered"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).collect()[0]
+    n_removed = removed.count()
+    n_final = keep.join(removed, "doc_id", "left_anti").count()
+    groups.unpersist()
+    clusters.unpersist()
+    return spark.range(1).select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.lit(n_keep).cast("long").alias("n_unique_content"),
+        F.lit(row["n_clustered"]).cast("long").alias("n_clustered_docs"),
+        F.lit(row["n_clusters"]).cast("long").alias("n_clusters"),
+        F.lit(n_removed).cast("long").alias("n_near_removed"),
+        F.lit(n_final).cast("long").alias("n_final"),
     )
 
 
