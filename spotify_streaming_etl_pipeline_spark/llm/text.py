@@ -49,16 +49,26 @@ def tokens(text: Column) -> Column:
 def positional_ngrams(text: Column, n: int = 3, sep: str = "|") -> Column:
     """ALL word n-grams in positional order (duplicates kept) — the
     occurrence stream repetition metrics count over; empty array for
-    docs with < n words (guards Spark's sequence() which would step
-    backwards)."""
+    docs with < n words.
+
+    Built as an n-way ZIP of shifted array slices (the ``_posting``
+    shingle construction): every slice has exactly L = size - (n-1)
+    elements, so the zip never null-pads and each element is a
+    complete n-gram in positional order.  L clamps to 0 for short
+    docs, making the empty-array guard free.  This replaces the
+    sequence() + per-index element_at form: element_at re-walks the
+    array per lambda step interpreted, where the slices are one
+    straight copy each (r13 interleaved A/B on repetition_table at
+    sf0.1 in OPTIMIZATION_r13.md)."""
     w = tokens(text)
+    length = F.greatest(F.lit(0), F.size(w) - (n - 1))
+    arr = F.arrays_zip(*[F.slice(w, j + 1, length) for j in range(n)])
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(sep, *[F.element_at(w, i + j) for j in range(n)]),
+        arr, lambda s: F.concat_ws(sep, *[s[str(j)] for j in range(n)])
     )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    # NULL text propagates NULL through the slices; the old form
+    # returned an empty array there — keep that contract.
+    return F.coalesce(grams, F.array().cast("array<string>"))
 
 
 def word_ngrams(text: Column, n: int = 3, sep: str = "|") -> Column:
