@@ -1,5 +1,6 @@
 """Capture .explain('formatted') for every registered query into
-plans/r12/<query>_<tag>.txt.  Planning only — nothing is executed.
+plans/$SPARK_GRAFT_PLAN_DIR/<query>_<tag>.txt (default r13).
+Planning only — nothing is executed.
 
 Usage: python capture_plans.py <tag> [name1,name2,...]
 """
@@ -20,7 +21,11 @@ if len(sys.argv) > 2:
     subset = {s.strip() for s in sys.argv[2].split(",") if s.strip()}
 
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-out_dir = Path(__file__).resolve().parent / "plans" / "r12"
+out_dir = (
+    Path(__file__).resolve().parent
+    / "plans"
+    / os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
+)
 out_dir.mkdir(parents=True, exist_ok=True)
 
 spark = get_spark("capture-plans")
