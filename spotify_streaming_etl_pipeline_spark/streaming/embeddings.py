@@ -86,11 +86,13 @@ def _ingest_batch(
     batch — an empty batch 0 publishes a zero-cell snapshot, and
     without the emptiness re-check every later batch would join
     against zero centroids and silently drop all vectors forever.
-    Returns assignments (vec_id, cell) — eagerly localCheckpoint-ed,
-    because both the caller's output AND the state update consume it
-    (a lazy plan would execute the distance join twice) — and the
-    lazy updated state, which callers materialize through their write
-    (sink) or a localCheckpoint (batch replay)."""
+    Returns assignments (vec_id, cell) — LAZILY localCheckpoint-ed:
+    both the caller's output AND the state update consume it, and the
+    checkpoint pins the rows at first materialization so the distance
+    join still executes exactly once (a plain lazy plan would run it
+    per consumer; an EAGER checkpoint paid one extra job per batch) —
+    and the lazy updated state, which callers materialize through
+    their write (sink) or their next action (batch replay)."""
     dims = _explode(batch.dropDuplicates(["vec_id"]), vec_col)
     if state is None or state.isEmpty():
         seeded = dims.withColumn("cell", (F.col("vec_id") % k).cast("int"))
@@ -101,7 +103,7 @@ def _ingest_batch(
         assignments = (
             seeded.select("vec_id", "cell")
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         return assignments, new_state
     cents = state.select("cell", "dim", "c")
@@ -118,7 +120,7 @@ def _ingest_batch(
         d2.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cell")).alias("best"))
         .select("vec_id", F.col("best.cell").alias("cell"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     adds = (
         dims.join(assignments, "vec_id")
@@ -176,8 +178,11 @@ def online_kmeans_decisions(
         )
         # Truncate lineage per wave: the state plan otherwise nests
         # every prior wave's assignment join (the kmeans_lloyd
-        # localCheckpoint lesson).
-        state = state.localCheckpoint(eager=True)
+        # localCheckpoint lesson).  LAZY: the next wave's isEmpty()
+        # materializes it (one action per wave instead of three), and
+        # the LAST wave's state — which nothing consumes here — never
+        # computes at all.
+        state = state.localCheckpoint(eager=False)
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
