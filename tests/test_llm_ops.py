@@ -49,6 +49,56 @@ def test_word_ngrams_short_doc_is_empty(spark, docs):
     assert len(out[0]) == 7
 
 
+def test_positional_ngrams_order_duplicates_and_nulls(spark):
+    """The r13 zipped-slice gram builder: positional order kept,
+    duplicates kept, short docs empty, NULL text empty, repeated
+    separators collapsed by the tokenizer."""
+    from spotify_streaming_etl_pipeline_spark.llm.text import positional_ngrams
+
+    rows = [
+        (0, "a b a b a"),          # overlapping duplicate grams
+        (1, "x y"),                # shorter than n -> empty
+        (2, ""),                   # empty text -> empty
+        (3, None),                 # NULL text -> empty (old contract)
+        (4, "a  b   c d"),         # multi-space: empty tokens dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", positional_ngrams(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert out[0] == ["a|b|a", "b|a|b", "a|b|a"]
+    assert out[1] == [] and out[2] == [] and out[3] == []
+    assert out[4] == ["a|b|c", "b|c|d"]
+
+
+def test_pair_jaccard_supplied_sizes_match_derived(spark, docs):
+    """The r13 sizes threading: pair_jaccard with precomputed per-doc
+    gram counts — including a SUPERSET table covering docs outside the
+    pair set — must equal the self-derived form row for row."""
+    posting = dedup._posting(docs, "text")
+    pairs = spark.createDataFrame(
+        [(0, 3), (0, 1), (1, 2)], "doc_a: long, doc_b: long"
+    )
+    base = sorted(
+        map(tuple, dedup.pair_jaccard(posting, pairs).collect())
+    )
+    sizes = posting.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    threaded = sorted(
+        map(
+            tuple,
+            dedup.pair_jaccard(
+                posting, pairs, _sizes_df=sizes, _sizes_b_df=sizes
+            ).collect(),
+        )
+    )
+    assert threaded == base
+
+
 def test_exact_dedup_groups(spark, docs):
     groups = dedup.exact_dedup_groups(docs).collect()
     by_n = sorted(g["n_copies"] for g in groups)
